@@ -1,0 +1,145 @@
+"""Measure-record NDJSON serialization.
+
+Bit-compatible with the reference's log format
+(src/auto_scheduler/measure_record.cc:315-346):
+
+    {"i": [task, [stages=[], transform_steps]],
+     "r": [[costs...], error_no, all_cost, timestamp],
+     "v": "v0.6"}
+
+one record per line; lines starting with '#' or blank are comments.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional, Tuple
+
+from ..ir.steps import Step, step_from_record
+from .task import SearchTask
+
+LOG_VERSION = "v0.6"  # reference measure_record.h:37
+
+# MeasureErrorNo (reference python/tvm/auto_scheduler/measure.py:613-627)
+ERROR_NO_ERROR = 0
+ERROR_INSTANTIATION = 1
+ERROR_COMPILE_HOST = 2
+ERROR_COMPILE_DEVICE = 3
+ERROR_RUNTIME_DEVICE = 4
+ERROR_WRONG_ANSWER = 5
+ERROR_BUILD_TIMEOUT = 6
+ERROR_RUN_TIMEOUT = 7
+ERROR_UNKNOWN = 8
+
+MAX_FLOAT = 1e10  # error cost placeholder (search_policy.py)
+
+
+@dataclass
+class MeasureInput:
+    task: SearchTask
+    step_records: List[list]  # serialized transform steps
+
+    @property
+    def steps(self) -> List[Step]:
+        return [step_from_record(r) for r in self.step_records]
+
+    def recover_state(self, infer_bound: bool = True):
+        """Rebuild the full loop State by replaying steps onto the task's
+        DAG (reference measure.py:204-240 recover_measure_input)."""
+        dag = self.task.compute_dag
+        st = dag.apply_steps(self.step_records)
+        if infer_bound:
+            st = dag.infer_bound(st)
+        return st
+
+
+@dataclass
+class MeasureResult:
+    costs: List[float]
+    error_no: int = 0
+    all_cost: float = 0.0
+    timestamp: float = 0.0
+
+    @property
+    def mean_cost(self) -> float:
+        return sum(self.costs) / max(1, len(self.costs))
+
+
+@dataclass
+class MeasureRecord:
+    inp: MeasureInput
+    res: MeasureResult
+    log_version: str = LOG_VERSION
+
+
+def record_to_json(rec: MeasureRecord) -> str:
+    obj = {
+        "i": [rec.inp.task.to_record(), [[], rec.inp.step_records]],
+        "r": [
+            list(rec.res.costs),
+            rec.res.error_no,
+            rec.res.all_cost,
+            int(rec.res.timestamp),
+        ],
+        "v": rec.log_version,
+    }
+    return json.dumps(obj, separators=(", ", ": "))
+
+
+def record_from_json(line: str) -> MeasureRecord:
+    obj = json.loads(line)
+    task_rec, state_rec = obj["i"]
+    task = SearchTask.from_record(task_rec)
+    step_records = state_rec[1]
+    costs, error_no, all_cost, timestamp = obj["r"]
+    return MeasureRecord(
+        MeasureInput(task, step_records),
+        MeasureResult([float(c) for c in costs], int(error_no),
+                      float(all_cost), float(timestamp)),
+        obj.get("v", LOG_VERSION),
+    )
+
+
+def iter_records(path: str, max_lines: Optional[int] = None,
+                 skip_lines: int = 0) -> Iterator[MeasureRecord]:
+    """Stream records from an NDJSON log (reference
+    measure_record.py:94-131 RecordReader.read_lines)."""
+    n = 0
+    with open(path) as f:
+        for i, line in enumerate(f):
+            line = line.strip()
+            if not line or line.startswith("#") or line.startswith(" "):
+                continue
+            if i < skip_lines:
+                continue
+            yield record_from_json(line)
+            n += 1
+            if max_lines is not None and n >= max_lines:
+                break
+
+
+def load_records(path: str, max_lines=None, skip_lines=0) -> List[MeasureRecord]:
+    return list(iter_records(path, max_lines, skip_lines))
+
+
+def save_records(path: str, records: List[MeasureRecord], mode: str = "a"):
+    """Append records to an NDJSON log (reference RecordToFile callback,
+    measure_record.cc:348-352)."""
+    with open(path, mode) as f:
+        for rec in records:
+            f.write(record_to_json(rec))
+            f.write("\n")
+
+
+def make_record(task: SearchTask, steps, costs, error_no=0, all_cost=0.0,
+                timestamp=None) -> MeasureRecord:
+    step_records = [
+        s.to_record() if isinstance(s, Step) else s for s in steps
+    ]
+    return MeasureRecord(
+        MeasureInput(task, step_records),
+        MeasureResult(list(costs), error_no, all_cost,
+                      time.time() if timestamp is None else timestamp),
+    )

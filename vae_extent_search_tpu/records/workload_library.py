@@ -1,0 +1,273 @@
+"""Standard workload definitions (registered by name).
+
+These mirror the reference's registered toy/tutorial workloads so that
+measure records written by it replay on our DAGs with identical stage
+indices:
+
+- tests/python/unittest/test_auto_scheduler_common.py:26-140 (the de-facto
+  fake model zoo used across the reference's unit tests)
+- tutorials/auto_scheduler/tune_conv2d_layer_cuda.py:56-62 (conv2d_layer)
+- tutorials/get_started/tune_matmul_x86.py (matmul_add)
+
+The definitions are standard operator math re-expressed on our te-lite IR.
+"""
+
+from __future__ import annotations
+
+from ..ir import expr as E
+from ..ir.tensor import (
+    compute,
+    max_reduce,
+    min_reduce,
+    placeholder,
+    reduce_axis,
+    sum_reduce,
+)
+from .workload import register_workload
+
+
+def _pad_nchw(data, padding, name="pad_temp"):
+    """Zero padding on H/W of an NCHW tensor (topi.nn.pad semantics)."""
+    if padding == 0:
+        return data
+    N, C, H, W = data.shape
+    p = padding
+
+    def fcompute(n, c, h, w):
+        in_bounds = E.And(
+            (
+                h.var >= p,
+                h.var < H + p,
+                w.var >= p,
+                w.var < W + p,
+            )
+        )
+        return E.Select(
+            in_bounds,
+            data[n.var, c.var, h.var - p, w.var - p],
+            E.FloatImm(0.0),
+        )
+
+    return compute((N, C, H + 2 * p, W + 2 * p), fcompute, name)
+
+
+def _conv2d_nchw(data, kernel, stride, padding, name="conv2d_nchw"):
+    N, CI, H, W = data.shape
+    CO, _, KH, KW = kernel.shape
+    s = stride if isinstance(stride, int) else stride[0]
+    p = padding if isinstance(padding, int) else padding[0]
+    OH = (H + 2 * p - KH) // s + 1
+    OW = (W + 2 * p - KW) // s + 1
+    pad = _pad_nchw(data, p)
+    rc = reduce_axis(CI, "rc")
+    ry = reduce_axis(KH, "ry")
+    rx = reduce_axis(KW, "rx")
+
+    def fcompute(nn, ff, yy, xx):
+        return sum_reduce(
+            pad[nn.var, rc.var, yy.var * s + ry.var, xx.var * s + rx.var]
+            * kernel[ff.var, rc.var, ry.var, rx.var],
+            [rc, ry, rx],
+        )
+
+    return compute((N, CO, OH, OW), fcompute, name)
+
+
+@register_workload
+def matmul_auto_scheduler_test(N, M, K):
+    A = placeholder((N, K), name="A")
+    B = placeholder((K, M), name="B")
+    k = reduce_axis(K, "k")
+    C = compute(
+        (N, M), lambda i, j: sum_reduce(A[i.var, k.var] * B[k.var, j.var], [k]), "C"
+    )
+    return [A, B, C]
+
+
+@register_workload("matmul_auto_scheduler_test_rename_1")
+def matmul_auto_scheduler_test_rename_0(N, M, K):
+    return matmul_auto_scheduler_test(N, M, K)
+
+
+@register_workload
+def matmul_add(N, L, M, dtype="float32"):
+    """tutorials/get_started/tune_matmul_x86.py: out = A@B + C."""
+    A = placeholder((N, L), name="A", dtype=dtype)
+    B = placeholder((L, M), name="B", dtype=dtype)
+    C = placeholder((N, M), name="C", dtype=dtype)
+    k = reduce_axis(L, "k")
+    matmul = compute(
+        (N, M),
+        lambda i, j: sum_reduce(A[i.var, k.var] * B[k.var, j.var], [k]),
+        "matmul",
+    )
+    out = compute((N, M), lambda i, j: matmul[i.var, j.var] + C[i.var, j.var], "out")
+    return [A, B, C, out]
+
+
+@register_workload
+def double_matmul_auto_scheduler_test(N):
+    A = placeholder((N, N), name="A")
+    B = placeholder((N, N), name="B")
+    C = placeholder((N, N), name="C")
+    k1 = reduce_axis(N, "k")
+    D = compute(
+        (N, N), lambda i, j: sum_reduce(A[i.var, k1.var] * B[k1.var, j.var], [k1]), "D"
+    )
+    k2 = reduce_axis(N, "k")
+    Ee = compute(
+        (N, N), lambda i, j: sum_reduce(D[i.var, k2.var] * C[k2.var, j.var], [k2]), "E"
+    )
+    return [A, B, C, Ee]
+
+
+@register_workload
+def parallel_matmul_auto_scheduler_test(N):
+    A = placeholder((N, N), name="A")
+    B = placeholder((N, N), name="B")
+    C = placeholder((N, N), name="C")
+    k1 = reduce_axis(N, "k")
+    D = compute(
+        (N, N), lambda i, j: sum_reduce(A[i.var, k1.var] * B[k1.var, j.var], [k1]), "D"
+    )
+    k2 = reduce_axis(N, "k")
+    Ee = compute(
+        (N, N), lambda i, j: sum_reduce(A[i.var, k2.var] * C[k2.var, j.var], [k2]), "E"
+    )
+    return [A, B, C, D, Ee]
+
+
+@register_workload
+def conv2d_layer(N, H, W, CO, CI, KH, KW, stride, padding):
+    """tutorials/auto_scheduler/tune_conv2d_layer_cuda.py:56-62."""
+    data = placeholder((N, CI, H, W), name="data")
+    kernel = placeholder((CO, CI, KH, KW), name="kernel")
+    bias = placeholder((1, CO, 1, 1), name="bias")
+    conv = _conv2d_nchw(data, kernel, stride, padding)
+    add = compute(
+        conv.shape,
+        lambda n, c, h, w: conv[n.var, c.var, h.var, w.var]
+        + bias[0, c.var, 0, 0],
+        "T_add",
+    )
+    out = compute(
+        add.shape,
+        lambda n, c, h, w: E.Max(add[n.var, c.var, h.var, w.var], E.FloatImm(0.0)),
+        "T_relu",
+    )
+    return [data, kernel, bias, out]
+
+
+@register_workload
+def conv2d_nchw_bn_relu_auto_scheduler_test(
+    N, H, W, CI, CO, kernel_size, strides, padding, dilation=1
+):
+    data = placeholder((N, CI, H, W), name="Data")
+    kernel = placeholder((CO, CI, kernel_size, kernel_size), name="Kernel")
+    bias = placeholder((CO, 1, 1), name="Bias")
+    bn_scale = placeholder((CO, 1, 1), name="Bn_scale")
+    bn_offset = placeholder((CO, 1, 1), name="Bn_offset")
+    conv = _conv2d_nchw(data, kernel, strides, padding)
+    conv = compute(
+        conv.shape,
+        lambda i, j, k, l: conv[i.var, j.var, k.var, l.var] + bias[j.var, 0, 0],
+        "Bias_add",
+    )
+    conv = compute(
+        conv.shape,
+        lambda i, j, k, l: conv[i.var, j.var, k.var, l.var] * bn_scale[j.var, 0, 0],
+        "Bn_mul",
+    )
+    conv = compute(
+        conv.shape,
+        lambda i, j, k, l: conv[i.var, j.var, k.var, l.var] + bn_offset[j.var, 0, 0],
+        "Bn_add",
+    )
+    out = compute(
+        conv.shape,
+        lambda i, j, k, l: E.Max(conv[i.var, j.var, k.var, l.var], E.FloatImm(0.0)),
+        "T_relu",
+    )
+    return [data, kernel, bias, bn_offset, bn_scale, out]
+
+
+@register_workload
+def max_pool2d_auto_scheduler_test(N, H, W, CI, padding):
+    data = placeholder((N, CI, H, W), name="Data")
+    pad = _pad_nchw(data, padding) if padding else data
+    OH = H + 2 * padding - 1
+    OW = W + 2 * padding - 1
+    kh = reduce_axis(2, "kh")
+    kw = reduce_axis(2, "kw")
+    out = compute(
+        (N, CI, OH, OW),
+        lambda n, c, h, w: max_reduce(
+            pad[n.var, c.var, h.var + kh.var, w.var + kw.var], [kh, kw]
+        ),
+        "pool_max",
+    )
+    return [data, out]
+
+
+@register_workload
+def min_nm_auto_scheduler_test(N, M):
+    A = placeholder((N, M), name="A")
+    k = reduce_axis(M, "k1")
+    B = compute((N,), lambda i: min_reduce(A[i.var, k.var], [k]), "A_red_temp")
+    return [A, B]
+
+
+def _softmax(A, N, M):
+    k1 = reduce_axis(M, "k")
+    max_elem = compute(
+        (N,), lambda i: max_reduce(A[i.var, k1.var], [k1]), "T_softmax_maxelem"
+    )
+    exp = compute(
+        (N, M),
+        lambda i, j: E.exp(A[i.var, j.var] - max_elem[i.var]),
+        "T_softmax_exp",
+    )
+    k2 = reduce_axis(M, "k")
+    expsum = compute(
+        (N,), lambda i: sum_reduce(exp[i.var, k2.var], [k2]), "T_softmax_expsum"
+    )
+    norm = compute(
+        (N, M),
+        lambda i, j: exp[i.var, j.var] / expsum[i.var],
+        "T_softmax_norm",
+    )
+    return norm
+
+
+@register_workload
+def softmax_nm_auto_scheduler_test(N, M):
+    A = placeholder((N, M), name="A")
+    return [A, _softmax(A, N, M)]
+
+
+@register_workload
+def softmax_abcd_auto_scheduler_test(a, b, c, d):
+    A = placeholder((a, b, c, d), name="A")
+    k1 = reduce_axis(d, "k")
+    max_elem = compute(
+        (a, b, c),
+        lambda i, j, l: max_reduce(A[i.var, j.var, l.var, k1.var], [k1]),
+        "T_softmax_maxelem",
+    )
+    exp = compute(
+        (a, b, c, d),
+        lambda i, j, l, m: E.exp(A[i.var, j.var, l.var, m.var] - max_elem[i.var, j.var, l.var]),
+        "T_softmax_exp",
+    )
+    k2 = reduce_axis(d, "k")
+    expsum = compute(
+        (a, b, c),
+        lambda i, j, l: sum_reduce(exp[i.var, j.var, l.var, k2.var], [k2]),
+        "T_softmax_expsum",
+    )
+    norm = compute(
+        (a, b, c, d),
+        lambda i, j, l, m: exp[i.var, j.var, l.var, m.var] / expsum[i.var, j.var, l.var],
+        "T_softmax_norm",
+    )
+    return [A, norm]
