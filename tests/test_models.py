@@ -1,0 +1,127 @@
+"""JAX model stack: VAE, cost predictor, losses, selection ops."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vae_extent_search_tpu.models import (
+    PredictorConfig,
+    fit_predictor,
+    init_predictor_params,
+    init_vae_params,
+    load_pretrained_encoder,
+    mc_predict,
+    metrics,
+    pred_forward,
+    train_vae,
+    vae_forward,
+)
+from vae_extent_search_tpu.models.predictor import pair_loss
+from vae_extent_search_tpu.search import (
+    SelectionConfig,
+    k_center_greedy,
+    l2_normalize,
+    masked_top_k,
+    select_programs,
+)
+
+
+def test_vae_shapes_and_training_improves():
+    key = jax.random.PRNGKey(0)
+    X = jax.random.normal(key, (256, 20))
+    params = init_vae_params(key, 20, latent_dim=8, hidden_dim=32)
+    x_recon, mu, logvar, z, feat = vae_forward(params, X)
+    assert x_recon.shape == (256, 20) and mu.shape == (256, 8)
+    best, info = train_vae(key, X[:200], X[200:], latent_dim=8,
+                           hidden_dim=32, epochs=30, batch_size=64)
+    ep_losses = np.asarray(info["history"][0])
+    assert ep_losses[-1] < ep_losses[0]
+
+
+def test_predictor_fit_reduces_loss_and_encoder_transfer():
+    key = jax.random.PRNGKey(1)
+    X = jax.random.normal(key, (128, 12))
+    y = jnp.sum(X[:, :3], axis=1)
+    vp = init_vae_params(key, 12, latent_dim=8, hidden_dim=32)
+    pp = init_predictor_params(key, 12, hidden_dim=32, latent_dim=8)
+    pp = load_pretrained_encoder(pp, vp)
+    # encoder weights actually copied
+    assert jnp.allclose(pp["fc_mu"]["w"], vp["fc_mu"]["w"])
+    mask = jnp.ones(128, bool)
+    cfg = PredictorConfig(lambda_reg=1.0, lambda_pair=0.0, gamma=0.0,
+                          beta=0.0, head_lr=1e-2, encoder_lr=1e-3)
+    best, info = fit_predictor(pp, X, y, mask, key, cfg, 200)
+    losses = np.asarray(info["losses"])
+    assert losses[-1] < losses[0] * 0.5
+
+
+def test_mc_dropout_variance_positive():
+    key = jax.random.PRNGKey(2)
+    pp = init_predictor_params(key, 10, hidden_dim=32, latent_dim=8,
+                               predictor_layers=3)
+    X = jax.random.normal(key, (32, 10))
+    mean, var = mc_predict(pp, X, key, T=8)
+    assert mean.shape == (32,) and var.shape == (32,)
+    assert float(var.max()) > 0.0
+
+
+def test_pair_loss_ordering():
+    pred = jnp.array([0.0, 1.0, 2.0])
+    true = jnp.array([0.0, 1.0, 2.0])
+    perfect = pair_loss(pred, true, margin=0.0)
+    wrong = pair_loss(-pred, true, margin=0.0)
+    assert float(perfect) == 0.0
+    assert float(wrong) > 0.0
+
+
+def test_masked_top_k():
+    scores = jnp.array([5.0, 4.0, 3.0, 2.0, 1.0])
+    mask = jnp.array([False, True, True, True, False])
+    idx, valid = masked_top_k(scores, mask, 2)
+    assert set(np.asarray(idx).tolist()) == {1, 2}
+    assert bool(valid.all())
+
+
+def test_k_center_greedy_spreads():
+    key = jax.random.PRNGKey(3)
+    # two tight direction-clusters + one opposite outlier
+    a = jnp.array([1.0, 0.0, 0.0, 0.0]) + jax.random.normal(key, (20, 4)) * 0.01
+    b = jnp.array([0.0, 1.0, 0.0, 0.0]) + jax.random.normal(key, (20, 4)) * 0.01
+    out = jnp.array([[-1.0, -1.0, 0.0, 0.0]])
+    z = l2_normalize(jnp.concatenate([a, b, out]))
+    cand = jnp.ones(41, bool).at[0].set(False)
+    centers = jnp.zeros(41, bool).at[0].set(True)  # center in cluster a
+    sel, valid = k_center_greedy(z, cand, centers, 2)
+    sel = set(np.asarray(sel).tolist())
+    # picks must come from the other cluster/outlier, not cluster a
+    assert all(s >= 20 for s in sel)
+
+
+def test_select_programs_end_to_end():
+    key = jax.random.PRNGKey(4)
+    N, D = 200, 10
+    X = jax.random.normal(key, (N, D))
+    pp = init_predictor_params(key, D, hidden_dim=32, latent_dim=8)
+    used = jnp.zeros(N, bool).at[:20].set(True)
+    remaining = ~used
+    cfg = SelectionConfig(num_select=16, T_mc=4, topk_factor=3, grad_num=2,
+                          rand_num=2)
+    sel_idx, valid, new_remaining, aux = select_programs(
+        pp, X, used, remaining, key, cfg, gate_uncertainty_to_remaining=True
+    )
+    sel = np.asarray(sel_idx)[np.asarray(valid)]
+    # no duplicates, nothing already used, remaining shrank correctly
+    assert len(set(sel.tolist())) == len(sel)
+    assert not np.asarray(used)[sel].any()
+    assert int(np.asarray(new_remaining).sum()) == N - 20 - len(sel)
+
+
+def test_metrics_parity_semantics():
+    preds = np.array([0.9, 0.1, 0.5, 0.3])
+    labels = np.array([1.0, 0.0, 0.6, 0.2])
+    assert metrics.metric_pairwise_comp_accuracy(preds, labels) == 1.0
+    assert metrics.recall_at_k(preds, labels, k=1) == 1
+    assert metrics.metric_top_k_recall(preds, labels, 2) == 1.0
+    assert metrics.metric_peak_score(preds, labels, 2) == pytest.approx(1.0)
+    assert metrics.metric_r_squared(labels, labels) == 1.0

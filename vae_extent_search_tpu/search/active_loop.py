@@ -1,0 +1,180 @@
+"""The VAE-extent active-learning search loop (offline record-replay arm).
+
+Parity target: the per-config experiment loop of
+vae_extent_search.py:1720-1892 — init with ``measure_size`` random
+candidates, then per phase: retrain the VAECostPredictor on the measured
+set, select the next batch (select_programs), reveal recorded costs, stop
+when the true-best candidate enters the measured set; log phase count,
+train size, wall time and R2 histories.
+
+On TPU the full candidate matrix lives in HBM once; phases only exchange
+a [num_select] index vector with the host.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.metrics import metric_r_squared, pair_accuracy, recall_at_k
+from ..models.predictor import (
+    PredictorConfig,
+    fit_predictor,
+    init_predictor_params,
+    load_pretrained_encoder,
+    pred_forward,
+)
+from ..models.vae import train_vae
+from .select import SelectionConfig, select_programs
+
+
+def standardize(X: np.ndarray):
+    """log1p + per-column standardization (reference
+    vae_extent_search.py:394-397: np.log1p + sklearn StandardScaler)."""
+    Xl = np.log1p(X.astype(np.float32))
+    mean = Xl.mean(axis=0)
+    std = Xl.std(axis=0)
+    std = np.where(std < 1e-12, 1.0, std)
+    return (Xl - mean) / std, (mean, std)
+
+
+@dataclass
+class ActiveSearchResult:
+    found: bool
+    phase: int
+    train_size: int
+    used_time: float
+    reg_r2_history: List[float] = field(default_factory=list)
+    top1_hits: List[int] = field(default_factory=list)
+    selected_order: List[int] = field(default_factory=list)
+
+
+def run_active_search(
+    features: np.ndarray,
+    labels: np.ndarray,
+    measure_size: int = 64,
+    max_phases: int = 60,
+    latent_dim: int = 64,
+    hidden_dim: int = 256,
+    vae_epochs: int = 500,
+    vae_lr: float = 1e-3,
+    vae_beta: float = 0.01,
+    reg_epochs: int = 1000,
+    reg_config: Optional[Dict] = None,
+    selection: Optional[SelectionConfig] = None,
+    sampling_seed: int = 2000,
+    train_seed: int = 2023,
+    stop_top_k: int = 1,
+    pretrained_vae_params=None,
+    verbose: bool = False,
+) -> ActiveSearchResult:
+    """Search until the true-best schedule is measured.
+
+    features: [N, D] raw extent features; labels: [N] (-log mean cost,
+    higher is better).
+    """
+    t0 = time.time()
+    N = features.shape[0]
+    X_scaled, _ = standardize(features)
+    X = jnp.asarray(X_scaled)
+    y_all = jnp.asarray(labels)
+
+    true_best = int(np.argmax(labels))
+    true_top_set = set(np.argsort(-labels)[:stop_top_k].tolist())
+
+    # ---- VAE pretraining on the full candidate pool (80/20 split) ----
+    key = jax.random.PRNGKey(train_seed)
+    if pretrained_vae_params is None:
+        k_vae, key = jax.random.split(key)
+        split_rng = np.random.default_rng(train_seed)
+        perm = split_rng.permutation(N)
+        n_tr = int(N * 0.8)
+        vae_params, _ = train_vae(
+            k_vae, X[perm[:n_tr]], X[perm[n_tr:]], latent_dim=latent_dim,
+            hidden_dim=hidden_dim, lr=vae_lr, beta=vae_beta,
+            epochs=vae_epochs, verbose=verbose,
+        )
+    else:
+        vae_params = pretrained_vae_params
+
+    # ---- init measured set: random measure_size indices ----
+    rng = np.random.default_rng(sampling_seed)
+    init_idx = rng.choice(N, size=min(measure_size, N), replace=False)
+    used_mask = np.zeros(N, bool)
+    used_mask[init_idx] = True
+    selected_order = list(init_idx)
+
+    sel_cfg = selection or SelectionConfig(num_select=measure_size)
+    result = ActiveSearchResult(False, 0, 0, 0.0)
+
+    # check immediate hit
+    if true_top_set & set(init_idx.tolist()):
+        result.found = True
+        result.phase = 0
+        result.train_size = int(used_mask.sum())
+        result.used_time = time.time() - t0
+        return result
+
+    used = jnp.asarray(used_mask)
+    remaining = ~used
+
+    if reg_config is None:
+        pred_cfg = PredictorConfig()
+    elif isinstance(reg_config, PredictorConfig):
+        pred_cfg = reg_config
+    else:
+        pred_cfg = PredictorConfig(**reg_config)
+
+    k_sel = jax.random.PRNGKey(sampling_seed)
+    for phase in range(1, max_phases + 1):
+        # ---- retrain predictor on the measured set (full-pool masked
+        # training: fixed shapes -> one compile reused across phases) ----
+        k_init, k_train, key = jax.random.split(key, 3)
+        params = init_predictor_params(
+            k_init, X.shape[1], hidden_dim, latent_dim
+        )
+        params = load_pretrained_encoder(params, vae_params)
+        params, _ = fit_predictor(
+            params, X, y_all, used, k_train, pred_cfg, reg_epochs
+        )
+
+        # validation R2 on the remaining (revealed only for diagnostics,
+        # like the reference's val_reg_r2 column)
+        all_pred, *_ = pred_forward(params, X, use_mean=True)
+        rem_np = np.asarray(remaining)
+        r2 = metric_r_squared(
+            np.asarray(all_pred)[rem_np], np.asarray(y_all)[rem_np]
+        )
+        result.reg_r2_history.append(r2)
+
+        # ---- select next batch on device ----
+        k_sel, sub = jax.random.split(k_sel)
+        gate = int(np.sum(np.asarray(used))) < sel_cfg.uncertainty_topk
+        sel_idx, sel_valid, remaining, aux = select_programs(
+            params, X, used, remaining, sub, sel_cfg,
+            gate_uncertainty_to_remaining=gate,
+        )
+        sel = np.asarray(sel_idx)[np.asarray(sel_valid)]
+        used = used.at[jnp.asarray(sel)].set(True)
+        selected_order.extend(sel.tolist())
+
+        if verbose:
+            print(f"phase {phase}: +{len(sel)} measured "
+                  f"(total {int(np.sum(np.asarray(used)))}), val R2 {r2:.3f}")
+
+        result.top1_hits.append(int(bool(true_top_set & set(sel.tolist()))))
+        if true_top_set & set(sel.tolist()):
+            result.found = True
+            result.phase = phase
+            break
+        result.phase = phase
+
+    result.train_size = int(np.sum(np.asarray(used)))
+    result.used_time = time.time() - t0
+    result.selected_order = selected_order
+    return result

@@ -1,0 +1,254 @@
+"""On-device active-learning candidate selection.
+
+Parity target: the reference's ``select_programs``
+(vae_extent_search.py:1210-1309) and its strategy functions: predicted-cost
+top-k (:927), z-gradient-norm top-k (:950-987), MC-dropout-variance top-k
+(:990-1021), k-center-greedy latent diversity (:1024-1109), eps-greedy
+random (:869-877), farthest-point / kmeans++ inits (:1112-1208).
+
+TPU-first redesign: index sets become boolean masks over the candidate
+axis; every strategy is a masked top-k / argmax on device; the whole
+per-phase selection (encode -> predict -> MC-dropout -> z-grad -> pool
+top-k -> k-center greedy -> union) is ONE jitted function — the reference
+round-trips GPU<->CPU numpy between every step. k-center greedy runs as a
+lax.fori_loop over fused distance updates (O(k·N·D) on the VPU/MXU, no
+host sync), using dist^2 = |a|^2+|b|^2-2ab so the inner update is a matmul.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.predictor import mc_predict, pred_encode, predict_cost
+
+NEG_INF = -1e30
+
+
+def masked_top_k(scores: jnp.ndarray, mask: jnp.ndarray, k: int):
+    """Indices of the k largest scores where mask; masked-out entries score
+    -inf. Returns (indices [k], valid [k])."""
+    masked = jnp.where(mask, scores, NEG_INF)
+    vals, idx = jax.lax.top_k(masked, k)
+    return idx, vals > NEG_INF / 2
+
+
+def scatter_unset(mask: jnp.ndarray, idx: jnp.ndarray,
+                  valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """mask[idx] = False (only where valid)."""
+    if valid is None:
+        return mask.at[idx].set(False)
+    return mask.at[idx].set(jnp.where(valid, False, mask[idx]))
+
+
+def scatter_set(mask: jnp.ndarray, idx: jnp.ndarray,
+                valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    if valid is None:
+        return mask.at[idx].set(True)
+    return mask.at[idx].set(jnp.where(valid, True, mask[idx]))
+
+
+def l2_normalize(z: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    return z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + eps)
+
+
+def pairwise_dist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Euclidean distances [n, m] via the matmul identity (MXU-friendly)."""
+    sq = (
+        jnp.sum(a**2, -1)[:, None]
+        + jnp.sum(b**2, -1)[None, :]
+        - 2.0 * a @ b.T
+    )
+    return jnp.sqrt(jnp.maximum(sq, 0.0))
+
+
+def k_center_greedy(z_norm: jnp.ndarray, cand_mask: jnp.ndarray,
+                    center_mask: jnp.ndarray, k: int):
+    """Farthest-first traversal: repeatedly pick the candidate with the
+    largest min-distance to the growing center set (reference
+    select_topk_latent_diversity, :1024-1109). Fully on-device:
+    initial min-dists come from one [N, N] masked distance matrix, then a
+    fori_loop adds one center per step.
+
+    Returns (selected indices [k], valid [k])."""
+    n = z_norm.shape[0]
+    d = pairwise_dist(z_norm, z_norm)  # [N, N]
+    masked_d = jnp.where(center_mask[None, :], d, jnp.inf)
+    min_dists = jnp.min(masked_d, axis=1)  # inf when no centers
+    # candidates that can still be picked
+    state = (min_dists, cand_mask, jnp.zeros((k,), jnp.int32),
+             jnp.zeros((k,), bool))
+
+    def body(i, state):
+        min_dists, avail, sel, val = state
+        score = jnp.where(avail, min_dists, NEG_INF)
+        j = jnp.argmax(score)
+        ok = score[j] > NEG_INF / 2
+        sel = sel.at[i].set(jnp.int32(j))
+        val = val.at[i].set(ok)
+        avail = avail.at[j].set(False)
+        min_dists = jnp.minimum(min_dists, d[:, j])
+        return (min_dists, avail, sel, val)
+
+    _, _, sel, val = jax.lax.fori_loop(0, k, body, state)
+    return sel, val
+
+
+def farthest_point_init(key, z: jnp.ndarray, remaining_mask: jnp.ndarray,
+                        k: int):
+    """Farthest-point-first init selection (reference
+    select_init_latent_diversity, :1112-1153): first point random, then
+    greedy farthest (un-normalized z)."""
+    n = z.shape[0]
+    probs = remaining_mask / jnp.maximum(remaining_mask.sum(), 1)
+    first = jax.random.choice(key, n, p=probs)
+    d = pairwise_dist(z, z)
+    min_dists = d[:, first]
+    sel0 = jnp.zeros((k,), jnp.int32).at[0].set(jnp.int32(first))
+    avail = remaining_mask.at[first].set(False)
+
+    def body(i, state):
+        min_dists, avail, sel = state
+        j = jnp.argmax(jnp.where(avail, min_dists, NEG_INF))
+        sel = sel.at[i].set(jnp.int32(j))
+        avail = avail.at[j].set(False)
+        min_dists = jnp.minimum(min_dists, d[:, j])
+        return (min_dists, avail, sel)
+
+    _, avail, sel = jax.lax.fori_loop(1, k, body, (min_dists, avail, sel0))
+    return sel
+
+
+def random_select(key, remaining_mask: jnp.ndarray, k: int):
+    """eps-greedy random pick without replacement from the remaining set
+    (reference random_select_indices, :869-877)."""
+    n = remaining_mask.shape[0]
+    noise = jax.random.uniform(key, (n,))
+    idx, valid = masked_top_k(noise, remaining_mask, k)
+    return idx, valid
+
+
+def z_grad_norms(params: Dict, z: jnp.ndarray) -> jnp.ndarray:
+    """||d cost / d z|| per candidate (reference select_topk_z_grad)."""
+    grad = jax.grad(lambda zz: predict_cost(params, zz).sum())(z)
+    return jnp.linalg.norm(grad, axis=-1)
+
+
+class SelectionConfig(NamedTuple):
+    num_select: int = 64
+    w_cost: float = 0.5
+    w_unc: float = 0.3
+    w_div: float = 0.2
+    grad_num: int = 2
+    rand_num: int = 0
+    T_mc: int = 10
+    uncertainty_topk: int = 128
+    topk_factor: int = 5
+    dropout_rate: float = 0.1
+
+    @property
+    def budget(self) -> int:
+        return self.num_select - self.grad_num - self.rand_num
+
+    @property
+    def n_cost(self) -> int:
+        n_cost = int(self.budget * self.w_cost)
+        n_unc = int(self.budget * self.w_unc)
+        n_div = int(self.budget * self.w_div)
+        return n_cost + (self.budget - (n_cost + n_unc + n_div))
+
+    @property
+    def n_unc(self) -> int:
+        return int(self.budget * self.w_unc)
+
+    @property
+    def n_div(self) -> int:
+        return int(self.budget * self.w_div)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "gate_uncertainty_to_remaining")
+)
+def select_programs(params: Dict, X: jnp.ndarray, used_mask: jnp.ndarray,
+                    remaining_mask: jnp.ndarray, key, cfg: SelectionConfig,
+                    gate_uncertainty_to_remaining: bool = False):
+    """One full selection phase on device.
+
+    Flow (mirrors reference select_programs :1210-1309):
+      1. encode all candidates; cost_pred = head(mu)
+      2. candidate pool = top (num_select * topk_factor) predicted among
+         remaining
+      3. top n_cost by predicted cost from the pool
+      4. top grad_num by |dcost/dz| from the pool
+      5. top n_unc by MC-dropout variance (from the pool, or from all
+         remaining while the measured set is small — the reference gates on
+         len(used) < uncertainty_topk)
+      6. n_div by k-center greedy on L2-normalized z, centers = used +
+         already-selected
+      7. rand_num random from remaining
+    Returns (selected_idx [num_select], valid [num_select],
+             new_remaining_mask, aux dict).
+    """
+    k_mc, k_rand = jax.random.split(key)
+    mu, logvar = pred_encode(params, X)
+    cost_pred = predict_cost(params, mu)
+    gnorm = z_grad_norms(params, mu)
+    mc_mean, mc_var = mc_predict(params, X, k_mc, cfg.T_mc, cfg.dropout_rate)
+
+    n = X.shape[0]
+    k_pool = cfg.num_select * cfg.topk_factor
+
+    # 2. candidate pool
+    pool_idx, pool_valid = masked_top_k(cost_pred, remaining_mask, k_pool)
+    cand_mask = jnp.zeros((n,), bool).at[pool_idx].set(pool_valid)
+
+    picked = jnp.zeros((n,), bool)
+
+    # 3. predicted-cost top-k
+    ci, cv = masked_top_k(cost_pred, cand_mask, cfg.n_cost)
+    cand_mask = scatter_unset(cand_mask, ci, cv)
+    picked = scatter_set(picked, ci, cv)
+
+    # 4. z-grad top-k
+    gi, gv = masked_top_k(gnorm, cand_mask, cfg.grad_num) if cfg.grad_num \
+        else (jnp.zeros((0,), jnp.int32), jnp.zeros((0,), bool))
+    cand_mask = scatter_unset(cand_mask, gi, gv)
+    picked = scatter_set(picked, gi, gv)
+
+    # 5. uncertainty top-k
+    if gate_uncertainty_to_remaining:
+        unc_pool = remaining_mask & ~picked
+    else:
+        unc_pool = cand_mask
+    ui, uv = masked_top_k(mc_var, unc_pool, cfg.n_unc) if cfg.n_unc \
+        else (jnp.zeros((0,), jnp.int32), jnp.zeros((0,), bool))
+    cand_mask = scatter_unset(cand_mask, ui, uv)
+    picked = scatter_set(picked, ui, uv)
+
+    # 6. latent diversity (k-center greedy), centers = used + picked
+    z_norm = l2_normalize(mu)
+    di, dv = k_center_greedy(z_norm, cand_mask, used_mask | picked,
+                             cfg.n_div) if cfg.n_div \
+        else (jnp.zeros((0,), jnp.int32), jnp.zeros((0,), bool))
+    picked = scatter_set(picked, di, dv)
+
+    # 7. eps-greedy random from remaining minus picked
+    ri, rv = random_select(k_rand, remaining_mask & ~picked, cfg.rand_num) \
+        if cfg.rand_num else (jnp.zeros((0,), jnp.int32), jnp.zeros((0,), bool))
+    picked = scatter_set(picked, ri, rv)
+
+    parts = [(ci, cv), (gi, gv), (ui, uv), (di, dv), (ri, rv)]
+    sel_idx = jnp.concatenate([p[0] for p in parts])
+    sel_valid = jnp.concatenate([p[1] for p in parts])
+
+    new_remaining = remaining_mask & ~picked
+    aux = {
+        "cost_pred": cost_pred,
+        "mc_var": mc_var,
+        "z": mu,
+        "grad_norm": gnorm,
+    }
+    return sel_idx, sel_valid, new_remaining, aux
