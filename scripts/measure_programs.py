@@ -1,0 +1,72 @@
+"""Measure to-measure program pools into record logs.
+
+Parity: reference scripts/measure_programs.py — replays to-measure files
+through ProgramMeasurer (builder+runner+RecordToFile), shardable via
+--start-idx/--end-idx/--step-idx (:88-91). On the TPU framework, real
+candidate-kernel timing is an external adapter; the built-in runners are
+``analytic`` (deterministic simulator) and ``replay`` (costs from an
+existing log).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scripts.common import MEASURE_RECORD_FOLDER, clean_name
+from vae_extent_search_tpu.records import load_records
+from vae_extent_search_tpu.search.measure import (
+    AnalyticRunner,
+    EmptyBuilder,
+    ProgramMeasurer,
+    RecordReplayRunner,
+    RecordToFile,
+)
+
+
+def remeasure_file(in_file: str, out_file: str, runner, batch: int = 64):
+    records = load_records(in_file)
+    if not records:
+        return 0
+    task = records[0].inp.task
+    os.makedirs(os.path.dirname(out_file) or ".", exist_ok=True)
+    if os.path.exists(out_file):
+        os.remove(out_file)
+    measurer = ProgramMeasurer(
+        EmptyBuilder(), runner, callbacks=[RecordToFile(out_file)]
+    )
+    n = 0
+    for s in range(0, len(records), batch):
+        chunk = records[s:s + batch]
+        states = [r.inp.recover_state(infer_bound=True) for r in chunk]
+        measurer.measure(task, states)
+        n += len(states)
+    return n
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--in-file", type=str, required=True)
+    p.add_argument("--out-file", type=str, default=None)
+    p.add_argument("--runner", type=str, default="analytic",
+                   choices=["analytic", "replay"])
+    p.add_argument("--replay-log", type=str, default=None)
+    p.add_argument("--noise", type=float, default=0.3)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    if args.runner == "analytic":
+        runner = AnalyticRunner(noise=args.noise, seed=args.seed)
+    else:
+        runner = RecordReplayRunner(load_records(args.replay_log))
+
+    out = args.out_file or os.path.join(
+        MEASURE_RECORD_FOLDER, os.path.basename(args.in_file)
+    )
+    n = remeasure_file(args.in_file, out, runner)
+    print(f"measured {n} programs -> {out}")
+
+
+if __name__ == "__main__":
+    main()

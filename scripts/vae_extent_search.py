@@ -1,0 +1,129 @@
+"""The VAE-extent-search experiment (offline record-replay arm).
+
+Parity: scripts/pre_experiments/model_myself/vae_extent_search.py — load a
+measure-record log for one task, extract extent features from the printed
+schedules, pretrain a VAE, then run the active-learning search (predictor
+retraining + mixed selection) until the recorded-optimal schedule is
+found; write per-run and seed-averaged CSVs.
+
+On TPU the scoring/selection path runs as one jitted program per phase
+(see vae_extent_search_tpu/search/select.py).
+"""
+
+import argparse
+import csv
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from vae_extent_search_tpu.features import extent_features_from_records
+from vae_extent_search_tpu.records import load_records
+from vae_extent_search_tpu.search import SelectionConfig, run_active_search
+
+
+def run_experiment(record_file, out_dir, measure_size=64, seeds=(2000,),
+                   weights=(0.5, 0.3, 0.2), grad_num=2, rand_num=0,
+                   uncertainty_topk=128, max_phases=60, vae_epochs=500,
+                   reg_epochs=1000, latent_dim=64, hidden_dim=256,
+                   verbose=False):
+    records = load_records(record_file)
+    feats, labels, kept = extent_features_from_records(records)
+    print(f"{len(records)} records -> {feats.shape} features "
+          f"(dim {feats.shape[1] if feats.size else 0})")
+
+    os.makedirs(out_dir, exist_ok=True)
+    tag = time.strftime("%m%d_%H%M")
+    rows = []
+    for seed in seeds:
+        res = run_active_search(
+            feats, labels,
+            measure_size=measure_size,
+            max_phases=max_phases,
+            latent_dim=latent_dim, hidden_dim=hidden_dim,
+            vae_epochs=vae_epochs, reg_epochs=reg_epochs,
+            selection=SelectionConfig(
+                num_select=measure_size,
+                w_cost=weights[0], w_unc=weights[1], w_div=weights[2],
+                grad_num=grad_num, rand_num=rand_num,
+                uncertainty_topk=uncertainty_topk,
+            ),
+            sampling_seed=seed,
+            verbose=verbose,
+        )
+        rows.append({
+            "measure_size": measure_size,
+            "weights": str(tuple(weights)),
+            "uncertainty_topk": uncertainty_topk,
+            "grad_num": grad_num,
+            "rand_num": rand_num,
+            "phase": res.phase,
+            "used_time": round(res.used_time, 2),
+            "train_size": res.train_size,
+            "val_reg_r2": str([round(r, 4) for r in res.reg_r2_history]),
+            "top-1": int(res.found),
+            "sampling_seed": seed,
+        })
+        print(f"seed {seed}: found={res.found} phase={res.phase} "
+              f"train_size={res.train_size} time={res.used_time:.1f}s")
+
+    out_csv = os.path.join(out_dir, f"vae_extent_search_{tag}.csv")
+    with open(out_csv, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+
+    # seed-averaged summary (reference *_avg group-by CSVs)
+    avg = {
+        "measure_size": measure_size,
+        "weights": str(tuple(weights)),
+        "phase": np.mean([r["phase"] for r in rows]),
+        "train_size": np.mean([r["train_size"] for r in rows]),
+        "used_time": np.mean([r["used_time"] for r in rows]),
+        "top-1": np.mean([r["top-1"] for r in rows]),
+        "n_seeds": len(rows),
+    }
+    avg_csv = os.path.join(out_dir, "vae_extent_total_avg.csv")
+    exists = os.path.exists(avg_csv)
+    with open(avg_csv, "a", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(avg.keys()))
+        if not exists:
+            w.writeheader()
+        w.writerow(avg)
+    print("avg:", avg)
+    return rows, avg
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--record-file", type=str, required=True)
+    p.add_argument("--out-dir", type=str, default="result")
+    p.add_argument("--measure-size", type=int, default=64)
+    p.add_argument("--seeds", type=int, nargs="+",
+                   default=list(range(2000, 2005)))
+    p.add_argument("--weights", type=float, nargs=3, default=[0.5, 0.3, 0.2])
+    p.add_argument("--grad-num", type=int, default=2)
+    p.add_argument("--rand-num", type=int, default=0)
+    p.add_argument("--max-phases", type=int, default=60)
+    p.add_argument("--vae-epochs", type=int, default=500)
+    p.add_argument("--reg-epochs", type=int, default=1000)
+    p.add_argument("--latent-dim", type=int, default=64)
+    p.add_argument("--hidden-dim", type=int, default=256)
+    p.add_argument("--verbose", action="store_true")
+    args = p.parse_args()
+
+    run_experiment(
+        args.record_file, args.out_dir, args.measure_size,
+        tuple(args.seeds), tuple(args.weights), args.grad_num,
+        args.rand_num, max_phases=args.max_phases,
+        vae_epochs=args.vae_epochs, reg_epochs=args.reg_epochs,
+        latent_dim=args.latent_dim, hidden_dim=args.hidden_dim,
+        verbose=args.verbose,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,6 @@
+from .mesh import (
+    make_mesh,
+    make_sharded_train_step,
+    shard_batch,
+    sharded_score_candidates,
+)

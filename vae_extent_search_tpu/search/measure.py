@@ -1,0 +1,222 @@
+"""Program measurement: builder/runner split, replay + simulation modes.
+
+Parity target: src/auto_scheduler/measure.cc + python measure.py —
+``ProgramMeasurer`` batches (state -> MeasureResult) through a Builder and
+a Runner, tracks best-per-workload, aborts after ``max_continuous_error``
+(measure.cc:269-336), and streams results to record-log callbacks
+(RecordToFile).
+
+TPU reality: candidate kernels target CPUs/GPUs, so *real* timing stays an
+external adapter exactly like the reference's record-replay ("dataset
+simulator") offline arm. We provide:
+
+- EmptyBuilder / EmptyRunner      (measure.py:288-305 parity; no-ops)
+- RecordReplayRunner              costs looked up from an existing log by
+                                  state string (the offline experiment arm)
+- AnalyticRunner                  deterministic roofline-style cost model
+                                  over the schedule structure — a stand-in
+                                  "hardware" for tests, demos and bench
+- LocalAdapterRunner              hook point for a real tvm-rpc style
+                                  measurement fleet (external process)
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Callable, Dict, List, Optional, Sequence
+
+from ..ir.state import AT_INLINED, AT_ROOT, KIND_SPATIAL, State
+from ..records.serde import (
+    ERROR_NO_ERROR,
+    ERROR_RUNTIME_DEVICE,
+    MAX_FLOAT,
+    MeasureInput,
+    MeasureRecord,
+    MeasureResult,
+    make_record,
+    save_records,
+)
+from ..records.task import SearchTask
+
+
+class Builder:
+    def build(self, task: SearchTask, states: Sequence[State]) -> List[int]:
+        """Return per-state error_no (0 = ok)."""
+        raise NotImplementedError
+
+
+class Runner:
+    def run(self, task: SearchTask, states: Sequence[State]) -> List[MeasureResult]:
+        raise NotImplementedError
+
+
+class EmptyBuilder(Builder):
+    def build(self, task, states):
+        return [ERROR_NO_ERROR] * len(states)
+
+
+class EmptyRunner(Runner):
+    def run(self, task, states):
+        now = time.time()
+        return [
+            MeasureResult([0.0], ERROR_NO_ERROR, 0.0, now) for _ in states
+        ]
+
+
+class RecordReplayRunner(Runner):
+    """Reveal recorded costs: the offline experiment's 'measurement'."""
+
+    def __init__(self, records: Sequence[MeasureRecord],
+                 infer_bound: bool = True):
+        self.by_state: Dict[str, MeasureResult] = {}
+        for rec in records:
+            st = rec.inp.recover_state(infer_bound=infer_bound)
+            self.by_state[st.to_str()] = rec.res
+
+    def run(self, task, states):
+        out = []
+        now = time.time()
+        for st in states:
+            res = self.by_state.get(st.to_str())
+            if res is None:
+                out.append(
+                    MeasureResult([MAX_FLOAT], ERROR_RUNTIME_DEVICE, 0.0, now)
+                )
+            else:
+                out.append(res)
+        return out
+
+
+class AnalyticRunner(Runner):
+    """Deterministic roofline-style simulator.
+
+    Scores a schedule from its loop structure: compute time = FLOPs /
+    (peak * parallel_eff * vector_eff), plus penalties for poor locality
+    (large innermost strides approximated by tile volume vs cache) and
+    unroll overhead. It is NOT a real machine — it exists so the whole
+    search stack (generation -> featurize -> train -> select -> measure)
+    runs end-to-end deterministically in tests and benchmarks, replacing
+    the reference's dependence on recorded TenSet hardware data.
+    """
+
+    def __init__(self, peak_gflops: float = 100.0, num_cores: int = 8,
+                 vector_width: int = 16, l1_elems: float = 4096.0,
+                 noise: float = 0.0, seed: int = 0):
+        self.peak = peak_gflops * 1e9
+        self.num_cores = num_cores
+        self.vector_width = vector_width
+        self.l1_elems = l1_elems
+        self.noise = noise
+        self.seed = seed
+
+    def _cost(self, task: SearchTask, state: State) -> float:
+        flops = task.compute_dag.flop_ct
+        par = 1.0
+        vec = 1.0
+        tile_vol = 1.0
+        unroll_pen = 1.0
+        for sid, stage in enumerate(state.stages):
+            if stage.op_type == "placeholder" or stage.compute_at == AT_INLINED:
+                continue
+            for pos, it in enumerate(stage.iters):
+                ext = it.range[1] if it.range else 1
+                if it.annotation == 3:  # parallel
+                    par = max(par, min(ext, self.num_cores))
+                if it.annotation == 2:  # vectorize
+                    eff = min(ext, self.vector_width) / self.vector_width
+                    # over-long vectors spill registers
+                    if ext > self.vector_width * 4:
+                        eff *= self.vector_width * 4 / ext
+                    vec = max(vec * 0.0 + (0.25 + 0.75 * eff), 0.05)
+            if stage.compute_at != AT_ROOT:
+                # inner tile volume = product of the stage's loop extents
+                v = 1.0
+                for it in stage.iters:
+                    v *= (it.range[1] if it.range else 1)
+                tile_vol = max(tile_vol, v)
+            if stage.attrs.auto_unroll_max_step > 512:
+                unroll_pen *= 1.1
+        locality = 1.0
+        if tile_vol > self.l1_elems:
+            locality = 1.0 + math.log2(tile_vol / self.l1_elems)
+        t = flops / (self.peak * par * vec) * locality * unroll_pen
+        if self.noise:
+            # deterministic per-state jitter
+            h = hash((state.to_str(), self.seed)) % 10000 / 10000.0
+            t *= 1.0 + self.noise * (h - 0.5)
+        return max(t, 1e-9)
+
+    def run(self, task, states):
+        now = time.time()
+        out = []
+        for st in states:
+            try:
+                if st.stages and st.stages[-1].iters and \
+                        st.stages[-1].iters[0].range is None:
+                    st = task.compute_dag.infer_bound(st)
+                out.append(MeasureResult([self._cost(task, st)],
+                                         ERROR_NO_ERROR, 0.001, now))
+            except Exception:
+                out.append(MeasureResult([MAX_FLOAT], ERROR_RUNTIME_DEVICE,
+                                         0.0, now))
+        return out
+
+
+class RecordToFile:
+    """Measure callback appending records to an NDJSON log
+    (measure_record.cc:348-352)."""
+
+    def __init__(self, filename: str):
+        self.filename = filename
+
+    def callback(self, task, states, results):
+        records = [
+            make_record(task, st.transform_steps, res.costs, res.error_no,
+                        res.all_cost, res.timestamp)
+            for st, res in zip(states, results)
+        ]
+        save_records(self.filename, records, mode="a")
+
+
+class ProgramMeasurer:
+    """Batched measurement with best-tracking and error abort
+    (measure.cc:269-336)."""
+
+    def __init__(self, builder: Builder, runner: Runner,
+                 callbacks: Optional[list] = None,
+                 max_continuous_error: int = 150, verbose: int = 0):
+        self.builder = builder
+        self.runner = runner
+        self.callbacks = callbacks or []
+        self.max_continuous_error = max_continuous_error
+        self.verbose = verbose
+        self.best_cost: Dict[str, float] = {}
+        self.best_state: Dict[str, State] = {}
+        self.error_ct = 0
+
+    def measure(self, task: SearchTask, states: Sequence[State]
+                ) -> List[MeasureResult]:
+        build_errors = self.builder.build(task, states)
+        results = self.runner.run(task, states)
+        out = []
+        for st, berr, res in zip(states, build_errors, results):
+            if berr != ERROR_NO_ERROR:
+                res = MeasureResult([MAX_FLOAT], berr, 0.0, time.time())
+            out.append(res)
+            if res.error_no == ERROR_NO_ERROR:
+                self.error_ct = 0
+                cost = res.mean_cost
+                wk = task.workload_key
+                if cost < self.best_cost.get(wk, float("inf")):
+                    self.best_cost[wk] = cost
+                    self.best_state[wk] = st
+            else:
+                self.error_ct += 1
+                if self.error_ct >= self.max_continuous_error:
+                    raise RuntimeError(
+                        "too many continuous measurement errors"
+                    )
+        for cb in self.callbacks:
+            cb.callback(task, states, out)
+        return out

@@ -1,0 +1,617 @@
+"""Sketch generation + evolutionary candidate search.
+
+Parity target: the reference's SketchPolicy
+(src/auto_scheduler/search_policy/sketch_policy.cc and
+sketch_policy_rules.cc): hierarchical sketch rules (CPU order: AlwaysInline,
+MultiLevelTilingWithFusion, MultiLevelTiling, SkipStage — sketch_policy.cc
+:96-104), init-population rules (FillTileSize, Parallel, Unroll,
+Vectorization — :106-126), and evolutionary search with cost-model-scored
+heap + prefix-sum parent selection + weighted mutation (no crossover;
+:487-624). Default params follow search_policy.py:179-194 (population 2048,
+iters 4, mutation 0.85, tiling structure "SSRSRS", max innermost split
+factor 64, auto-unroll candidates {0,16,64,512}).
+
+This is the Python reference implementation of the generator; the batch
+hot loops (state replay + featurization over thousands of candidates) are
+the designated native (C++) port targets.
+"""
+
+from __future__ import annotations
+
+import heapq
+import random
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..ir import schedule_api  # noqa: F401  (installs State methods)
+from ..ir import expr as E
+from ..ir.state import AT_INLINED, AT_ROOT, KIND_SPATIAL, State
+from ..ir.steps import PragmaStep, SplitStep
+from ..ir.tensor import ComputeOp, PlaceholderOp
+from ..records.task import SearchTask
+
+AUTO_UNROLL_CANDIDATES_CPU = [0, 16, 64, 512]
+AUTO_UNROLL_CANDIDATES_GPU = [0, 16, 64, 512, 1024]
+
+
+# ---------------------------------------------------------------------------
+# Access analysis (reference compute_dag.cc AccessAnalyzer)
+# ---------------------------------------------------------------------------
+
+
+class AccessAnalysis:
+    def __init__(self, dag):
+        self.dag = dag
+        out_uids = {t.op.uid for t in dag.tensors if isinstance(t.op, ComputeOp)}
+        # an op is an output if nothing in the dag reads it
+        read_uids = set()
+        for op in dag.ops:
+            if isinstance(op, ComputeOp):
+                for t in op.input_tensors():
+                    read_uids.add(t.op.uid)
+        self.is_output = {
+            op.uid: (op.uid not in read_uids) for op in dag.ops
+        }
+        self.needs_multi_level_tiling = {}
+        self.is_strictly_inlineable = {}
+        self.is_simple_access = {}
+        for op in dag.ops:
+            if not isinstance(op, ComputeOp):
+                continue
+            self.is_simple_access[op.uid] = self._simple_access(op)
+            self.needs_multi_level_tiling[op.uid] = self._needs_mlt(op)
+            self.is_strictly_inlineable[op.uid] = (
+                self.is_simple_access[op.uid]
+                and not op.reduce_axes
+                and not self._has_expensive_op(op)
+            )
+
+    def _simple_access(self, op: ComputeOp) -> bool:
+        """Every read index is a single axis var or a constant."""
+        for r in E.collect_reads(op.body):
+            for idx in r.indices:
+                if not isinstance(idx, (E.Var, E.IntImm)):
+                    return False
+        return True
+
+    def _has_expensive_op(self, op: ComputeOp) -> bool:
+        counts = E.count_math_ops(op.body)
+        return counts["float_math"] > 0 or counts["float_div_mod"] > 0
+
+    def _needs_mlt(self, op: ComputeOp) -> bool:
+        """Has reduction and data reuse: some read misses a spatial axis
+        (reference AccessAnalyzer NeedsMultiLevelTiling semantics)."""
+        if not op.reduce_axes:
+            return False
+        axis_vars = {d.var for d in op.axes}
+        for r in E.collect_reads(op.body):
+            used = set()
+            for idx in r.indices:
+                used |= E.collect_vars(idx)
+            if axis_vars - used:
+                return True
+        return False
+
+    def consumers(self, state: State, stage_id: int) -> List[int]:
+        """Stage ids reading this stage's output (through current ops)."""
+        op = state.stages[stage_id].op
+        out = []
+        for sid, s in enumerate(state.stages):
+            if sid == stage_id or not isinstance(s.op, ComputeOp):
+                continue
+            if any(t.op.uid == op.uid for t in s.op.input_tensors()):
+                out.append(sid)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Multi-level tiling (reference search_policy/utils.cc DoMultiLevelTiling)
+# ---------------------------------------------------------------------------
+
+
+def do_multi_level_tiling(state: State, stage_id: int, structure: str = "SSRSRS"):
+    """Split each spatial axis into count('S') parts and each reduce axis
+    into count('R') parts, then reorder by the structure string.
+
+    Returns the list of split step ids for the spatial splits (needed by
+    follow_split in the fusion rule)."""
+    n_space = structure.count("S")
+    n_reduce = structure.count("R")
+
+    stage = state.stages[stage_id]
+    space_levels: List[List] = [[] for _ in range(n_space)]
+    reduce_levels: List[List] = [[] for _ in range(n_reduce)]
+    spatial_split_step_ids = []
+
+    # iterate original iters; split each in place (positions shift)
+    orig = list(stage.iters)
+    for it in orig:
+        if it.kind == KIND_SPATIAL:
+            if n_space == 1:
+                space_levels[0].append(it)
+            else:
+                spatial_split_step_ids.append(len(state.transform_steps))
+                parts = state.split(stage_id, it, [None] * (n_space - 1))
+                for lv, p in enumerate(parts):
+                    space_levels[lv].append(p)
+        else:  # reduction
+            if n_reduce == 1:
+                reduce_levels[0].append(it)
+            else:
+                parts = state.split(stage_id, it, [None] * (n_reduce - 1))
+                for lv, p in enumerate(parts):
+                    reduce_levels[lv].append(p)
+
+    order = []
+    si, ri = 0, 0
+    for ch in structure:
+        if ch == "S":
+            order.extend(space_levels[si])
+            si += 1
+        else:
+            order.extend(reduce_levels[ri])
+            ri += 1
+    state.reorder(stage_id, order)
+    return spatial_split_step_ids
+
+
+# ---------------------------------------------------------------------------
+# Sketch generation (CPU rule set v1)
+# ---------------------------------------------------------------------------
+
+
+def generate_sketches(task: SearchTask, seed: int = 0) -> List[State]:
+    """Walk stages last-to-first, applying: AlwaysInline for strictly
+    inlineable non-output stages; MultiLevelTilingWithFusion when a tilable
+    stage has a fusible (elementwise) consumer; plain MultiLevelTiling
+    otherwise; SkipStage else (sketch_policy.cc:314-382 BFS simplified to
+    the deterministic CPU path)."""
+    dag = task.compute_dag
+    analysis = AccessAnalysis(dag)
+    structure = "SSSRRSRS" if task.is_gpu else "SSRSRS"
+
+    st = dag.init_state.copy()
+    stage_id = len(st.stages) - 1
+    while stage_id >= 0:
+        stage = st.stages[stage_id]
+        op = stage.op
+        if isinstance(op, PlaceholderOp) or stage.compute_at == AT_INLINED:
+            stage_id -= 1
+            continue
+        uid = op.uid
+        if (
+            analysis.is_strictly_inlineable.get(uid)
+            and not analysis.is_output.get(uid)
+        ):
+            st.compute_inline(stage_id)
+            stage_id -= 1
+            continue
+        if analysis.needs_multi_level_tiling.get(uid):
+            consumers = analysis.consumers(st, stage_id)
+            fusible = [
+                c
+                for c in consumers
+                if analysis.is_output.get(st.stages[c].op.uid)
+                and st.stages[c].compute_at == AT_ROOT
+                and not st.stages[c].op.reduce_axes
+            ]
+            if fusible and not task.is_gpu:
+                target = fusible[0]
+                split_ids = do_multi_level_tiling(st, stage_id, structure)
+                # follow-split the consumer's spatial axes to the first
+                # levels of the tiled stage, then attach the tiled stage
+                n_split = 2  # fuse level (reference tries 1..3; CPU uses 2)
+                t_stage = st.stages[target]
+                offset = 0
+                for i, it in enumerate(list(t_stage.iters)):
+                    src = split_ids[i] if i < len(split_ids) else None
+                    if src is None:
+                        break
+                    st.follow_split(target, offset, src, n_split)
+                    offset += n_split + 1
+                # reorder consumer: level-major like the tiled stage
+                n_axes = len(split_ids)
+                order = []
+                for lv in range(n_split + 1):
+                    for ax in range(n_axes):
+                        order.append(ax * (n_split + 1) + lv)
+                st.reorder(target, order)
+                attach_pos = n_split * n_axes - 1
+                st.compute_at(stage_id, target, attach_pos)
+            else:
+                do_multi_level_tiling(st, stage_id, structure)
+        stage_id -= 1
+    return [st]
+
+
+# ---------------------------------------------------------------------------
+# Init-population rules (sketch_policy_rules.cc:493-696)
+# ---------------------------------------------------------------------------
+
+
+def _random_factorization(extent: int, n: int, rng: random.Random,
+                          max_innermost: int = 64) -> List[int]:
+    """Sample lengths [l1..ln] with prod | extent and ln <= max_innermost."""
+    lengths = []
+    rem = max(1, extent)
+    for i in range(n):
+        divisors = [d for d in range(1, rem + 1) if rem % d == 0]
+        if i == n - 1:
+            divisors = [d for d in divisors if d <= max_innermost]
+        l = rng.choice(divisors)
+        lengths.append(l)
+        rem //= l
+    return lengths
+
+
+def init_fill_tile_size(state: State, rng: random.Random,
+                        max_innermost: int = 64) -> State:
+    """Fill every undefined SplitStep with a random factorization
+    (InitFillTileSize, sketch_policy_rules.cc:493-531): replays all steps
+    with sampled lengths."""
+    new_records = []
+    for step in state.transform_steps:
+        if isinstance(step, SplitStep) and any(
+            l is None for l in step.lengths
+        ):
+            extent = step.extent or 1
+            lengths = _random_factorization(
+                extent, len(step.lengths), rng, max_innermost
+            )
+            new_records.append(
+                SplitStep(step.stage_id, step.iter_id, step.extent, lengths,
+                          step.inner_to_outer).to_record()
+            )
+        else:
+            new_records.append(step.to_record())
+    return state.dag.apply_steps(new_records)
+
+
+def init_parallel(state: State, task: SearchTask, rng: random.Random) -> State:
+    """Fuse + parallel outermost space iters of root stages until the
+    parallel degree exceeds num_cores*16 (InitParallel, :580-643)."""
+    num_cores = max(1, task.hardware_params.num_cores)
+    for sid, stage in enumerate(state.stages):
+        if stage.op_type == "placeholder" or stage.compute_at != AT_ROOT:
+            continue
+        to_fuse = []
+        degree = 1
+        for pos, it in enumerate(stage.iters):
+            if it.kind != KIND_SPATIAL or it.annotation != 0:
+                break
+            if (sid, pos) in state.attach_map.iter_to_attached_stages:
+                to_fuse.append(it)
+                break
+            to_fuse.append(it)
+            if it.range:
+                degree *= it.range[1]
+            if degree > num_cores * 16:
+                break
+        if not to_fuse:
+            continue
+        if len(to_fuse) == 1:
+            state.parallel(sid, to_fuse[0])
+        else:
+            fused = state.fuse(sid, to_fuse)
+            state.parallel(sid, fused)
+    return state
+
+
+def init_unroll(state: State, task: SearchTask, rng: random.Random) -> State:
+    """Random auto_unroll pragma on stages with reductions (InitUnroll)."""
+    cands = (
+        AUTO_UNROLL_CANDIDATES_GPU if task.is_gpu else AUTO_UNROLL_CANDIDATES_CPU
+    )
+    for sid, stage in enumerate(state.stages):
+        if stage.op_type == "placeholder" or stage.compute_at == AT_INLINED:
+            continue
+        if isinstance(stage.op, ComputeOp) and stage.op.reduce_axes:
+            v = rng.choice(cands)
+            if v:
+                state.pragma(sid, 0, f"auto_unroll_max_step${v}")
+    return state
+
+
+def init_vectorization(state: State, task: SearchTask,
+                       rng: random.Random) -> State:
+    """Fuse + vectorize innermost contiguous spatial iters (InitVectorization
+    :645-696, simplified: vectorize the innermost spatial loop)."""
+    for sid, stage in enumerate(state.stages):
+        if stage.op_type == "placeholder" or stage.compute_at == AT_INLINED:
+            continue
+        iters = stage.iters
+        if not iters:
+            continue
+        it = iters[-1]
+        if (
+            it.kind == KIND_SPATIAL
+            and it.annotation == 0
+            and it.range is not None
+            and 1 < it.range[1] <= task.hardware_params.vector_unit_bytes * 4
+        ):
+            state.vectorize(sid, len(iters) - 1)
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Mutations (sketch_policy_rules.cc:912-1054)
+# ---------------------------------------------------------------------------
+
+
+def mutate_tile_size(state: State, rng: random.Random,
+                     max_innermost: int = 64) -> Optional[State]:
+    """Move a random factor between two positions of a random SplitStep."""
+    split_ids = [
+        i
+        for i, s in enumerate(state.transform_steps)
+        if isinstance(s, SplitStep)
+        and s.extent
+        and all(l is not None for l in s.lengths)
+        and (s.lengths[-1] if s.lengths else 1) <= max_innermost
+    ]
+    if not split_ids:
+        return None
+    for _ in range(4 * len(split_ids)):
+        step_id = rng.choice(split_ids)
+        ps = state.transform_steps[step_id]
+        extent = ps.extent
+        if extent and extent > 1:
+            break
+    else:
+        return None
+
+    lengths = [1] + list(ps.lengths)
+    prod = 1
+    for l in ps.lengths:
+        prod *= l
+    lengths[0] = extent // prod if prod else extent
+
+    perm = list(range(len(lengths)))
+    rng.shuffle(perm)
+    for i, src_idx in enumerate(perm):
+        length = lengths[src_idx]
+        if length <= 1:
+            continue
+        dst_idx = perm[(i + 1) % len(perm)]
+        factors = [d for d in range(2, length + 1) if length % d == 0]
+        if dst_idx == len(lengths) - 1:
+            factors = [
+                f for f in factors if f * lengths[dst_idx] <= max_innermost
+            ]
+        if not factors:
+            continue
+        divide = rng.choice(factors)
+        new_lengths = list(lengths)
+        new_lengths[src_idx] = lengths[src_idx] // divide
+        new_lengths[dst_idx] = lengths[dst_idx] * divide
+        recs = [s.to_record() for s in state.transform_steps]
+        recs[step_id] = SplitStep(
+            ps.stage_id, ps.iter_id, ps.extent, new_lengths[1:],
+            ps.inner_to_outer,
+        ).to_record()
+        try:
+            return state.dag.apply_steps(recs)
+        except Exception:
+            return None
+    return None
+
+
+def mutate_auto_unroll(state: State, task: SearchTask,
+                       rng: random.Random) -> Optional[State]:
+    pragma_ids = [
+        i
+        for i, s in enumerate(state.transform_steps)
+        if isinstance(s, PragmaStep)
+        and s.pragma_type.startswith("auto_unroll_max_step")
+    ]
+    if not pragma_ids:
+        return None
+    cands = (
+        AUTO_UNROLL_CANDIDATES_GPU if task.is_gpu else AUTO_UNROLL_CANDIDATES_CPU
+    )
+    step_id = rng.choice(pragma_ids)
+    ps = state.transform_steps[step_id]
+    recs = [s.to_record() for s in state.transform_steps]
+    recs[step_id] = PragmaStep(
+        ps.stage_id, ps.iter_id,
+        f"auto_unroll_max_step${rng.choice(cands)}",
+    ).to_record()
+    try:
+        return state.dag.apply_steps(recs)
+    except Exception:
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Cost models for generation
+# ---------------------------------------------------------------------------
+
+
+class PythonCostModel:
+    """Interface parity: cost_model/cost_model.py PythonBasedModel."""
+
+    def update(self, inputs, results):
+        pass
+
+    def predict(self, task: SearchTask, states: Sequence[State]) -> np.ndarray:
+        raise NotImplementedError
+
+
+class RandomCostModel(PythonCostModel):
+    def __init__(self, seed: int = 0):
+        self.rng = np.random.default_rng(seed)
+
+    def predict(self, task, states):
+        return self.rng.random(len(states)).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# The policy
+# ---------------------------------------------------------------------------
+
+
+class SketchPolicy:
+    """CPU/GPU sketch policy over our schedule IR.
+
+    Parameters follow SketchPolicy.DEFAULT_PARAMS
+    (python search_policy.py:179-210)."""
+
+    def __init__(self, task: SearchTask, cost_model: PythonCostModel = None,
+                 params: Optional[Dict] = None, seed: int = 2023,
+                 verbose: int = 0):
+        self.task = task
+        self.cost_model = cost_model or RandomCostModel(seed)
+        self.params = {
+            "evolutionary_search_population": 2048,
+            "evolutionary_search_num_iters": 4,
+            "evolutionary_search_mutation_prob": 0.85,
+            "sample_init_min_population": 50,
+            "max_innermost_split_factor": 64,
+            "eps_greedy": 0.05,
+        }
+        self.params.update(params or {})
+        self.rng = random.Random(seed)
+        self.verbose = verbose
+        self.sketches = generate_sketches(task, seed)
+        self.measured_state_keys = set()
+
+    def sample_initial_population(self, num: Optional[int] = None) -> List[State]:
+        num = num or self.params["sample_init_min_population"]
+        out, seen = [], set()
+        tries = 0
+        max_inner = self.params["max_innermost_split_factor"]
+        while len(out) < num and tries < num * 20:
+            tries += 1
+            sketch = self.rng.choice(self.sketches)
+            try:
+                st = init_fill_tile_size(sketch, self.rng, max_inner)
+                st = init_parallel(st, self.task, self.rng)
+                st = init_unroll(st, self.task, self.rng)
+                st = self.task.compute_dag.infer_bound(st)
+                st = init_vectorization(st, self.task, self.rng)
+                key = st.to_str()
+            except Exception:
+                continue
+            if key in seen:
+                continue
+            seen.add(key)
+            out.append(st)
+        return out
+
+    def evolutionary_search(self, init_population: List[State],
+                            out_size: int) -> List[State]:
+        """Cost-model-scored GA (sketch_policy.cc:487-624): keep a heap of
+        the best unique states; parents sampled by prefix-sum probability
+        over scores; mutations only (no crossover)."""
+        population = self.params["evolutionary_search_population"]
+        iters = self.params["evolutionary_search_num_iters"]
+        mut_prob = self.params["evolutionary_search_mutation_prob"]
+
+        heap: List[Tuple[float, int, State]] = []  # (score, tiebreak, state)
+        in_heap = set()
+        counter = 0
+
+        def push(states, scores):
+            nonlocal counter
+            for st, sc in zip(states, scores):
+                key = st.to_str()
+                if key in in_heap:
+                    continue
+                if len(heap) < out_size:
+                    heapq.heappush(heap, (float(sc), counter, st))
+                    in_heap.add(key)
+                    counter += 1
+                elif sc > heap[0][0]:
+                    heapq.heappushpop(heap, (float(sc), counter, st))
+                    in_heap.add(key)
+                    counter += 1
+
+        cur = list(init_population)
+        scores = np.asarray(self.cost_model.predict(self.task, cur))
+        push(cur, scores)
+        for _ in range(iters):
+            # parent selection by prefix-sum probability over raw scores
+            w = scores - scores.min() + 1e-6
+            probs = w / w.sum()
+            nxt = []
+            while len(nxt) < min(population, 4 * max(1, len(cur))):
+                parent = cur[
+                    int(np.searchsorted(np.cumsum(probs), self.rng.random()))
+                ]
+                if self.rng.random() < mut_prob:
+                    if self.rng.random() < 0.9:
+                        child = mutate_tile_size(
+                            parent, self.rng,
+                            self.params["max_innermost_split_factor"],
+                        )
+                    else:
+                        child = mutate_auto_unroll(parent, self.task, self.rng)
+                    if child is not None:
+                        nxt.append(child)
+                else:
+                    nxt.append(parent)
+                if len(nxt) >= len(cur) * 4:
+                    break
+            try:
+                nxt = [self.task.compute_dag.infer_bound(s)
+                       if s.stages[0].iters and s.stages[-1].iters
+                       and s.stages[-1].iters[0].range is None else s
+                       for s in nxt]
+            except Exception:
+                pass
+            cur = nxt
+            scores = np.asarray(self.cost_model.predict(self.task, cur))
+            push(cur, scores)
+
+        best = sorted(heap, key=lambda t: -t[0])
+        return [st for _, _, st in best]
+
+    def pick_states_eps_greedy(self, best_states: List[State],
+                               random_states: List[State],
+                               num_measure: int) -> List[State]:
+        """Interleave best and eps-greedy random picks, dedup vs measured
+        (sketch_policy.cc:626-667)."""
+        num_rand = int(num_measure * self.params["eps_greedy"])
+        inputs = []
+        bi = ri = 0
+        while len(inputs) < num_measure:
+            if len(inputs) < num_measure - num_rand and bi < len(best_states):
+                st = best_states[bi]
+                bi += 1
+            elif ri < len(random_states):
+                st = random_states[ri]
+                ri += 1
+            else:
+                break
+            key = st.to_str()
+            if key not in self.measured_state_keys:
+                self.measured_state_keys.add(key)
+                inputs.append(st)
+        return inputs
+
+
+def make_states(task: SearchTask, size: int, evo_population: int = 512,
+                min_population: int = 50, seed: int = 2023) -> List[State]:
+    """Candidate-pool generation (reference vae_experiments/tuning.py:9-62
+    make_states: sample + evolutionary until `size` unique states)."""
+    policy = SketchPolicy(
+        task,
+        RandomCostModel(seed),
+        params={
+            "evolutionary_search_num_iters": 4,
+            "evolutionary_search_population": evo_population,
+            "sample_init_min_population": min_population,
+        },
+        seed=seed,
+    )
+    states = policy.sample_initial_population(min_population)
+    seen = {s.to_str(): s for s in states}
+    rounds = 0
+    while len(seen) < size and rounds < 50:
+        rounds += 1
+        more = policy.evolutionary_search(states, size)
+        for s in more:
+            seen.setdefault(s.to_str(), s)
+        states = list(seen.values())[-min(len(seen), evo_population):]
+    return list(seen.values())[:size]
