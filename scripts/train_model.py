@@ -1,0 +1,122 @@
+"""Train and evaluate cost models on a performance dataset.
+
+Parity: reference scripts/train_model.py:33-175 — load dataset pickle(s),
+split (within_task / by_task / by_target), train the requested models
+("mlp", "mlp@lambdaRank", "gbdt", ...), report weighted RMSE / R2 /
+pairwise accuracy / MAPE / peak@1 / peak@5 per model, save <name>.pkl.
+"""
+
+import argparse
+import os
+import pickle
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from vae_extent_search_tpu.data import Dataset
+from vae_extent_search_tpu.models import metrics as M
+from vae_extent_search_tpu.models.segment import MLPModelInternal
+
+
+def evaluate_model(model, test_ds: Dataset):
+    """Per-task metrics, weighted by task sample counts
+    (reference train_model.py:33-76)."""
+    names = ["RMSE", "R^2", "pairwise comparision accuracy", "mape",
+             "average peak score@1", "average peak score@5"]
+    rows = []
+    weights = []
+    for task in test_ds.tasks():
+        feats = [np.asarray(f, np.float32) for f in test_ds.features[task]]
+        labels = test_ds.throughputs[task]
+        preds = model.predict_on_features(feats)
+        finite = np.isfinite(preds)
+        preds = np.where(finite, preds, 0.0)
+        rows.append([
+            M.metric_rmse(preds, labels),
+            M.metric_r_squared(preds, labels),
+            M.metric_pairwise_comp_accuracy(preds, labels),
+            M.metric_mape(preds, labels),
+            M.metric_peak_score(preds, labels, 1),
+            M.metric_peak_score(preds, labels, 5),
+        ])
+        weights.append(len(labels))
+    if not rows:
+        return dict(zip(names, [0.0] * len(names)))
+    rows = np.asarray(rows)
+    weights = np.asarray(weights, np.float64)
+    weights /= weights.sum()
+    return dict(zip(names, (rows * weights[:, None]).sum(axis=0).tolist()))
+
+
+def make_model(spec: str, in_dim: int):
+    parts = spec.split("@")
+    kind = parts[0]
+    if kind == "mlp":
+        loss = parts[1] if len(parts) > 1 else "lambdaRank"
+        return MLPModelInternal(in_dim=in_dim, loss_type=loss)
+    if kind == "gbdt":
+        from vae_extent_search_tpu.models.gbdt import GBDTModelInternal
+
+        return GBDTModelInternal()
+    raise ValueError(f"unknown model spec {spec}")
+
+
+def train_zero_shot(dataset: Dataset, models: str, split_scheme: str,
+                    seed: int = 0, verbose: bool = False):
+    if split_scheme == "within_task":
+        train_set, test_set = dataset.random_split_within_task(0.9, seed=seed)
+    elif split_scheme == "by_task":
+        train_set, test_set = dataset.random_split_by_task(0.9, seed=seed)
+    elif split_scheme == "by_target":
+        targets = sorted({t.target for t in dataset.tasks()})
+        train_set, test_set = dataset.random_split_by_target(targets[:-1])
+    else:
+        raise ValueError(split_scheme)
+
+    print(f"Train set: {len(train_set)} samples / "
+          f"{len(train_set.tasks())} tasks")
+    print(f"Test set:  {len(test_set)} samples / "
+          f"{len(test_set.tasks())} tasks")
+
+    results = {}
+    for name in models.split(","):
+        feats, labels, _ = train_set.flatten()
+        in_dim = feats[0].shape[1] if feats else 164
+        model = make_model(name, in_dim)
+        model.fit_base_dataset(train_set, verbose=verbose) if hasattr(
+            model, "fit_base_dataset"
+        ) else model.fit_base(feats, labels, verbose=verbose)
+        eval_res = evaluate_model(model, test_set)
+        print(f"===== {name} =====")
+        for k, v in eval_res.items():
+            print(f"{k}: {v:.4f}")
+        out = f"{name.replace('@', '_')}.pkl"
+        model.save(out)
+        print(f"saved -> {out}")
+        results[name] = eval_res
+    return results
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dataset", nargs="+", type=str,
+                   default=["dataset.pkl"])
+    p.add_argument("--models", type=str, default="mlp")
+    p.add_argument("--split-scheme", type=str, default="within_task",
+                   choices=["within_task", "by_task", "by_target"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--verbose", action="store_true")
+    args = p.parse_args()
+
+    dataset = Dataset()
+    for path in args.dataset:
+        with open(path, "rb") as f:
+            dataset.update_from_dataset(pickle.load(f))
+    train_zero_shot(dataset, args.models, args.split_scheme, args.seed,
+                    args.verbose)
+
+
+if __name__ == "__main__":
+    main()

@@ -116,6 +116,13 @@ class _Bin(Expr):
     a: Expr
     b: Expr
 
+    def __post_init__(self):
+        # result dtype follows the operands (both sides match in practice;
+        # prefer the float side, mirroring TVM's implicit promotion)
+        da, db = self.a.dtype, self.b.dtype
+        dt = da if (da.startswith("float") or da.startswith("bfloat")) else db
+        object.__setattr__(self, "dtype", dt)
+
 
 class Add(_Bin):
     op = "add"

@@ -1,0 +1,126 @@
+"""Gradient-boosted-tree cost model.
+
+Parity target: cost_model/xgb_model.py XGBModelInternal — XGBoost over
+per-store rows with the pack-sum trick (each store row is one tree sample;
+a program's score is the sum over its pack; custom objective
+pack_sum_square_error :528, eval pack_sum_rmse :558 / average peak score
+:579; params depth 6, eta 0.2 :138-149).
+
+When xgboost is importable we run the true pack-sum objective; otherwise
+(this image ships no xgboost) we fall back to sklearn
+GradientBoostingRegressor over per-program summed feature vectors — the
+same segment-sum aggregation the MLP uses, trading the per-row objective
+for availability. The public fit_base/predict surface is identical.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import List, Optional
+
+import numpy as np
+
+try:
+    import xgboost as xgb
+
+    HAS_XGB = True
+except ImportError:
+    xgb = None
+    HAS_XGB = False
+
+
+def _pack_ids(features_list) -> np.ndarray:
+    ids = []
+    for i, f in enumerate(features_list):
+        ids.extend([i] * len(f))
+    return np.asarray(ids, np.int64)
+
+
+class GBDTModelInternal:
+    def __init__(self, max_depth: int = 6, learning_rate: float = 0.2,
+                 n_estimators: int = 300, seed: int = 43):
+        self.max_depth = max_depth
+        self.learning_rate = learning_rate
+        self.n_estimators = n_estimators
+        self.seed = seed
+        self.use_xgb = HAS_XGB
+        self.model = None
+
+    # ------------------------------------------------------------------
+    def fit_base(self, features_list: List[np.ndarray], labels, verbose=False):
+        labels = np.asarray(labels, np.float32)
+        if self.use_xgb:
+            self._fit_xgb(features_list, labels)
+        else:
+            self._fit_sklearn(features_list, labels)
+        return self
+
+    def _aggregate(self, features_list) -> np.ndarray:
+        out = np.zeros(
+            (len(features_list), features_list[0].shape[1]), np.float32
+        )
+        for i, f in enumerate(features_list):
+            if len(f):
+                out[i] = f.sum(axis=0)
+        return out
+
+    def _fit_sklearn(self, features_list, labels):
+        from sklearn.ensemble import GradientBoostingRegressor
+
+        X = self._aggregate(features_list)
+        self.model = GradientBoostingRegressor(
+            max_depth=self.max_depth, learning_rate=self.learning_rate,
+            n_estimators=self.n_estimators, random_state=self.seed,
+        )
+        self.model.fit(X, labels)
+
+    def _fit_xgb(self, features_list, labels):
+        rows = np.concatenate(features_list)
+        pack_ids = _pack_ids(features_list)
+        dmatrix = xgb.DMatrix(rows)
+
+        def pack_sum_square_error(preds, dtrain):
+            """gradient of 0.5*(sum_pack(pred) - label)^2 per row
+            (xgb_model.py:528-556)."""
+            sums = np.bincount(pack_ids, weights=preds,
+                               minlength=len(labels))
+            diff = sums[pack_ids] - labels[pack_ids]
+            return diff, np.ones_like(diff)
+
+        self.model = xgb.train(
+            {
+                "max_depth": self.max_depth, "eta": self.learning_rate,
+                "seed": self.seed, "verbosity": 0,
+            },
+            dmatrix, num_boost_round=self.n_estimators,
+            obj=pack_sum_square_error,
+        )
+        self._train_shape = rows.shape[1]
+
+    # ------------------------------------------------------------------
+    def predict_on_features(self, features_list) -> np.ndarray:
+        if not features_list:
+            return np.zeros(0, np.float32)
+        if self.use_xgb:
+            rows = np.concatenate(features_list)
+            pack_ids = _pack_ids(features_list)
+            preds = self.model.predict(xgb.DMatrix(rows))
+            out = np.bincount(pack_ids, weights=preds,
+                              minlength=len(features_list)).astype(np.float32)
+        else:
+            out = self.model.predict(
+                self._aggregate(features_list)
+            ).astype(np.float32)
+        for i, f in enumerate(features_list):
+            if len(f) == 0 or not np.any(f):
+                out[i] = -np.inf
+        return out
+
+    def save(self, path: str):
+        with open(path, "wb") as f:
+            pickle.dump(self, f)
+
+    @classmethod
+    def load(cls, path: str):
+        with open(path, "rb") as f:
+            return pickle.load(f)

@@ -1,0 +1,416 @@
+"""Segment-sum cost models over ragged per-store features (TPU-native).
+
+Parity targets:
+- SegmentSumMLPModule (reference cost_model/mlp_model.py:147-221):
+  2x(Linear+ReLU) per-row encoder -> segment-sum over each program's store
+  rows -> two residual (Linear+ReLU) blocks -> linear decoder (+ optional
+  sigmoid).
+- ranking losses rmse / rankNet / lambdaRank / listNet
+  (mlp_model.py:863-944).
+- SegmentVAE (vae_experiments/models/vae.py:16-137): same segment encoder,
+  normalized segment-sum -> fc_mean/fc_logvar -> decoder reconstructing
+  the segment-sum vector.
+
+TPU-first: ragged programs are flattened to a fixed [n_rows, in_dim]
+matrix + an int segment-id vector; the sum is jax.ops.segment_sum with a
+static segment count (padding rows carry segment id == n_seg and fall off
+the end). Everything jits with static shapes; bucketing happens in the
+data loader.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .modules import dense, dense_init, mlp_init, mlp_apply
+
+
+def init_segment_mlp_params(key, in_dim: int, hidden_dim: int = 256,
+                            out_dim: int = 1) -> Dict:
+    keys = jax.random.split(key, 4)
+    return {
+        "segment_encoder": mlp_init(keys[0], [in_dim, hidden_dim, hidden_dim]),
+        "l0": mlp_init(keys[1], [hidden_dim, hidden_dim]),
+        "l1": mlp_init(keys[2], [hidden_dim, hidden_dim]),
+        "decoder": dense_init(keys[3], hidden_dim, out_dim),
+    }
+
+
+def segment_mlp_forward(params: Dict, features: jnp.ndarray,
+                        segment_ids: jnp.ndarray, n_seg: int,
+                        add_sigmoid: bool = False) -> jnp.ndarray:
+    """features [R, in_dim], segment_ids [R] (id == n_seg for padding)."""
+    h = mlp_apply(params["segment_encoder"], features, final_activation=True)
+    seg = jax.ops.segment_sum(h, segment_ids, num_segments=n_seg + 1)[:n_seg]
+    out = seg
+    out = mlp_apply(params["l0"], out, final_activation=True) + out
+    out = mlp_apply(params["l1"], out, final_activation=True) + out
+    out = dense(params["decoder"], out).squeeze(-1)
+    if add_sigmoid:
+        out = jax.nn.sigmoid(out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Ranking losses (mlp_model.py:863-944)
+# ---------------------------------------------------------------------------
+
+
+def rmse_loss(preds, labels, valid_mask=None):
+    sq = (preds - labels) ** 2
+    if valid_mask is None:
+        return jnp.sqrt(jnp.mean(sq))
+    return jnp.sqrt(jnp.sum(jnp.where(valid_mask, sq, 0.0))
+                    / jnp.maximum(valid_mask.sum(), 1))
+
+
+def rank_net_loss(preds, labels, valid_mask=None):
+    s_ij = preds - preds[:, None]
+    p_ij = 1.0 / (jnp.exp(s_ij) + 1.0)
+    label_p = (labels[:, None] > labels[None, :]).astype(preds.dtype)
+    n = preds.shape[0]
+    tri = jnp.triu(jnp.ones((n, n), bool), k=1)
+    if valid_mask is not None:
+        tri = tri & valid_mask[:, None] & valid_mask[None, :]
+    eps = 1e-7
+    p = jnp.clip(p_ij, eps, 1 - eps)
+    bce = -(label_p * jnp.log(p) + (1 - label_p) * jnp.log(1 - p))
+    return jnp.sum(jnp.where(tri, bce, 0.0)) / jnp.maximum(tri.sum(), 1)
+
+
+def lambda_rank_loss(preds, labels, valid_mask=None, eps=1e-10, sigma=1.0):
+    """NDCG-weighted pairwise loss (mlp_model.py:879-926)."""
+    if valid_mask is not None:
+        neg = jnp.float32(-1e9)
+        preds = jnp.where(valid_mask, preds, neg)
+        labels = jnp.where(valid_mask, labels, neg)
+    n = preds.shape[0]
+    idx_pred = jnp.argsort(-preds)
+    y_pred_sorted = preds[idx_pred]
+    y_true_sorted = jnp.sort(labels)[::-1]
+    true_by_pred = labels[idx_pred]
+
+    true_diffs = true_by_pred[:, None] - true_by_pred[None, :]
+    pairs_mask = jnp.isfinite(true_diffs) & (true_diffs > 0)
+    if valid_mask is not None:
+        v = valid_mask[idx_pred]
+        pairs_mask = pairs_mask & v[:, None] & v[None, :]
+
+    true_by_pred = jnp.maximum(true_by_pred, 0.0)
+    y_true_sorted = jnp.maximum(y_true_sorted, 0.0)
+
+    pos = jnp.arange(1, n + 1, dtype=preds.dtype)
+    D = jnp.log2(1.0 + pos)
+    maxDCG = jnp.maximum(jnp.sum((2.0**y_true_sorted - 1.0) / D), eps)
+    G = (2.0**true_by_pred - 1.0) / maxDCG
+
+    weights = jnp.abs(1.0 / D[:, None] - 1.0 / D[None, :]) * jnp.abs(
+        G[:, None] - G[None, :]
+    )
+    scores_diffs = jnp.clip(
+        y_pred_sorted[:, None] - y_pred_sorted[None, :], -1e8, 1e8
+    )
+    probas = jnp.clip(
+        jnp.clip(jax.nn.sigmoid(sigma * scores_diffs), eps, None) ** weights,
+        eps, None,
+    )
+    losses = jnp.log2(probas)
+    return -jnp.sum(jnp.where(pairs_mask, losses, 0.0))
+
+
+def list_net_loss(preds, labels, valid_mask=None, eps=1e-10):
+    if valid_mask is not None:
+        neg = jnp.float32(-1e9)
+        preds = jnp.where(valid_mask, preds, neg)
+        labels = jnp.where(valid_mask, labels, neg)
+    p = jax.nn.softmax(preds)
+    t = jax.nn.softmax(labels)
+    return -jnp.sum(t * jnp.log(p + eps))
+
+
+LOSS_FNS = {
+    "rmse": rmse_loss,
+    "rankNet": rank_net_loss,
+    "lambdaRank": lambda_rank_loss,
+    "listNet": list_net_loss,
+}
+
+
+# ---------------------------------------------------------------------------
+# The trainable model (MLPModelInternal parity, mlp_model.py:340-846)
+# ---------------------------------------------------------------------------
+
+
+class SegmentBatch(NamedTuple):
+    """One fixed-shape flattened batch of ragged programs."""
+
+    features: jnp.ndarray  # [R, in_dim] (padded)
+    segment_ids: jnp.ndarray  # [R]; == n_seg for padding rows
+    labels: jnp.ndarray  # [n_seg]
+    valid: jnp.ndarray  # [n_seg] bool
+
+
+def make_segment_batches(features_list, labels, batch_size: int = 512,
+                         fea_norm_vec=None, shuffle_rng=None):
+    """Flatten ragged [n_i, D] feature arrays into fixed-shape batches
+    (SegmentDataLoader semantics, mlp_model.py:26-144). Rows are padded to
+    the max rows-per-batch bucket; per-column max normalization optional."""
+    n = len(features_list)
+    order = np.arange(n)
+    if shuffle_rng is not None:
+        shuffle_rng.shuffle(order)
+    D = features_list[0].shape[1] if n else 0
+    batches = []
+    max_rows = 0
+    metas = []
+    for s in range(0, n, batch_size):
+        idx = order[s:s + batch_size]
+        rows = int(sum(features_list[i].shape[0] for i in idx))
+        metas.append((idx, rows))
+        max_rows = max(max_rows, rows)
+    for idx, rows in metas:
+        feats = np.zeros((max_rows, D), np.float32)
+        seg_ids = np.full((max_rows,), batch_size, np.int32)
+        labs = np.zeros((batch_size,), np.float32)
+        valid = np.zeros((batch_size,), bool)
+        r = 0
+        for j, i in enumerate(idx):
+            f = features_list[i]
+            feats[r:r + len(f)] = f
+            seg_ids[r:r + len(f)] = j
+            labs[j] = labels[i]
+            valid[j] = True
+            r += len(f)
+        if fea_norm_vec is not None:
+            feats = feats / fea_norm_vec
+        batches.append(SegmentBatch(
+            jnp.asarray(feats), jnp.asarray(seg_ids), jnp.asarray(labs),
+            jnp.asarray(valid),
+        ))
+    return batches
+
+
+def compute_fea_norm_vec(features_list) -> np.ndarray:
+    """Per-column max over the training set (mlp_model.py:95-105)."""
+    D = features_list[0].shape[1]
+    mx = np.zeros(D, np.float32)
+    for f in features_list:
+        if len(f):
+            mx = np.maximum(mx, np.abs(f).max(axis=0))
+    mx[mx == 0] = 1.0
+    return mx
+
+
+class MLPModelInternal:
+    """Cost model: fit_base / predict / save / load
+    (mlp_model.py MLPModelInternal; default loss lambdaRank, hidden 256,
+    Adam lr 7e-4, grad clip 0.5, early stop n/6)."""
+
+    def __init__(self, in_dim: int = 164, hidden_dim: int = 256,
+                 loss_type: str = "lambdaRank", lr: float = 7e-4,
+                 batch_size: int = 512, grad_clip: float = 0.5,
+                 n_epoch: int = 150, seed: int = 0):
+        self.in_dim = in_dim
+        self.hidden_dim = hidden_dim
+        self.loss_type = loss_type
+        self.lr = lr
+        self.batch_size = batch_size
+        self.grad_clip = grad_clip
+        self.n_epoch = n_epoch
+        self.seed = seed
+        self.params = None
+        self.fea_norm_vec = None
+        self._add_sigmoid = loss_type == "rmse"
+
+    def _make_step(self):
+        optimizer = optax.chain(
+            optax.clip_by_global_norm(self.grad_clip), optax.adam(self.lr)
+        )
+        loss_fn = LOSS_FNS[self.loss_type]
+        add_sigmoid = self._add_sigmoid
+        bs = self.batch_size
+
+        @jax.jit
+        def step(params, opt_state, batch: SegmentBatch):
+            def loss(params):
+                preds = segment_mlp_forward(
+                    params, batch.features, batch.segment_ids, bs,
+                    add_sigmoid,
+                )
+                return loss_fn(preds, batch.labels, batch.valid)
+
+            l, grads = jax.value_and_grad(loss)(params)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, l
+
+        return optimizer, step
+
+    def fit_base(self, features_list, labels, valid_split: float = 0.1,
+                 verbose: bool = False):
+        self.fea_norm_vec = compute_fea_norm_vec(features_list)
+        rng = np.random.default_rng(self.seed)
+        n = len(features_list)
+        perm = rng.permutation(n)
+        n_val = max(1, int(n * valid_split)) if n > 4 else 0
+        tr = [int(i) for i in perm[n_val:]]
+        va = [int(i) for i in perm[:n_val]]
+
+        key = jax.random.PRNGKey(self.seed)
+        self.params = init_segment_mlp_params(key, self.in_dim,
+                                              self.hidden_dim)
+        optimizer, step = self._make_step()
+        opt_state = optimizer.init(self.params)
+
+        labels = np.asarray(labels, np.float32)
+        tr_batches = make_segment_batches(
+            [features_list[i] for i in tr], labels[tr], self.batch_size,
+            self.fea_norm_vec, shuffle_rng=None,
+        )
+        va_batches = make_segment_batches(
+            [features_list[i] for i in va], labels[va], self.batch_size,
+            self.fea_norm_vec,
+        ) if va else []
+
+        best_val = float("inf")
+        best_params = self.params
+        patience = max(5, self.n_epoch // 6)
+        bad = 0
+        for epoch in range(self.n_epoch):
+            ep = 0.0
+            for b in tr_batches:
+                self.params, opt_state, l = step(self.params, opt_state, b)
+                ep += float(l)
+            if va_batches:
+                val = float(np.mean([
+                    float(rmse_loss(
+                        segment_mlp_forward(self.params, b.features,
+                                            b.segment_ids, self.batch_size,
+                                            self._add_sigmoid),
+                        b.labels, b.valid))
+                    for b in va_batches
+                ]))
+            else:
+                val = ep
+            if val < best_val - 1e-7:
+                best_val, best_params, bad = val, self.params, 0
+            else:
+                bad += 1
+                if bad >= patience:
+                    break
+            if verbose and epoch % 10 == 0:
+                print(f"epoch {epoch}: train {ep:.4f} val {val:.4f}")
+        self.params = best_params
+        return self
+
+    def predict_on_features(self, features_list) -> np.ndarray:
+        """Scores for ragged feature arrays; all-zero rows (unlowerable
+        states) score -inf (mlp_model.py:842-845)."""
+        if not features_list:
+            return np.zeros(0, np.float32)
+        preds = np.empty(len(features_list), np.float32)
+        batches = make_segment_batches(
+            features_list, np.zeros(len(features_list), np.float32),
+            self.batch_size, self.fea_norm_vec,
+        )
+        pos = 0
+        for b in batches:
+            out = np.asarray(segment_mlp_forward(
+                self.params, b.features, b.segment_ids, self.batch_size,
+                self._add_sigmoid,
+            ))
+            k = int(np.asarray(b.valid).sum())
+            preds[pos:pos + k] = out[:k]
+            pos += k
+        for i, f in enumerate(features_list):
+            if len(f) == 0 or not np.any(f):
+                preds[i] = -np.inf
+        return preds
+
+    def save(self, path: str):
+        import pickle
+
+        with open(path, "wb") as f:
+            pickle.dump(
+                {
+                    "config": {
+                        "in_dim": self.in_dim, "hidden_dim": self.hidden_dim,
+                        "loss_type": self.loss_type, "lr": self.lr,
+                        "batch_size": self.batch_size,
+                        "grad_clip": self.grad_clip, "n_epoch": self.n_epoch,
+                    },
+                    "params": jax.tree_util.tree_map(np.asarray, self.params),
+                    "fea_norm_vec": self.fea_norm_vec,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "MLPModelInternal":
+        import pickle
+
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        model = cls(**blob["config"])
+        model.params = jax.tree_util.tree_map(jnp.asarray, blob["params"])
+        model.fea_norm_vec = blob["fea_norm_vec"]
+        return model
+
+
+# ---------------------------------------------------------------------------
+# SegmentVAE (vae_experiments/models/vae.py:16-137)
+# ---------------------------------------------------------------------------
+
+
+def init_segment_vae_params(key, in_dim: int, hidden_dim: int = 256,
+                            latent_dim: int = 64) -> Dict:
+    keys = jax.random.split(key, 6)
+    return {
+        "segment_encoder": mlp_init(keys[0], [in_dim, hidden_dim, hidden_dim]),
+        "l0": mlp_init(keys[1], [hidden_dim, hidden_dim]),
+        "l1": mlp_init(keys[2], [hidden_dim, hidden_dim]),
+        "fc_mean": dense_init(keys[3], hidden_dim, latent_dim),
+        "fc_logvar": dense_init(keys[4], hidden_dim, latent_dim),
+        "decoder": mlp_init(
+            keys[5], [latent_dim, hidden_dim, hidden_dim, hidden_dim]
+        ),
+    }
+
+
+def segment_vae_encode(params, features, segment_ids, n_seg):
+    """Returns (mu, logvar, segment_sum_target)."""
+    h = mlp_apply(params["segment_encoder"], features, final_activation=True)
+    seg = jax.ops.segment_sum(h, segment_ids, num_segments=n_seg + 1)[:n_seg]
+    # batch-standardization of the segment sums (BatchNorm1d train-mode
+    # equivalent under full-batch training)
+    mean = seg.mean(axis=0, keepdims=True)
+    std = seg.std(axis=0, keepdims=True) + 1e-5
+    normed = (seg - mean) / std
+    out = mlp_apply(params["l0"], normed, final_activation=True) + normed
+    out = mlp_apply(params["l1"], out, final_activation=True) + out
+    return (dense(params["fc_mean"], out), dense(params["fc_logvar"], out),
+            normed)
+
+
+def segment_vae_loss(params, features, segment_ids, n_seg, valid, key,
+                     beta: float = 1e-4):
+    mu, logvar, target = segment_vae_encode(params, features, segment_ids,
+                                            n_seg)
+    std = jnp.exp(0.5 * logvar)
+    z = mu + std * jax.random.normal(key, mu.shape, mu.dtype)
+    recon = mlp_apply(params["decoder"], z, final_activation=False)
+    denom = jnp.maximum(valid.sum(), 1)
+    recon_l = jnp.sum(
+        jnp.where(valid[:, None], (recon - target) ** 2, 0.0)
+    ) / (denom * target.shape[-1])
+    kl_terms = -0.5 * (1.0 + logvar - mu**2 - jnp.exp(logvar))
+    kld = jnp.sum(jnp.where(valid[:, None], kl_terms, 0.0)) / (
+        denom * mu.shape[-1]
+    )
+    return recon_l + beta * kld, (recon_l, kld)
