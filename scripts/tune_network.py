@@ -1,0 +1,91 @@
+"""End-to-end network tuning.
+
+Parity: reference scripts/tune_network.py:63-109 — extract the network's
+tasks, run the TaskScheduler (round-robin or gradient) with a
+sketch.<cost-model> policy, then estimate the final latency from the
+produced log (local/default search). Real hardware timing is an adapter;
+the built-in runner is the analytic simulator.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scripts.common import BenchmarkRecord
+from vae_extent_search_tpu.records import TuningOptions
+from vae_extent_search_tpu.records.networks import get_network_tasks
+from vae_extent_search_tpu.search.measure import (
+    AnalyticRunner,
+    EmptyBuilder,
+    RecordToFile,
+)
+from vae_extent_search_tpu.search.task_scheduler import (
+    LogEstimatedLatency,
+    PrintTableInfo,
+    TaskScheduler,
+)
+
+
+def tune_and_evaluate(network, batch_size, image_size, target, log_file,
+                      num_measure_trials, strategy="gradient",
+                      runner=None, result_file="results.tsv"):
+    tasks, task_weights = get_network_tasks(network, batch_size, image_size,
+                                            target)
+    print(f"extracted {len(tasks)} tasks for {network}")
+
+    tune_option = TuningOptions(
+        num_measure_trials=num_measure_trials,
+        num_measures_per_round=16,
+        builder=EmptyBuilder(),
+        runner=runner or AnalyticRunner(noise=0.2),
+        measure_callbacks=[RecordToFile(log_file)],
+    )
+    scheduler = TaskScheduler(
+        tasks, task_weights, strategy=strategy,
+        callbacks=[PrintTableInfo(), LogEstimatedLatency()],
+    )
+    t0 = time.time()
+    scheduler.tune(tune_option)
+    search_time = time.time() - t0
+
+    from scripts.estimate_network_latency import estimate_network_latency
+
+    latency, missing = estimate_network_latency(
+        [log_file], network, batch_size, image_size, target
+    )
+    print(f"search time {search_time:.1f}s; "
+          f"estimated latency {latency * 1e3:.3f} ms")
+    BenchmarkRecord(
+        target.split()[0], "simulated", "network",
+        f"{network}.B{batch_size}", "ours", "vae-extent-search",
+        {"costs": latency}, time.strftime("%Y-%m-%d %H:%M:%S"),
+    ).write(result_file)
+    return latency, search_time
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--network", type=str, default="resnet_18")
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--target", type=str, default="llvm -mcpu=skylake-avx512")
+    p.add_argument("--log-file", type=str, default=None)
+    p.add_argument("--num-measure-trials", type=int, default=128)
+    p.add_argument("--strategy", type=str, default="gradient",
+                   choices=["gradient", "round-robin"])
+    args = p.parse_args()
+
+    log_file = args.log_file or (
+        f"{args.network}-B{args.batch_size}-{args.target.split()[0]}.json"
+    )
+    tune_and_evaluate(
+        args.network, args.batch_size, args.image_size, args.target,
+        log_file, args.num_measure_trials, args.strategy,
+    )
+
+
+if __name__ == "__main__":
+    main()

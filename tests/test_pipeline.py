@@ -1,0 +1,170 @@
+"""End-to-end pipeline tests: sketch -> measure -> featurize -> train ->
+schedule/search tooling."""
+
+import os
+
+import numpy as np
+import pytest
+
+from vae_extent_search_tpu.data import Dataset, make_dataset_from_log_file
+from vae_extent_search_tpu.features.per_store import (
+    FEATURE_VEC_LEN,
+    get_per_store_features_from_state,
+    get_per_store_features_from_states,
+)
+from vae_extent_search_tpu.records import (
+    SearchTask,
+    TuningOptions,
+    load_records,
+    make_record,
+    make_workload_key,
+    save_records,
+)
+from vae_extent_search_tpu.records.dispatcher import (
+    ApplyHistoryBest,
+    calc_workload_dis_factor,
+)
+from vae_extent_search_tpu.search.measure import (
+    AnalyticRunner,
+    EmptyBuilder,
+    ProgramMeasurer,
+    RecordToFile,
+)
+from vae_extent_search_tpu.search.sketch import (
+    RandomCostModel,
+    SketchPolicy,
+    make_states,
+)
+from vae_extent_search_tpu.search.task_scheduler import TaskScheduler
+
+
+@pytest.fixture(scope="module")
+def matmul_task():
+    return SearchTask(
+        make_workload_key("matmul_auto_scheduler_test", (64, 64, 64)),
+        "llvm -mcpu=skylake-avx512",
+    )
+
+
+def test_sketch_policy_generates_unique_valid_states(matmul_task):
+    policy = SketchPolicy(matmul_task, RandomCostModel(0), seed=1)
+    pop = policy.sample_initial_population(16)
+    assert len(pop) >= 8
+    keys = {st.to_str() for st in pop}
+    assert len(keys) == len(pop)
+    for st in pop[:4]:
+        text = st.to_str(True)
+        assert "(None)" not in text
+
+
+def test_evolutionary_search_improves_scores(matmul_task):
+    class InnerLoopLover(RandomCostModel):
+        """Deterministic model preferring large vectorized loops."""
+
+        def predict(self, task, states):
+            out = []
+            for st in states:
+                score = 0.0
+                for stage in st.stages:
+                    for it in stage.iters:
+                        if it.annotation == 2 and it.range:
+                            score += min(it.range[1], 16)
+                out.append(score)
+            return np.asarray(out, np.float32)
+
+    model = InnerLoopLover()
+    policy = SketchPolicy(matmul_task, model, seed=3)
+    pop = policy.sample_initial_population(24)
+    best = policy.evolutionary_search(pop, 8)
+    init_best = max(model.predict(matmul_task, pop))
+    evo_best = max(model.predict(matmul_task, best))
+    assert evo_best >= init_best
+
+
+def test_measure_and_features_roundtrip(tmp_path, matmul_task):
+    states = make_states(matmul_task, 24, evo_population=32,
+                         min_population=12, seed=5)
+    log = str(tmp_path / "records.json")
+    measurer = ProgramMeasurer(
+        EmptyBuilder(), AnalyticRunner(noise=0.1),
+        callbacks=[RecordToFile(log)],
+    )
+    measurer.measure(matmul_task, states)
+    recs = load_records(log)
+    assert len(recs) == len(states)
+    # replay every record and featurize
+    st0 = recs[0].inp.recover_state(infer_bound=True)
+    feats = get_per_store_features_from_state(st0, matmul_task)
+    assert feats.shape[1] == FEATURE_VEC_LEN
+    assert np.isfinite(feats).all()
+
+
+def test_dataset_build_and_split(tmp_path, matmul_task):
+    states = make_states(matmul_task, 60, evo_population=64,
+                         min_population=20, seed=6)
+    log = str(tmp_path / "ds.json")
+    measurer = ProgramMeasurer(EmptyBuilder(), AnalyticRunner(noise=0.1),
+                               callbacks=[RecordToFile(log)])
+    measurer.measure(matmul_task, states)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        ds = make_dataset_from_log_file([log], str(tmp_path / "d.pkl"),
+                                        min_sample_size=10, verbose=0)
+    finally:
+        os.chdir(cwd)
+    assert len(ds) == len(states)
+    train, test = ds.random_split_within_task(0.8)
+    assert len(train) + len(test) == len(ds)
+    # throughputs normalized to max 1
+    for task in ds.tasks():
+        assert ds.throughputs[task].max() == pytest.approx(1.0)
+
+
+def test_apply_history_best(tmp_path, matmul_task):
+    states = make_states(matmul_task, 10, evo_population=16,
+                         min_population=8, seed=7)
+    records = [
+        make_record(matmul_task, st.transform_steps, [0.01 * (i + 1)])
+        for i, st in enumerate(states)
+    ]
+    ahb = ApplyHistoryBest(records)
+    rec = ahb.query(matmul_task.target, matmul_task.workload_key)
+    assert rec is not None
+    assert rec.res.mean_cost == pytest.approx(0.01)
+    # compatible-match via dis factor: a 2x larger matmul
+    big_key = make_workload_key("matmul_auto_scheduler_test", (128, 128, 128))
+    assert ahb.best_cost(matmul_task.target, big_key) == pytest.approx(0.08)
+    assert calc_workload_dis_factor(
+        ("m", (128, 128)), ("m", (64, 64))
+    ) == 4.0
+
+
+def test_task_scheduler_round_robin_and_gradient(tmp_path):
+    tasks = [
+        SearchTask(
+            make_workload_key("matmul_auto_scheduler_test", (n, n, n)),
+            "llvm",
+        )
+        for n in (32, 48)
+    ]
+    opts = TuningOptions(
+        num_measure_trials=32, num_measures_per_round=8,
+        builder=EmptyBuilder(), runner=AnalyticRunner(noise=0.1),
+    )
+    for strategy in ("round-robin", "gradient"):
+        sched = TaskScheduler(tasks, [1.0, 2.0], strategy=strategy,
+                              callbacks=[])
+        sched.tune(opts)
+        assert sched.ct >= 32
+        assert all(c < 1e9 for c in sched.best_costs)
+
+
+def test_per_store_features_error_convention(matmul_task):
+    # an unlowerable "state" yields one all-zero row
+    class Broken:
+        stages = []
+
+    feats = get_per_store_features_from_states([Broken()], matmul_task)
+    assert feats[0].shape == (1, FEATURE_VEC_LEN)
+    assert not feats[0].any()

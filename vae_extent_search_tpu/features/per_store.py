@@ -876,7 +876,10 @@ def get_per_store_features_from_states(states, task,
             if st.stages and st.stages[-1].iters and \
                     st.stages[-1].iters[0].range is None:
                 st = task.compute_dag.infer_bound(st)
-            out.append(get_per_store_features_from_state(st, task, max_n_bufs))
+            feats = get_per_store_features_from_state(st, task, max_n_bufs)
+            if feats.shape[0] == 0:
+                feats = np.zeros((1, FEATURE_VEC_LEN), np.float32)
+            out.append(feats)
         except Exception:
             out.append(np.zeros((1, FEATURE_VEC_LEN), np.float32))
     return out

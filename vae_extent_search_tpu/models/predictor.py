@@ -51,7 +51,8 @@ def load_pretrained_encoder(pred_params: Dict, vae_params: Dict) -> Dict:
 
 def pred_encode(params: Dict, x: jnp.ndarray):
     h = mlp_apply(params["encoder"], x, final_activation=True)
-    return dense(params["fc_mu"], h), dense(params["fc_logvar"], h)
+    return dense(params["fc_mu"], h), jnp.clip(
+        dense(params["fc_logvar"], h), -10.0, 10.0)
 
 
 def predict_cost(params: Dict, z: jnp.ndarray, dropout_key=None,

@@ -388,14 +388,15 @@ def segment_vae_encode(params, features, segment_ids, n_seg):
     h = mlp_apply(params["segment_encoder"], features, final_activation=True)
     seg = jax.ops.segment_sum(h, segment_ids, num_segments=n_seg + 1)[:n_seg]
     # batch-standardization of the segment sums (BatchNorm1d train-mode
-    # equivalent under full-batch training)
+    # equivalent under full-batch training); sqrt(var + eps) keeps the
+    # gradient finite on constant channels (one-hot feature columns)
     mean = seg.mean(axis=0, keepdims=True)
-    std = seg.std(axis=0, keepdims=True) + 1e-5
-    normed = (seg - mean) / std
+    var = seg.var(axis=0, keepdims=True)
+    normed = (seg - mean) * jax.lax.rsqrt(var + 1e-5)
     out = mlp_apply(params["l0"], normed, final_activation=True) + normed
     out = mlp_apply(params["l1"], out, final_activation=True) + out
-    return (dense(params["fc_mean"], out), dense(params["fc_logvar"], out),
-            normed)
+    logvar = jnp.clip(dense(params["fc_logvar"], out), -10.0, 10.0)
+    return dense(params["fc_mean"], out), logvar, normed
 
 
 def segment_vae_loss(params, features, segment_ids, n_seg, valid, key,
@@ -414,3 +415,170 @@ def segment_vae_loss(params, features, segment_ids, n_seg, valid, key,
         denom * mu.shape[-1]
     )
     return recon_l + beta * kld, (recon_l, kld)
+
+
+# ---------------------------------------------------------------------------
+# Segment-aware latent cost predictor
+# (vae_experiments/models/regression.py:11-173 parity)
+# ---------------------------------------------------------------------------
+
+
+def init_segment_predictor_params(key, in_dim: int, hidden_dim: int = 256,
+                                  latent_dim: int = 64,
+                                  predictor_hidden: int = 256,
+                                  predictor_layers: int = 2) -> Dict:
+    keys = jax.random.split(key, 7)
+    dims = [latent_dim] + [predictor_hidden] * predictor_layers + [1]
+    return {
+        "segment_encoder": mlp_init(keys[0], [in_dim, hidden_dim, hidden_dim]),
+        "l0": mlp_init(keys[1], [hidden_dim, hidden_dim]),
+        "l1": mlp_init(keys[2], [hidden_dim, hidden_dim]),
+        "fc_mean": dense_init(keys[3], hidden_dim, latent_dim),
+        "fc_logvar": dense_init(keys[4], hidden_dim, latent_dim),
+        "cost_predictor": mlp_init(keys[5], dims),
+    }
+
+
+def load_pretrained_segment_encoder(pred_params: Dict,
+                                    vae_params: Dict) -> Dict:
+    """Copy segment encoder + latent heads from a pretrained SegmentVAE
+    (reference regression.py load_pretrained_encoder: key-prefix match)."""
+    out = dict(pred_params)
+    for k in ("segment_encoder", "l0", "l1", "fc_mean", "fc_logvar"):
+        if k in vae_params:
+            out[k] = jax.tree_util.tree_map(lambda x: x, vae_params[k])
+    return out
+
+
+def segment_predictor_encode(params, features, segment_ids, n_seg):
+    return segment_vae_encode(
+        {
+            "segment_encoder": params["segment_encoder"],
+            "l0": params["l0"], "l1": params["l1"],
+            "fc_mean": params["fc_mean"], "fc_logvar": params["fc_logvar"],
+        },
+        features, segment_ids, n_seg,
+    )
+
+
+def segment_predict_cost(params, z, dropout_key=None,
+                         dropout_rate: float = 0.1):
+    from .modules import dropout as _dropout
+
+    layers = params["cost_predictor"]
+    n = len(layers)
+    keys = jax.random.split(dropout_key, n) if dropout_key is not None else None
+    h = z
+    for i, layer in enumerate(layers):
+        h = dense(layer, h)
+        if i < n - 1:
+            h = jax.nn.relu(h)
+            if i < n - 2 and keys is not None:
+                h = _dropout(keys[i], h, dropout_rate)
+    return h.squeeze(-1)
+
+
+def segment_predictor_loss(params, features, segment_ids, n_seg, labels,
+                           valid, key, config: Dict):
+    """reg + pair + smooth + KL phase loss over segment encodings
+    (vae_experiments/trainer.py:298-568 Regression_Trainer)."""
+    from .predictor import pair_loss
+
+    k_smooth, k_drop = jax.random.split(key)
+    mu, logvar, _ = segment_predictor_encode(params, features, segment_ids,
+                                             n_seg)
+    cost = segment_predict_cost(params, mu, k_drop,
+                                config.get("dropout", 0.1))
+    denom = jnp.maximum(valid.sum(), 1)
+    reg = jnp.sum(jnp.where(valid, (cost - labels) ** 2, 0.0)) / denom
+    pair = pair_loss(cost, labels, config.get("margin", 0.1), valid)
+    noise = config.get("noise_std", 0.001) * jax.random.normal(
+        k_smooth, mu.shape, mu.dtype
+    )
+    smooth = jnp.sum(
+        jnp.where(
+            valid,
+            (segment_predict_cost(params, mu)
+             - segment_predict_cost(params, mu + noise)) ** 2,
+            0.0,
+        )
+    ) / denom
+    kl_terms = -0.5 * (1.0 + logvar - mu**2 - jnp.exp(logvar))
+    kld = jnp.sum(jnp.where(valid[:, None], kl_terms, 0.0)) / (
+        denom * mu.shape[-1]
+    )
+    total = (
+        config.get("lambda_reg", 0.01) * reg
+        + config.get("lambda_pair", 3.0) * pair
+        + config.get("gamma", 0.01) * smooth
+        + config.get("beta", 0.01) * kld
+    )
+    return total, {"reg": reg, "pair": pair, "smooth": smooth, "kld": kld}
+
+
+@functools.partial(jax.jit, static_argnames=("n_seg", "epochs"))
+def fit_segment_predictor(params, features, segment_ids, labels, valid, key,
+                          n_seg: int, epochs: int = 300,
+                          encoder_lr: float = 1e-5, head_lr: float = 1e-4):
+    """Full phase training as one compiled scan (same design as
+    fit_predictor)."""
+    enc_keys = ("segment_encoder", "l0", "l1", "fc_mean", "fc_logvar")
+
+    def label_fn(params):
+        return {k: ("enc" if k in enc_keys else "head") for k in params}
+
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.multi_transform(
+            {"enc": optax.adamw(encoder_lr, weight_decay=1e-5),
+             "head": optax.adamw(head_lr, weight_decay=1e-5)},
+            label_fn,
+        ),
+    )
+    opt_state = tx.init(params)
+    cfg = {}
+
+    def step(carry, _):
+        params, opt_state, key, best_loss, best_params = carry
+        key, sub = jax.random.split(key)
+        (loss, aux), grads = jax.value_and_grad(
+            segment_predictor_loss, has_aux=True
+        )(params, features, segment_ids, n_seg, labels, valid, sub, cfg)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        better = loss < best_loss
+        best_params = jax.tree_util.tree_map(
+            lambda b, p: jnp.where(better, p, b), best_params, params
+        )
+        best_loss = jnp.where(better, loss, best_loss)
+        return (params, opt_state, key, best_loss, best_params), loss
+
+    init = (params, opt_state, key, jnp.inf, params)
+    (_, _, _, best_loss, best_params), losses = jax.lax.scan(
+        step, init, None, length=epochs
+    )
+    return best_params, {"best_loss": best_loss, "losses": losses}
+
+
+@functools.partial(jax.jit, static_argnames=("n_seg", "epochs"))
+def fit_segment_vae(params, features, segment_ids, valid, key, n_seg: int,
+                    epochs: int = 200, lr: float = 2e-4, beta: float = 1e-4):
+    """SegmentVAE pretraining as one compiled scan (reference
+    VAE_Trainer.train_vae defaults: 200 epochs, lr 2e-4, beta 1e-4)."""
+    tx = optax.adamw(lr)
+    opt_state = tx.init(params)
+
+    def step(carry, _):
+        params, opt_state, key = carry
+        key, sub = jax.random.split(key)
+        (loss, aux), grads = jax.value_and_grad(
+            segment_vae_loss, has_aux=True
+        )(params, features, segment_ids, n_seg, valid, sub, beta)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state, key), loss
+
+    (params, _, _), losses = jax.lax.scan(
+        step, (params, opt_state, key), None, length=epochs
+    )
+    return params, losses

@@ -45,7 +45,8 @@ def init_vae_params(key, input_dim: int, latent_dim: int = 16,
 
 def vae_encode(params: Dict, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     h = mlp_apply(params["encoder"], x, final_activation=True)
-    return dense(params["fc_mu"], h), dense(params["fc_logvar"], h)
+    # clamp logvar for numerical stability of exp() under long scans
+    return dense(params["fc_mu"], h), jnp.clip(dense(params["fc_logvar"], h), -10.0, 10.0)
 
 
 def vae_decode(params: Dict, z: jnp.ndarray) -> jnp.ndarray:

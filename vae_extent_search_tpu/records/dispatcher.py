@@ -1,0 +1,128 @@
+"""Best-schedule dispatch context.
+
+Parity target: python/tvm/auto_scheduler/dispatcher.py ApplyHistoryBest —
+load measure records keyed by (target key, workload hash, flattened args)
+keeping the min-cost entry (:149-261); queries match exact args first, then
+the best distance-factor-scaled compatible workload (:263-308, factor math
+utils.py:82 calc_workload_dis_factor), plus utils.py:46
+decode_workload_key flattening.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, Iterable, Optional, Tuple
+
+from .serde import MeasureRecord, iter_records
+
+
+def decode_workload_key_flat(workload_key: str):
+    """(name, flattened args tuple) — reference utils.py:46-79."""
+
+    def flatten(inp):
+        out = []
+        for e in inp:
+            if isinstance(e, list):
+                out.extend(flatten(e))
+            else:
+                out.append(e)
+        return out
+
+    try:
+        key_list = json.loads(workload_key)
+        if isinstance(key_list, list) and len(key_list) >= 1:
+            return key_list[0], tuple(flatten(key_list[1:]))
+    except json.JSONDecodeError:
+        pass
+    return workload_key, None
+
+
+def calc_workload_dis_factor(target_pair, pair) -> float:
+    """reference utils.py:82-130."""
+    target_key, target_args = target_pair
+    key, args = pair
+    target_args = target_args or ()
+    args = args or ()
+    if key != target_key or len(target_args) != len(args):
+        return float("inf")
+    dis_f = 1.0
+    for ta, a in zip(target_args, args):
+        if isinstance(ta, int):
+            if ta == 0 or a == 0:
+                if ta != a:
+                    return float("inf")
+            elif ta % a != 0:
+                return float("inf")
+            else:
+                dis_f *= ta / a
+        elif ta != a:
+            return float("inf")
+    return dis_f
+
+
+def target_keys_of(target: str):
+    """The matchable keys of a target string: its kind plus -keys values."""
+    parts = target.split()
+    keys = [parts[0]] if parts else []
+    for p in parts[1:]:
+        if p.startswith("-keys="):
+            keys.extend(p[len("-keys="):].split(","))
+    return keys
+
+
+class ApplyHistoryBest:
+    """Min-cost schedule lookup over record logs."""
+
+    def __init__(self, records: Optional[Iterable] = None,
+                 include_compatible: bool = True):
+        # (target_key, wkl_hash, args) -> (record, cost)
+        self.best_by_targetkey: Dict[Tuple, Tuple[MeasureRecord, float]] = {}
+        self.include_compatible = include_compatible
+        if records is not None:
+            self.update(records)
+
+    @classmethod
+    def from_file(cls, path: str, **kw) -> "ApplyHistoryBest":
+        return cls(iter_records(path), **kw)
+
+    def update(self, records: Iterable[MeasureRecord]):
+        for rec in records:
+            if rec.res.error_no != 0:
+                continue
+            cost = rec.res.mean_cost
+            name, args = decode_workload_key_flat(rec.inp.task.workload_key)
+            for tkey in target_keys_of(rec.inp.task.target):
+                key = (tkey, name, args)
+                cur = self.best_by_targetkey.get(key)
+                if cur is None or cost < cur[1]:
+                    self.best_by_targetkey[key] = (rec, cost)
+
+    def query(self, target: str, workload_key: str):
+        """Best record for (target, workload): exact args first, else the
+        closest compatible workload scaled by its distance factor."""
+        name, args = decode_workload_key_flat(workload_key)
+        for tkey in target_keys_of(target):
+            exact = self.best_by_targetkey.get((tkey, name, args))
+            if exact is not None:
+                return exact[0]
+        if not self.include_compatible:
+            return None
+        best, best_factor = None, float("inf")
+        for (tkey, k_name, k_args), (rec, cost) in \
+                self.best_by_targetkey.items():
+            if tkey not in target_keys_of(target):
+                continue
+            f = calc_workload_dis_factor((name, args), (k_name, k_args))
+            if f < best_factor:
+                best_factor, best = f, rec
+        return best
+
+    def best_cost(self, target: str, workload_key: str) -> float:
+        rec = self.query(target, workload_key)
+        if rec is None:
+            return float("inf")
+        name, args = decode_workload_key_flat(workload_key)
+        r_name, r_args = decode_workload_key_flat(rec.inp.task.workload_key)
+        factor = calc_workload_dis_factor((name, args), (r_name, r_args))
+        factor = 1.0 if not (factor < float("inf")) else factor
+        return rec.res.mean_cost * factor

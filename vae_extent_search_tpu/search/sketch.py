@@ -567,6 +567,25 @@ class SketchPolicy:
         best = sorted(heap, key=lambda t: -t[0])
         return [st for _, _, st in best]
 
+    def continue_search_one_round(self, num_measure: int) -> List[State]:
+        """One search round: sample init population -> evolutionary search
+        -> eps-greedy pick (SketchPolicyNode::ContinueSearchOneRound,
+        sketch_policy.cc:242-283; measurement happens in the caller)."""
+        init_pop = self.sample_initial_population()
+        if not init_pop:
+            return []
+        best_states = self.evolutionary_search(init_pop, num_measure * 2)
+        random_states = self.sample_initial_population(num_measure)
+        picked = self.pick_states_eps_greedy(best_states, random_states,
+                                             num_measure)
+        out = []
+        for st in picked:
+            try:
+                out.append(self.task.compute_dag.infer_bound(st))
+            except Exception:
+                continue
+        return out
+
     def pick_states_eps_greedy(self, best_states: List[State],
                                random_states: List[State],
                                num_measure: int) -> List[State]:

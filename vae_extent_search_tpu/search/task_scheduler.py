@@ -1,0 +1,222 @@
+"""Multi-task tuning-time allocation.
+
+Parity target: python/tvm/auto_scheduler/task_scheduler.py — round-robin
+and the Ansor gradient strategy (grad = chain_grad * (alpha*backward_grad
++ (1-alpha)*forward_grad), :418-474), similarity groups by op tag +
+log-FLOPs (:175-202), warm-up round (:404-408), restore from log, and the
+PrintTableInfo / LogEstimatedLatency callbacks (:279-283, total_latency.tsv).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from ..records.task import SearchTask, TuningOptions
+from .measure import EmptyBuilder, ProgramMeasurer, RecordToFile
+from .sketch import SketchPolicy
+
+
+def derive_similarity_tag(task: SearchTask, log_base: float = 1.618):
+    """Group tag: op names + floor(log(flop_ct)) (reference
+    task_scheduler.py:175-202 derive_similarity_tag)."""
+    dag = task.compute_dag
+    names = ",".join(
+        sorted({op.name.split(".")[0] for op in dag.ops
+                if not op.is_placeholder})
+    )
+    if dag.flop_ct <= 0:
+        return ""
+    return f"{names}-{int(math.log(dag.flop_ct) / math.log(log_base))}"
+
+
+class PrintTableInfo:
+    def callback(self, scheduler):
+        print("| ID | Latency (ms) | Speed (GFLOPS) | Trials |")
+        for i, task in enumerate(scheduler.tasks):
+            cost = scheduler.best_costs[i]
+            gflops = (
+                task.compute_dag.flop_ct / cost / 1e9
+                if cost < 1e9 else 0.0
+            )
+            print(f"| {i:2d} | {cost * 1e3:12.3f} | {gflops:14.2f} "
+                  f"| {scheduler.task_cts[i]:6d} |")
+        print(f"Estimated total latency: "
+              f"{scheduler.cur_score * 1e3:.3f} ms  Trials: {scheduler.ct}")
+
+
+class LogEstimatedLatency:
+    def __init__(self, log_file: str = "total_latency.tsv"):
+        self.log_file = log_file
+
+    def callback(self, scheduler):
+        with open(self.log_file, "a") as f:
+            f.write(
+                f"ElapsedTime(s)\t{time.time() - scheduler.tic:.0f}\t"
+                f"EstimatedLatency(ms)\t{scheduler.cur_score * 1e3:.3f}\t"
+                f"Trials\t{scheduler.ct}\n"
+            )
+
+
+class TaskScheduler:
+    """Allocate measurement trials across tasks."""
+
+    def __init__(self, tasks: List[SearchTask],
+                 task_weights: Optional[List[float]] = None,
+                 objective_func: Optional[Callable] = None,
+                 strategy: str = "gradient", alpha: float = 0.2,
+                 beta: float = 2.0, backward_window_size: int = 3,
+                 callbacks=None, seed: int = 0):
+        self.tasks = tasks
+        self.task_weights = task_weights or [1.0] * len(tasks)
+        self.objective_func = objective_func or (
+            lambda costs: sum(c * w for c, w in zip(costs, self.task_weights))
+        )
+        self.strategy = strategy
+        self.alpha = alpha
+        self.beta = beta
+        self.backward_window_size = backward_window_size
+        self.callbacks = callbacks if callbacks is not None else [
+            PrintTableInfo(), LogEstimatedLatency()
+        ]
+        self.rng = np.random.default_rng(seed)
+
+        n = len(tasks)
+        self.best_costs = np.full(n, 1e10)
+        self.task_cts = [0] * n
+        self.task_best_cts = [0] * n
+        self.task_costs_history: List[List[float]] = [[] for _ in range(n)]
+        self.dead_tasks = set()
+        self.flop_cts = [t.compute_dag.flop_ct for t in tasks]
+        self.ct = 0
+        self.tic = time.time()
+        self.cur_score = self._compute_score(self.best_costs)
+
+        # similarity groups
+        self.task_tags = []
+        self.tag_to_group_id = {}
+        self.group_task_ids: List[List[int]] = []
+        for i, task in enumerate(tasks):
+            tag = derive_similarity_tag(task)
+            self.task_tags.append(tag)
+            if not tag:
+                continue
+            gid = self.tag_to_group_id.get(tag)
+            if gid is None:
+                gid = len(self.tag_to_group_id)
+                self.tag_to_group_id[tag] = gid
+                self.group_task_ids.append([])
+            self.group_task_ids[gid].append(i)
+
+    def _compute_score(self, costs) -> float:
+        return float(self.objective_func(list(costs)))
+
+    # ------------------------------------------------------------------
+    def tune(self, tune_option: TuningOptions, search_policy="sketch",
+             search_policy_params=None, policies=None,
+             per_task_early_stopping=None):
+        n = len(self.tasks)
+        self.measurer = ProgramMeasurer(
+            tune_option.builder or EmptyBuilder(),
+            tune_option.runner,
+            callbacks=tune_option.measure_callbacks or [],
+        )
+        self.num_measures_per_round = tune_option.num_measures_per_round
+        if policies is not None:
+            self.search_policies = policies
+        else:
+            self.search_policies = [
+                SketchPolicy(t, params=search_policy_params, seed=i)
+                for i, t in enumerate(self.tasks)
+            ]
+
+        # warm-up round robin (reference :404-408)
+        for i in range(n):
+            if not self.task_cts[i]:
+                self._tune_task(i)
+
+        task_idx = -1
+        while self.ct < tune_option.num_measure_trials and \
+                len(self.dead_tasks) < n:
+            if self.strategy == "round-robin":
+                task_idx = (task_idx + 1) % n
+                while task_idx in self.dead_tasks:
+                    task_idx = (task_idx + 1) % n
+            elif self.strategy == "gradient":
+                task_idx = self._gradient_select()
+            else:
+                raise ValueError(f"invalid strategy {self.strategy}")
+            self._tune_task(task_idx)
+        for cb in self.callbacks:
+            cb.callback(self)
+
+    def _gradient_select(self) -> int:
+        """reference task_scheduler.py:418-474."""
+        gradients = []
+        for i in range(len(self.tasks)):
+            if i in self.dead_tasks:
+                gradients.append(0.0)
+                continue
+            delta = 1e-4
+            new_costs = list(self.best_costs)
+            new_costs[i] -= delta
+            chain_grad = (
+                self._compute_score(self.best_costs)
+                - self._compute_score(new_costs)
+            ) / delta
+
+            hist = self.task_costs_history[i]
+            t_i = self.task_cts[i]
+            if t_i - 1 < len(hist) and t_i - 1 - self.backward_window_size >= 0:
+                backward_grad = (
+                    hist[t_i - 1] - hist[t_i - 1 - self.backward_window_size]
+                ) / self.backward_window_size
+            else:
+                backward_grad = 0.0
+
+            g_next_1 = self.best_costs[i] - self.best_costs[i] / max(t_i, 1)
+            g_next_2 = self.beta * 1e30
+            gid = self.tag_to_group_id.get(self.task_tags[i])
+            if gid is not None and len(self.group_task_ids[gid]) > 1:
+                best_flops = max(
+                    self.flop_cts[j] / self.best_costs[j]
+                    for j in self.group_task_ids[gid]
+                )
+                g_next_2 = self.beta * self.flop_cts[i] / best_flops
+            g_next = min(g_next_1, g_next_2)
+            forward_grad = g_next - self.best_costs[i]
+
+            grad = chain_grad * (
+                self.alpha * backward_grad + (1 - self.alpha) * forward_grad
+            )
+            gradients.append(min(grad, 0.0))
+
+        if max(gradients) == min(gradients):
+            return int(self.rng.integers(len(gradients)))
+        return int(np.argmin(gradients))
+
+    def _tune_task(self, idx: int):
+        policy = self.search_policies[idx]
+        task = self.tasks[idx]
+        states = policy.continue_search_one_round(
+            self.num_measures_per_round
+        )
+        if not states:
+            self.dead_tasks.add(idx)
+            return
+        results = self.measurer.measure(task, states)
+        self.ct += len(states)
+        self.task_cts[idx] += 1
+        for res in results:
+            if res.error_no == 0:
+                cost = res.mean_cost
+                if cost < self.best_costs[idx]:
+                    self.best_costs[idx] = cost
+                    self.task_best_cts[idx] = self.task_cts[idx]
+        self.task_costs_history[idx].append(float(self.best_costs[idx]))
+        self.cur_score = self._compute_score(self.best_costs)
+        for cb in self.callbacks:
+            cb.callback(self)
