@@ -168,3 +168,32 @@ def test_per_store_features_error_convention(matmul_task):
     feats = get_per_store_features_from_states([Broken()], matmul_task)
     assert feats[0].shape == (1, FEATURE_VEC_LEN)
     assert not feats[0].any()
+
+
+def test_gpu_sketch_structure():
+    """GPU sketches carry the reference's structure: shared caches with
+    cooperative threadIdx fetch, block/vthread/thread binds on the output
+    (cf. conv2d.json record shape)."""
+    from vae_extent_search_tpu.search.sketch import SketchPolicy
+
+    task = SearchTask(
+        make_workload_key(
+            "conv2d_layer", (1, 7, 7, 64, 64, 3, 3, [1, 1], [1, 1])
+        ),
+        "cuda -keys=cuda,gpu -max_num_threads=1024 -thread_warp_size=32",
+    )
+    policy = SketchPolicy(task, seed=2)
+    names = {
+        (s.op.name, s.compute_at) for s in policy.sketches[0].stages
+    }
+    assert ("pad_temp.shared", "iter") in names
+    assert ("kernel.shared", "iter") in names
+    assert ("conv2d_nchw", "iter") in names
+    assert ("T_add", "inlined") in names
+
+    pop = policy.sample_initial_population(6)
+    assert pop
+    text = pop[0].to_str(True)
+    assert "blockIdx.x" in text and "threadIdx.x" in text
+    assert "vthread" in text
+    assert "(None)" not in text

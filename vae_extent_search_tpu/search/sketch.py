@@ -26,7 +26,7 @@ import numpy as np
 
 from ..ir import schedule_api  # noqa: F401  (installs State methods)
 from ..ir import expr as E
-from ..ir.state import AT_INLINED, AT_ROOT, KIND_SPATIAL, State
+from ..ir.state import AT_INLINED, AT_ITER, AT_ROOT, KIND_SPATIAL, State
 from ..ir.steps import PragmaStep, SplitStep
 from ..ir.tensor import ComputeOp, PlaceholderOp
 from ..records.task import SearchTask
@@ -68,10 +68,23 @@ class AccessAnalysis:
             )
 
     def _simple_access(self, op: ComputeOp) -> bool:
-        """Every read index is a single axis var or a constant."""
+        """Every read index is an axis var, a constant, or var +/- const
+        (the reference's AccessAnalyzer treats constant-shifted axes —
+        e.g. padding's h - pad — as simple accesses)."""
+
+        def ok(idx):
+            if isinstance(idx, (E.Var, E.IntImm)):
+                return True
+            if isinstance(idx, (E.Add, E.Sub)):
+                a, b = idx.a, idx.b
+                return (isinstance(a, E.Var) and isinstance(b, E.IntImm)) or (
+                    isinstance(a, E.IntImm) and isinstance(b, E.Var)
+                )
+            return False
+
         for r in E.collect_reads(op.body):
             for idx in r.indices:
-                if not isinstance(idx, (E.Var, E.IntImm)):
+                if not ok(idx):
                     return False
         return True
 
@@ -94,15 +107,33 @@ class AccessAnalysis:
         return False
 
     def consumers(self, state: State, stage_id: int) -> List[int]:
-        """Stage ids reading this stage's output (through current ops)."""
-        op = state.stages[stage_id].op
+        """Stage ids reading this stage's output, resolved THROUGH inlined
+        stages (an inlined consumer's consumers become ours — mirrors the
+        access analyzer's elementwise-match through inlined ops)."""
         out = []
-        for sid, s in enumerate(state.stages):
-            if sid == stage_id or not isinstance(s.op, ComputeOp):
-                continue
-            if any(t.op.uid == op.uid for t in s.op.input_tensors()):
-                out.append(sid)
-        return out
+        seen = set()
+
+        def direct(uid):
+            res = []
+            for sid, s in enumerate(state.stages):
+                if not isinstance(s.op, ComputeOp) or s.op.uid == uid:
+                    continue
+                if any(t.op.uid == uid for t in s.op.input_tensors()):
+                    res.append(sid)
+            return res
+
+        frontier = [state.stages[stage_id].op.uid]
+        while frontier:
+            uid = frontier.pop()
+            for sid in direct(uid):
+                if sid in seen:
+                    continue
+                seen.add(sid)
+                if state.stages[sid].compute_at == AT_INLINED:
+                    frontier.append(state.stages[sid].op.uid)
+                else:
+                    out.append(sid)
+        return sorted(out)
 
 
 # ---------------------------------------------------------------------------
@@ -161,17 +192,47 @@ def do_multi_level_tiling(state: State, stage_id: int, structure: str = "SSRSRS"
 # ---------------------------------------------------------------------------
 
 
+def _fuse_into_consumer(st: State, stage_id: int, target: int,
+                        split_ids: List[int], n_split: int):
+    """Follow-split the consumer's spatial axes to the first levels of the
+    tiled stage, reorder level-major, attach the tiled stage at the last
+    iterator of the (n_split-1)-th level (MultiLevelTilingWithFusion,
+    sketch_policy_rules.cc fuse-level semantics; e.g. conv2d.json:
+    FSP n_split=3 x4 + RE + CA at 3*4-1=11)."""
+    t_stage = st.stages[target]
+    offset = 0
+    n_axes = 0
+    for i, it in enumerate(list(t_stage.iters)):
+        if i >= len(split_ids):
+            break
+        st.follow_split(target, offset, split_ids[i], n_split)
+        offset += n_split + 1
+        n_axes += 1
+    order = []
+    for lv in range(n_split + 1):
+        for ax in range(n_axes):
+            order.append(ax * (n_split + 1) + lv)
+    st.reorder(target, order)
+    attach_pos = n_split * n_axes - 1
+    st.compute_at(stage_id, target, attach_pos)
+
+
 def generate_sketches(task: SearchTask, seed: int = 0) -> List[State]:
     """Walk stages last-to-first, applying: AlwaysInline for strictly
     inlineable non-output stages; MultiLevelTilingWithFusion when a tilable
     stage has a fusible (elementwise) consumer; plain MultiLevelTiling
-    otherwise; SkipStage else (sketch_policy.cc:314-382 BFS simplified to
-    the deterministic CPU path)."""
+    otherwise; on GPU additionally AddCacheRead("shared") for the tiled
+    stage's inputs attached at the end of the first reduce level
+    (sketch_policy.cc:96-147 rule order, GPU rules :128-138)."""
     dag = task.compute_dag
     analysis = AccessAnalysis(dag)
-    structure = "SSSRRSRS" if task.is_gpu else "SSRSRS"
+    is_gpu = task.is_gpu
+    structure = "SSSRRSRS" if is_gpu else "SSRSRS"
+    n_split = 3 if is_gpu else 2
+    n_space_levels = structure.count("S")
 
     st = dag.init_state.copy()
+    st.tiled_stage_split_ids = {}  # op uid -> spatial split step ids
     stage_id = len(st.stages) - 1
     while stage_id >= 0:
         stage = st.stages[stage_id]
@@ -196,33 +257,110 @@ def generate_sketches(task: SearchTask, seed: int = 0) -> List[State]:
                 and st.stages[c].compute_at == AT_ROOT
                 and not st.stages[c].op.reduce_axes
             ]
-            if fusible and not task.is_gpu:
-                target = fusible[0]
-                split_ids = do_multi_level_tiling(st, stage_id, structure)
-                # follow-split the consumer's spatial axes to the first
-                # levels of the tiled stage, then attach the tiled stage
-                n_split = 2  # fuse level (reference tries 1..3; CPU uses 2)
-                t_stage = st.stages[target]
-                offset = 0
-                for i, it in enumerate(list(t_stage.iters)):
-                    src = split_ids[i] if i < len(split_ids) else None
-                    if src is None:
-                        break
-                    st.follow_split(target, offset, src, n_split)
-                    offset += n_split + 1
-                # reorder consumer: level-major like the tiled stage
-                n_axes = len(split_ids)
-                order = []
-                for lv in range(n_split + 1):
-                    for ax in range(n_axes):
-                        order.append(ax * (n_split + 1) + lv)
-                st.reorder(target, order)
-                attach_pos = n_split * n_axes - 1
-                st.compute_at(stage_id, target, attach_pos)
-            else:
-                do_multi_level_tiling(st, stage_id, structure)
+            split_ids = do_multi_level_tiling(st, stage_id, structure)
+            # keyed by op NAME: cache-read steps clone downstream ops (new
+            # uids) but preserve names
+            st.tiled_stage_split_ids[op.name] = split_ids
+            n_axes = len(split_ids)
+            if fusible:
+                _fuse_into_consumer(st, stage_id, fusible[0], split_ids,
+                                    n_split)
+            if is_gpu:
+                # AddCacheRead: shared caches for the tiled stage's inputs,
+                # attached at the last iterator of the first reduce level
+                n_reduce_axes = len(op.reduce_axes)
+                attach_pos = n_space_levels * n_axes + n_reduce_axes - 1
+                inputs = [
+                    t for t in op.input_tensors()
+                ]
+                for tensor in inputs:
+                    # find the producer stage id in the current state
+                    src_sid = None
+                    for sid2, s2 in enumerate(st.stages):
+                        if s2.op.uid == tensor.op.uid and \
+                                s2.compute_at != AT_INLINED:
+                            src_sid = sid2
+                            break
+                    if src_sid is None:
+                        continue
+                    added = st.cache_read(src_sid, "shared", [stage_id])
+                    # ids after insertion: our stage shifted if behind
+                    tgt = stage_id + 1 if stage_id >= added else stage_id
+                    st.compute_at(added, tgt, attach_pos)
+                    if stage_id >= added:
+                        stage_id += 1
         stage_id -= 1
     return [st]
+
+
+def init_thread_bind(state: State, task: SearchTask,
+                     rng: random.Random) -> State:
+    """GPU thread binding (InitThreadBind, sketch_policy_rules.cc:780-910):
+
+    - root multi-level-tiled stages: fuse space level 0 -> blockIdx.x,
+      level 1 -> vthread, level 2 -> threadIdx.x
+    - trivial root stages: fuse all space iters -> blockIdx.x (+ threadIdx
+      split by warp size)
+    - ".shared" cache stages: cooperative fetching — fuse all iters, split
+      {1} + vectorize, follow_fused_split over the attach target's spatial
+      split steps at level 1 -> threadIdx.x
+    """
+    split_ids_of = getattr(state, "tiled_stage_split_ids", {})
+    warp = task.hardware_params.warp_size
+
+    for sid in range(len(state.stages)):
+        stage = state.stages[sid]
+        if stage.op_type == "placeholder" or stage.compute_at == AT_INLINED:
+            continue
+        name = stage.op.name
+        if stage.compute_at == AT_ROOT:
+            has_levels = any(it.name.endswith(".0") for it in stage.iters)
+            if has_levels:
+                n_axes = sum(
+                    1 for it in stage.iters if it.name.endswith(".0")
+                )
+                # level-major layout: [lv0 x n_axes][lv1 x n_axes]...
+                lv0 = state.fuse(sid, list(range(0, n_axes)))
+                state.bind(sid, lv0, "blockIdx.x")
+                lv1 = state.fuse(sid, list(range(1, 1 + n_axes)))
+                state.bind(sid, lv1, "vthread")
+                lv2 = state.fuse(sid, list(range(2, 2 + n_axes)))
+                state.bind(sid, lv2, "threadIdx.x")
+            else:
+                # simple output stage: fuse all spatial, block + thread
+                space = [
+                    i for i, it in enumerate(stage.iters)
+                    if it.kind == KIND_SPATIAL and it.annotation == 0
+                ]
+                if not space:
+                    continue
+                fused = state.fuse(sid, space)
+                ext = fused.range[1] if fused.range else warp * 2
+                if ext <= warp:
+                    state.bind(sid, fused, "threadIdx.x")
+                else:
+                    parts = state.split(sid, fused, [warp])
+                    state.bind(sid, parts[0], "blockIdx.x")
+                    state.bind(sid, parts[1], "threadIdx.x")
+        elif stage.compute_at == AT_ITER and name.endswith(".shared"):
+            # cooperative fetching
+            attach = state.attach_map.stage_to_attach_iter.get(sid)
+            if attach is None:
+                continue
+            target_sid = attach[0]
+            spatial_split_ids = split_ids_of.get(
+                state.stages[target_sid].op.name
+            )
+            if not spatial_split_ids:
+                continue
+            fused = state.fuse(sid, list(range(len(stage.iters))))
+            iters0 = state.split(sid, fused, [1])
+            state.vectorize(sid, iters0[1])
+            iters1 = state.follow_fused_split(
+                sid, iters0[0], spatial_split_ids, 1, True
+            )
+            state.bind(sid, iters1[1], "threadIdx.x")
+    return state
 
 
 # ---------------------------------------------------------------------------
@@ -265,7 +403,13 @@ def init_fill_tile_size(state: State, rng: random.Random,
             )
         else:
             new_records.append(step.to_record())
-    return state.dag.apply_steps(new_records)
+    out = state.dag.apply_steps(new_records)
+    # carry sketch metadata through the replay (split step ids are
+    # positional and replay-stable)
+    out.tiled_stage_split_ids = dict(
+        getattr(state, "tiled_stage_split_ids", {})
+    )
+    return out
 
 
 def init_parallel(state: State, task: SearchTask, rng: random.Random) -> State:
@@ -486,10 +630,17 @@ class SketchPolicy:
             sketch = self.rng.choice(self.sketches)
             try:
                 st = init_fill_tile_size(sketch, self.rng, max_inner)
-                st = init_parallel(st, self.task, self.rng)
-                st = init_unroll(st, self.task, self.rng)
-                st = self.task.compute_dag.infer_bound(st)
-                st = init_vectorization(st, self.task, self.rng)
+                if self.task.is_gpu:
+                    # GPU init rules: FillTileSize -> ThreadBind -> Unroll
+                    # (sketch_policy.cc:128-147)
+                    st = init_thread_bind(st, self.task, self.rng)
+                    st = init_unroll(st, self.task, self.rng)
+                    st = self.task.compute_dag.infer_bound(st)
+                else:
+                    st = init_parallel(st, self.task, self.rng)
+                    st = init_unroll(st, self.task, self.rng)
+                    st = self.task.compute_dag.infer_bound(st)
+                    st = init_vectorization(st, self.task, self.rng)
                 key = st.to_str()
             except Exception:
                 continue
