@@ -193,7 +193,16 @@ def test_gpu_sketch_structure():
 
     pop = policy.sample_initial_population(6)
     assert pop
-    text = pop[0].to_str(True)
-    assert "blockIdx.x" in text and "threadIdx.x" in text
-    assert "vthread" in text
+    st = pop[0]
+    text = st.to_str(True)
+    assert "threadIdx.x" in text
     assert "(None)" not in text
+    # the block/vthread/thread binds exist as steps (a bound iterator with
+    # tile size 1 is trivial-deleted from the print, like the reference)
+    from vae_extent_search_tpu.ir.steps import AnnotationStep
+
+    anns = {
+        s.annotation for s in st.transform_steps
+        if isinstance(s, AnnotationStep)
+    }
+    assert {5, 4, 6} <= anns  # blockIdx.x, vthread, threadIdx.x
