@@ -60,6 +60,12 @@ def make_model(spec: str, in_dim: int):
         from vae_extent_search_tpu.models.gbdt import GBDTModelInternal
 
         return GBDTModelInternal()
+    if kind in ("lstm", "mha", "tabnet"):
+        from vae_extent_search_tpu.models.variants import (
+            SequenceModelInternal,
+        )
+
+        return SequenceModelInternal(arch=kind, in_dim=in_dim)
     raise ValueError(f"unknown model spec {spec}")
 
 

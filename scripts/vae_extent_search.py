@@ -23,6 +23,22 @@ import numpy as np
 from vae_extent_search_tpu.features import extent_features_from_records
 from vae_extent_search_tpu.records import load_records
 from vae_extent_search_tpu.search import SelectionConfig, run_active_search
+from vae_extent_search_tpu.search.active_loop import (
+    expand_hyper_grid,
+    filter_already_measured,
+    run_gbdt_baseline_search,
+)
+
+# the default sweep grid (reference vae_extent_search.py:1658-1710 shape)
+DEFAULT_GRID = {
+    "measure_size": [32, 64],
+    "weights": [(0.5, 0.3, 0.2), (0.4, 0.3, 0.3), (0.7, 0.2, 0.1)],
+    "grad_num": [2, 4],
+    "rand_num": [0],
+    "uncertainty_topk": [64, 128],
+}
+GRID_KEY_FIELDS = ["measure_size", "weights", "uncertainty_topk",
+                   "grad_num", "rand_num"]
 
 
 def run_experiment(record_file, out_dir, measure_size=64, seeds=(2000,),
@@ -97,16 +113,67 @@ def run_experiment(record_file, out_dir, measure_size=64, seeds=(2000,),
     return rows, avg
 
 
+def run_gbdt_arm(record_file, out_dir, measure_size=64, seeds=(2000,),
+                 max_phases=60):
+    """The tree-model baseline arm (reference result_xgb corpus)."""
+    records = load_records(record_file)
+    feats, labels, _ = extent_features_from_records(records)
+    os.makedirs(out_dir, exist_ok=True)
+    rows = []
+    for seed in seeds:
+        res = run_gbdt_baseline_search(
+            feats, labels, measure_size=measure_size, max_phases=max_phases,
+            sampling_seed=seed,
+        )
+        rows.append({
+            "measure_size": measure_size, "phase": res.phase,
+            "train_size": res.train_size,
+            "used_time": round(res.used_time, 2),
+            "top-1": int(res.found), "sampling_seed": seed,
+        })
+        print(f"gbdt seed {seed}: found={res.found} phase={res.phase} "
+              f"train_size={res.train_size} time={res.used_time:.1f}s")
+    tag = time.strftime("%m%d_%H%M")
+    out_csv = os.path.join(out_dir, f"gbdt_search_{tag}.csv")
+    with open(out_csv, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    return rows
+
+
+def run_grid(record_file, out_dir, seeds, max_phases, vae_epochs,
+             reg_epochs, verbose=False):
+    """Sweep the hyperparameter grid, skipping configs already present in
+    the accumulated avg CSV (reference filter_already_measured)."""
+    os.makedirs(out_dir, exist_ok=True)
+    avg_csv = os.path.join(out_dir, "vae_extent_total_avg.csv")
+    rows = expand_hyper_grid(DEFAULT_GRID)
+    rows = filter_already_measured(rows, avg_csv, ["measure_size", "weights"])
+    print(f"{len(rows)} grid configs to run")
+    for cfg in rows:
+        print("config:", cfg)
+        run_experiment(
+            record_file, out_dir, cfg["measure_size"], seeds,
+            cfg["weights"], cfg["grad_num"], cfg["rand_num"],
+            cfg["uncertainty_topk"], max_phases=max_phases,
+            vae_epochs=vae_epochs, reg_epochs=reg_epochs, verbose=verbose,
+        )
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--record-file", type=str, required=True)
     p.add_argument("--out-dir", type=str, default="result")
+    p.add_argument("--arm", type=str, default="vae",
+                   choices=["vae", "gbdt", "grid"])
     p.add_argument("--measure-size", type=int, default=64)
     p.add_argument("--seeds", type=int, nargs="+",
                    default=list(range(2000, 2005)))
     p.add_argument("--weights", type=float, nargs=3, default=[0.5, 0.3, 0.2])
     p.add_argument("--grad-num", type=int, default=2)
     p.add_argument("--rand-num", type=int, default=0)
+    p.add_argument("--uncertainty-topk", type=int, default=128)
     p.add_argument("--max-phases", type=int, default=60)
     p.add_argument("--vae-epochs", type=int, default=500)
     p.add_argument("--reg-epochs", type=int, default=1000)
@@ -115,14 +182,23 @@ def main():
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args()
 
-    run_experiment(
-        args.record_file, args.out_dir, args.measure_size,
-        tuple(args.seeds), tuple(args.weights), args.grad_num,
-        args.rand_num, max_phases=args.max_phases,
-        vae_epochs=args.vae_epochs, reg_epochs=args.reg_epochs,
-        latent_dim=args.latent_dim, hidden_dim=args.hidden_dim,
-        verbose=args.verbose,
-    )
+    if args.arm == "gbdt":
+        run_gbdt_arm(args.record_file, args.out_dir, args.measure_size,
+                     tuple(args.seeds), args.max_phases)
+    elif args.arm == "grid":
+        run_grid(args.record_file, args.out_dir, tuple(args.seeds),
+                 args.max_phases, args.vae_epochs, args.reg_epochs,
+                 args.verbose)
+    else:
+        run_experiment(
+            args.record_file, args.out_dir, args.measure_size,
+            tuple(args.seeds), tuple(args.weights), args.grad_num,
+            args.rand_num, args.uncertainty_topk,
+            max_phases=args.max_phases,
+            vae_epochs=args.vae_epochs, reg_epochs=args.reg_epochs,
+            latent_dim=args.latent_dim, hidden_dim=args.hidden_dim,
+            verbose=args.verbose,
+        )
 
 
 if __name__ == "__main__":

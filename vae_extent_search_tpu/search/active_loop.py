@@ -178,3 +178,97 @@ def run_active_search(
     result.used_time = time.time() - t0
     result.selected_order = selected_order
     return result
+
+
+def run_gbdt_baseline_search(
+    features: np.ndarray,
+    labels: np.ndarray,
+    measure_size: int = 64,
+    max_phases: int = 60,
+    eps_greedy: float = 0.05,
+    sampling_seed: int = 2000,
+    stop_top_k: int = 1,
+) -> ActiveSearchResult:
+    """The experiment's tree-model baseline arm: per phase, fit a GBDT on
+    the measured set and pick 95% predicted-top-k + 5% eps-greedy random
+    (reference vae_extent_search.py:843-865,1980-2307 xgb_select_indices
+    with XGBModelInternal / raw xgboost over the same extent features)."""
+    import time as _time
+
+    from ..models.gbdt import GBDTModelInternal
+
+    t0 = _time.time()
+    N = features.shape[0]
+    X = np.log1p(features.astype(np.float32))
+    rng = np.random.default_rng(sampling_seed)
+    true_top = set(np.argsort(-labels)[:stop_top_k].tolist())
+
+    measured = np.zeros(N, bool)
+    init = rng.choice(N, size=min(measure_size, N), replace=False)
+    measured[init] = True
+    result = ActiveSearchResult(False, 0, 0, 0.0)
+    if true_top & set(init.tolist()):
+        result.found = True
+        result.train_size = int(measured.sum())
+        result.used_time = _time.time() - t0
+        return result
+
+    n_rand = max(1, int(measure_size * eps_greedy))
+    n_top = measure_size - n_rand
+    for phase in range(1, max_phases + 1):
+        tr = np.where(measured)[0]
+        model = GBDTModelInternal(n_estimators=100)
+        model.fit_base([X[i:i + 1] for i in tr], labels[tr])
+        preds = model.predict_on_features([X[i:i + 1] for i in range(N)])
+        remaining = np.where(~measured)[0]
+        order = remaining[np.argsort(-preds[remaining])]
+        sel = list(order[:min(n_top, len(order))])
+        rest = np.setdiff1d(remaining, sel)
+        if len(rest) and n_rand:
+            sel.extend(rng.choice(rest, size=min(n_rand, len(rest)),
+                                  replace=False).tolist())
+        measured[sel] = True
+        result.phase = phase
+        result.top1_hits.append(int(bool(true_top & set(sel))))
+        if true_top & set(sel):
+            result.found = True
+            break
+        if not (~measured).any():
+            break
+    result.train_size = int(measured.sum())
+    result.used_time = _time.time() - t0
+    return result
+
+
+def expand_hyper_grid(grid: Dict, filters=None) -> List[Dict]:
+    """Cartesian product of a dict-of-lists hyperparameter grid with
+    optional row filters (reference vae_extent_search.py:1658-1710)."""
+    import itertools
+
+    keys = list(grid.keys())
+    rows = []
+    for values in itertools.product(*(grid[k] for k in keys)):
+        row = dict(zip(keys, values))
+        if filters and not all(f(row) for f in filters):
+            continue
+        rows.append(row)
+    return rows
+
+
+def filter_already_measured(rows: List[Dict], total_csv: str,
+                            key_fields: List[str]) -> List[Dict]:
+    """Drop configs already present in the accumulated result CSV
+    (reference vae_extent_search.py:1524-1577)."""
+    import csv as _csv
+    import os as _os
+
+    if not _os.path.exists(total_csv):
+        return rows
+    seen = set()
+    with open(total_csv) as f:
+        for rec in _csv.DictReader(f):
+            seen.add(tuple(str(rec.get(k)) for k in key_fields))
+    return [
+        row for row in rows
+        if tuple(str(row.get(k)) for k in key_fields) not in seen
+    ]
