@@ -125,3 +125,27 @@ def test_metrics_parity_semantics():
     assert metrics.metric_top_k_recall(preds, labels, 2) == 1.0
     assert metrics.metric_peak_score(preds, labels, 2) == pytest.approx(1.0)
     assert metrics.metric_r_squared(labels, labels) == 1.0
+
+
+def test_blocked_kcenter_matches_full():
+    """ops.k_center_greedy_blocked == select.k_center_greedy up to
+    floating-point tie-breaks (different summation order)."""
+    from vae_extent_search_tpu.ops.kcenter import (
+        k_center_greedy_blocked,
+        min_dists_to_centers,
+    )
+    from vae_extent_search_tpu.search.select import pairwise_dist
+
+    key = jax.random.PRNGKey(0)
+    z = l2_normalize(jax.random.normal(key, (200, 16)))
+    centers = jnp.zeros(200, bool).at[:30].set(True)
+    cand = ~centers
+    d = pairwise_dist(z, z)
+    md_full = jnp.min(jnp.where(centers[None, :], d, jnp.inf), axis=1)
+    md_blk = min_dists_to_centers(z, centers, block=64)
+    assert float(jnp.max(jnp.abs(md_full - md_blk))) < 1e-3
+
+    s1, v1 = k_center_greedy(z, cand, centers, 8)
+    s2, v2 = k_center_greedy_blocked(z, cand, centers, 8, block=64)
+    assert (np.asarray(s1) == np.asarray(s2)).all()
+    assert bool(v1.all()) and bool(v2.all())

@@ -229,9 +229,12 @@ def select_programs(params: Dict, X: jnp.ndarray, used_mask: jnp.ndarray,
     picked = scatter_set(picked, ui, uv)
 
     # 6. latent diversity (k-center greedy), centers = used + picked
+    # (blocked variant: no [N, N] distance matrix — see ops/kcenter.py)
+    from ..ops.kcenter import k_center_greedy_blocked
+
     z_norm = l2_normalize(mu)
-    di, dv = k_center_greedy(z_norm, cand_mask, used_mask | picked,
-                             cfg.n_div) if cfg.n_div \
+    di, dv = k_center_greedy_blocked(z_norm, cand_mask, used_mask | picked,
+                                     cfg.n_div) if cfg.n_div \
         else (jnp.zeros((0,), jnp.int32), jnp.zeros((0,), bool))
     picked = scatter_set(picked, di, dv)
 
