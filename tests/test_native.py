@@ -1,0 +1,75 @@
+"""Native components: record parser + batch extent featurizer, golden
+against the Python IR."""
+
+import os
+
+import numpy as np
+import pytest
+
+from vae_extent_search_tpu.features.extent import extent_vector
+from vae_extent_search_tpu.records import (
+    SearchTask,
+    load_records,
+    make_workload_key,
+)
+from vae_extent_search_tpu.search.measure import (
+    AnalyticRunner,
+    EmptyBuilder,
+    ProgramMeasurer,
+    RecordToFile,
+)
+from vae_extent_search_tpu.search.sketch import make_states
+
+NATIVE = os.path.exists(
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "vae_extent_search_tpu", "native", "libves_native.so",
+    )
+)
+
+pytestmark = pytest.mark.skipif(not NATIVE, reason="native lib not built")
+
+
+@pytest.fixture(scope="module")
+def record_log(tmp_path_factory):
+    task = SearchTask(
+        make_workload_key(
+            "conv2d_layer", (1, 7, 7, 32, 32, 3, 3, [1, 1], [1, 1])
+        ),
+        "llvm -mcpu=skylake-avx512",
+    )
+    states = make_states(task, 40, evo_population=48, min_population=16,
+                         seed=9)
+    log = str(tmp_path_factory.mktemp("native") / "recs.json")
+    measurer = ProgramMeasurer(EmptyBuilder(), AnalyticRunner(noise=0.1),
+                               callbacks=[RecordToFile(log)])
+    measurer.measure(task, states)
+    return log
+
+
+def test_native_parser_matches_serde(record_log):
+    from vae_extent_search_tpu.records.fast_parser import load_records_fast
+
+    A = load_records(record_log)
+    B = load_records_fast(record_log)
+    assert len(A) == len(B)
+    for a, b in zip(A, B):
+        assert a.inp.step_records == b.inp.step_records
+        assert a.inp.task.workload_key == b.inp.task.workload_key
+        assert abs(a.res.mean_cost - b.res.mean_cost) < 1e-12
+
+
+def test_native_extent_featurizer_golden(record_log):
+    from vae_extent_search_tpu.records.fast_parser import (
+        featurize_extents_native,
+    )
+
+    vecs, labels, status = featurize_extents_native(
+        record_log, python_fallback=False
+    )
+    recs = load_records(record_log)
+    assert (status == 0).all(), status
+    for i, rec in enumerate(recs):
+        py = extent_vector(rec.inp.recover_state(infer_bound=True))
+        assert vecs[i].shape == py.shape, (i, vecs[i], py)
+        assert np.allclose(vecs[i], py), (i, vecs[i], py)

@@ -176,3 +176,136 @@ def load_records_fast(path: str, max_lines: Optional[int] = None):
             MeasureInput(tasks[raw.task_id[i]], steps), res
         ))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Native batch extent featurization (csrc/extent_featurizer.cpp)
+# ---------------------------------------------------------------------------
+
+
+def _load_fx(lib):
+    if getattr(lib, "_fx_ready", False):
+        return lib
+    lib.ves_featurize_extents.restype = ctypes.c_void_p
+    lib.ves_featurize_extents.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),  # task desc
+        ctypes.POINTER(ctypes.c_int32),  # step tokens
+        ctypes.POINTER(ctypes.c_int64),  # rec begin
+        ctypes.POINTER(ctypes.c_int64),  # rec end
+        ctypes.c_int64,                  # n recs
+        ctypes.POINTER(ctypes.c_char),   # string pool
+        ctypes.POINTER(ctypes.c_int64),  # string offsets
+        ctypes.c_int,                    # n threads
+    ]
+    lib.ves_fx_extents.restype = ctypes.POINTER(ctypes.c_float)
+    lib.ves_fx_extents.argtypes = [ctypes.c_void_p]
+    lib.ves_fx_num_extents.restype = ctypes.c_int64
+    lib.ves_fx_num_extents.argtypes = [ctypes.c_void_p]
+    lib.ves_fx_offsets.restype = ctypes.POINTER(ctypes.c_int64)
+    lib.ves_fx_offsets.argtypes = [ctypes.c_void_p]
+    lib.ves_fx_status.restype = ctypes.POINTER(ctypes.c_int32)
+    lib.ves_fx_status.argtypes = [ctypes.c_void_p]
+    lib.ves_fx_free.argtypes = [ctypes.c_void_p]
+    lib._fx_ready = True
+    return lib
+
+
+def featurize_extents_native(path: str, n_threads: int = 1,
+                             python_fallback: bool = True):
+    """Batch extent featurization through the native pipeline.
+
+    Returns (extent vectors: list of float32 arrays, labels [n] float32,
+    statuses [n] int32: 0 native, 1 python-fallback, 2 error/skipped).
+    Labels are -log(mean cost + 1e-8); error records and costs > 1e6 get
+    status 2 (reference print_programs.py:23 filter).
+    """
+    from ..features.extent import label_from_costs
+    from .serde import record_from_json
+    from .task_desc import NonAffineError, build_task_desc
+    from .workload import workload_key_to_dag
+
+    lib = _load_fx(_load_lib())
+
+    # parse once; keep the handle alive during featurization
+    handle = lib.ves_parse_file(path.encode(), -1)
+    if not handle:
+        raise IOError(f"native parse failed for {path}")
+    try:
+        raw = RawRecords(handle, lib)
+        n = len(raw)
+        if n == 0:
+            return [], np.zeros(0, np.float32), np.zeros(0, np.int32)
+        dag = workload_key_to_dag(raw.task_workload[0])
+        try:
+            desc = build_task_desc(dag)
+            native_ok = True
+        except NonAffineError:
+            native_ok = False
+
+        vecs = [None] * n
+        statuses = np.full(n, 2, np.int32)
+        labels = np.zeros(n, np.float32)
+        for i in range(n):
+            ok = raw.error_no[i] == 0 and raw.first_cost[i] <= 1e6
+            if ok:
+                labels[i] = label_from_costs([raw.mean_cost[i]])
+                statuses[i] = 1  # provisional: python fallback
+
+        if native_ok:
+            step_tokens = np.ascontiguousarray(raw.step_tokens)
+            begin = np.ascontiguousarray(raw.step_begin)
+            end = np.ascontiguousarray(raw.step_end)
+            pool = "\x00".join(raw.strings).encode() + b"\x00"
+            offs = np.zeros(len(raw.strings), np.int64)
+            o = 0
+            for k, s in enumerate(raw.strings):
+                offs[k] = o
+                o += len(s.encode()) + 1
+            fx = lib.ves_featurize_extents(
+                desc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                step_tokens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                begin.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                end.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                n,
+                pool,
+                offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                n_threads,
+            )
+            try:
+                total = lib.ves_fx_num_extents(fx)
+                ext = np.ctypeslib.as_array(
+                    lib.ves_fx_extents(fx), (max(total, 1),))[:total].copy()
+                fx_offs = np.ctypeslib.as_array(
+                    lib.ves_fx_offsets(fx), (n + 1,)).copy()
+                fx_status = np.ctypeslib.as_array(
+                    lib.ves_fx_status(fx), (max(n, 1),))[:n].copy()
+            finally:
+                lib.ves_fx_free(fx)
+            for i in range(n):
+                if statuses[i] == 2:
+                    continue
+                if fx_status[i] == 0:
+                    vecs[i] = ext[fx_offs[i]:fx_offs[i + 1]]
+                    statuses[i] = 0
+    finally:
+        lib.ves_free(handle)
+
+    if python_fallback:
+        from ..features.extent import extent_vector
+        from .serde import MeasureInput
+        from .task import SearchTask
+
+        tasks = [SearchTask(wk, tgt)
+                 for wk, tgt in zip(raw.task_workload, raw.task_target)]
+        for i in range(n):
+            if statuses[i] != 1:
+                continue
+            try:
+                inp = MeasureInput(tasks[raw.task_id[i]],
+                                   raw.decode_steps(i))
+                st = inp.recover_state(infer_bound=True)
+                vecs[i] = extent_vector(st)
+                statuses[i] = 0
+            except Exception:
+                statuses[i] = 2
+    return vecs, labels, statuses
