@@ -125,6 +125,7 @@ struct Stage {
   std::vector<std::pair<int, long>> roots;  // (uid, extent)
   std::vector<int8_t> root_is_reduce;
   long auto_unroll = 0;
+  bool is_shared = false;  // shared-scope cache stage
 };
 
 // one parsed step
@@ -140,6 +141,7 @@ struct Step {
   int target_stage_id = 0, target_iter_id = 0;
   long pragma_value = -1;  // auto_unroll value; -1 = other pragma
   bool pragma_skip = false;
+  bool scope_is_shared = false;
 };
 
 enum StepKind {
@@ -329,6 +331,7 @@ void apply_cache_read(State& st, const Step& step) {
     s.roots.emplace_back(u, cache.dims[d]);
     s.root_is_reduce.push_back(0);
   }
+  s.is_shared = step.scope_is_shared;
   int added = src_stage + 1;
   st.stages.insert(st.stages.begin() + added, s);
   st.attach_tgt.insert(st.attach_tgt.begin() + added, -1);
@@ -616,7 +619,8 @@ struct Interval {
 struct InferCtx {
   const State* st;
   std::vector<StageBounds> sb;
-  std::vector<std::vector<long>> full;  // per stage: uid -> extent
+  std::vector<std::vector<long>> full;     // per stage: uid -> extent
+  std::vector<std::vector<long>> relaxed;  // thread-relaxed variant
   int max_uid;
 
   // demanded interval per op dim, filled during demand propagation
@@ -659,21 +663,29 @@ struct InferCtx {
     }
   }
 
-  // demand for everything read inside (consumer stage, attach_pos)
-  void demanded_region(int consumer_id, int attach_pos) {
+  // demand for everything read inside (consumer stage, attach_pos);
+  // relax_threads mirrors te NeedRelax for shared-scope producers
+  // (thread-bound loops outside the attach point span their full range)
+  void demanded_region(int consumer_id, int attach_pos,
+                       bool relax_threads) {
     for (auto& d : demand) d.clear();
     const Stage& stage = st->stages[consumer_id];
-    const std::vector<long>& f = full[consumer_id];
+    const std::vector<long>& f =
+        relax_threads ? relaxed[consumer_id] : full[consumer_id];
 
-    std::vector<long> local(max_uid, -1);
-    for (int u = 0; u < max_uid; ++u) local[u] = -1;
-    // copy full as base for known uids
-    local = f;
+    std::vector<long> local = f;
     for (size_t pos = 0; pos < stage.iters.size(); ++pos) {
       long e = f[stage.iters[pos].uid];
       if (e < 0) e = stage.iters[pos].extent >= 0 ? stage.iters[pos].extent : 1;
-      local[stage.iters[pos].uid] =
-          static_cast<int>(pos) <= attach_pos ? 1 : e;
+      int ann = stage.iters[pos].annotation;
+      bool pinned = static_cast<int>(pos) <= attach_pos;
+      // vthread / threadIdx.* relax; blockIdx never does
+      if (pinned && relax_threads &&
+          (ann == ANN_VTHREAD || ann == ANN_THREAD_X ||
+           ann == ANN_THREAD_Y || ann == ANN_THREAD_Z)) {
+        pinned = false;
+      }
+      local[stage.iters[pos].uid] = pinned ? 1 : e;
     }
     sb[consumer_id].pass_up_local(stage, f, local);
 
@@ -717,6 +729,7 @@ bool infer_and_extract(State& st, std::vector<float>& extents,
   ctx.max_uid = max_uid;
   ctx.sb.resize(st.stages.size());
   ctx.full.assign(st.stages.size(), {});
+  ctx.relaxed.assign(st.stages.size(), {});
   ctx.demand.assign(st.ops.size(), {});
   for (size_t i = 0; i < st.stages.size(); ++i) {
     ctx.sb[i].build(st, st.stages[i], max_uid);
@@ -743,16 +756,38 @@ bool infer_and_extract(State& st, std::vector<float>& extents,
 
   std::vector<int> order;  // visit order for extraction
 
-  std::function<void(int, std::vector<long>&)> process =
-      [&](int sid, std::vector<long>& root_ext) {
+  auto roots_from_demand = [&](const Stage& a_stage) {
+    std::vector<long> roots(max_uid, -1);
+    const std::vector<Interval>& dem = ctx.demand[a_stage.op];
+    for (size_t i = 0; i < a_stage.roots.size(); ++i) {
+      long fullext = a_stage.roots[i].second;
+      if (!a_stage.root_is_reduce[i] && i < dem.size() &&
+          dem[i].hi >= dem[i].lo) {
+        roots[a_stage.roots[i].first] =
+            std::min(dem[i].hi - dem[i].lo + 1, fullext);
+      } else {
+        roots[a_stage.roots[i].first] = fullext;
+      }
+    }
+    return roots;
+  };
+
+  std::function<void(int, std::vector<long>&, std::vector<long>&)> process =
+      [&](int sid, std::vector<long>& root_ext,
+          std::vector<long>& relaxed_root_ext) {
         Stage& stage = st.stages[sid];
-        std::vector<long> ext(max_uid, -1);
+        std::vector<long> ext(max_uid, -1), rext(max_uid, -1);
         for (auto& kv : stage.roots) {
           ext[kv.first] = root_ext[kv.first] >= 0 ? root_ext[kv.first]
                                                   : kv.second;
+          rext[kv.first] =
+              relaxed_root_ext[kv.first] >= 0 ? relaxed_root_ext[kv.first]
+                                              : kv.second;
         }
         ctx.sb[sid].pass_down(stage, ext);
+        ctx.sb[sid].pass_down(stage, rext);
         ctx.full[sid] = ext;
+        ctx.relaxed[sid] = rext;
         // assign ranges
         for (auto& it : stage.iters) {
           long e = ext[it.uid];
@@ -761,22 +796,12 @@ bool infer_and_extract(State& st, std::vector<float>& extents,
         // recurse into attachments per position
         for (auto& pa : attached[sid]) {
           int pos = pa.first, a_sid = pa.second;
-          ctx.demanded_region(sid, pos);
           Stage& a_stage = st.stages[a_sid];
-          std::vector<long> roots(max_uid, -1);
-          const std::vector<Interval>& dem = ctx.demand[a_stage.op];
-          const OpDesc& a_op = st.ops[a_stage.op];
-          for (size_t i = 0; i < a_stage.roots.size(); ++i) {
-            long fullext = a_stage.roots[i].second;
-            if (!a_stage.root_is_reduce[i] && i < dem.size() &&
-                dem[i].hi >= dem[i].lo) {
-              roots[a_stage.roots[i].first] =
-                  std::min(dem[i].hi - dem[i].lo + 1, fullext);
-            } else {
-              roots[a_stage.roots[i].first] = fullext;
-            }
-          }
-          process(a_sid, roots);
+          ctx.demanded_region(sid, pos, a_stage.is_shared);
+          std::vector<long> roots = roots_from_demand(a_stage);
+          ctx.demanded_region(sid, pos, true);
+          std::vector<long> r_roots = roots_from_demand(a_stage);
+          process(a_sid, roots, r_roots);
         }
       };
 
@@ -784,7 +809,8 @@ bool infer_and_extract(State& st, std::vector<float>& extents,
     Stage& stage = st.stages[sid];
     if (st.ops[stage.op].kind == 0 || stage.compute_at != AT_ROOT) continue;
     std::vector<long> roots(max_uid, -1);
-    process(static_cast<int>(sid), roots);
+    std::vector<long> roots2(max_uid, -1);
+    process(static_cast<int>(sid), roots, roots2);
   }
 
   // extraction in print order
@@ -906,10 +932,15 @@ bool decode_steps(const int32_t* toks, int64_t begin, int64_t end,
       case S_CR:
         s.stage_id = args[0];
         break;
-      case S_CHR:  // [stage, "scope", [reader_ids]]
+      case S_CHR: {  // [stage, "scope", [reader_ids]]
         s.stage_id = args[0];
         s.ids = lists.empty() ? std::vector<int>{} : lists[0];
+        if (!str_ids.empty()) {
+          const char* sc = pool + str_offs[str_ids[0]];
+          s.scope_is_shared = strcmp(sc, "shared") == 0;
+        }
         break;
+      }
       case S_CHW:  // [stage, "scope"]
         s.stage_id = args[0];
         break;

@@ -138,13 +138,25 @@ def _root_extent_map(stage: Stage) -> Dict[int, int]:
     return {uid: dim.extent for uid, dim in stage.root_of.items()}
 
 
+_RELAXABLE_THREADS = frozenset(
+    {4, 6, 8, 10}  # vthread, threadIdx.x/y/z — blockIdx never relaxes
+)
+
+
 def _demanded_region(state: State, consumer_id: int, attach_pos: int,
                      bounds_cache: Dict[int, _StageBounds],
-                     full_extents: Dict[int, Dict[int, int]]):
+                     full_extents: Dict[int, Dict[int, int]],
+                     relax_threads: bool = False):
     """Intervals demanded of every tensor read inside the attach point of
     ``consumer_id`` at iterator position ``attach_pos`` (inclusive scope:
     loops strictly inside the attach iterator), propagated through inlined
-    stages. Returns {op_uid: [Interval per dim]}."""
+    stages. Returns {op_uid: [Interval per dim]}.
+
+    ``relax_threads``: thread-bound loops outside the attach point span
+    their full range instead of being pinned — te's NeedRelax semantics
+    for shared-scope producers (shared memory is block-cooperative, so a
+    shared cache must cover every thread's slice).
+    """
     consumer = state.stages[consumer_id]
     sb = bounds_cache[consumer_id]
     # the consumer's inferred extent map (roots possibly demand-clipped)
@@ -154,7 +166,10 @@ def _demanded_region(state: State, consumer_id: int, attach_pos: int,
     leaf_local = {}
     for pos, it in enumerate(consumer.iters):
         e = full.get(it.uid, it.extent or 1)
-        leaf_local[it.uid] = 1 if pos <= attach_pos else e
+        pinned = pos <= attach_pos
+        if pinned and relax_threads and it.annotation in _RELAXABLE_THREADS:
+            pinned = False
+        leaf_local[it.uid] = 1 if pinned else e
     local = sb.pass_up_local(full, leaf_local)
 
     # env: consumer's root dim vars -> local intervals
@@ -221,6 +236,8 @@ def infer_bound(dag, state: State) -> State:
     bounds_cache = {sid: _StageBounds(s) for sid, s in enumerate(out.stages)}
     # inferred extent map (every uid incl. intermediates) per stage
     full_extents: Dict[int, Dict[int, int]] = {}
+    # thread-relaxed variant, used for shared-scope cache demands
+    relaxed_extents: Dict[int, Dict[int, int]] = {}
 
     def assign_ranges(sid: int, ext: Dict[int, int]):
         stage = out.stages[sid]
@@ -232,10 +249,27 @@ def infer_bound(dag, state: State) -> State:
             new_iters.append(it.with_range((0, e)))
         stage.iters = new_iters
 
-    def process(sid: int, root_extents: Dict[int, int]):
+    def demand_roots(a_stage, demands):
+        roots = _root_extent_map(a_stage)
+        if isinstance(a_stage.op, ComputeOp):
+            dem = demands.get(a_stage.op.uid)
+            if dem is not None:
+                # spatial dims take demanded extents; reduce dims full
+                dim_to_uid = {
+                    id(dim): uid for uid, dim in a_stage.root_of.items()
+                }
+                for d, ax in enumerate(a_stage.op.axes):
+                    uid = dim_to_uid.get(id(ax))
+                    if uid is not None and d < len(dem):
+                        roots[uid] = min(dem[d].extent, ax.extent)
+        return roots
+
+    def process(sid: int, root_extents: Dict[int, int],
+                relaxed_roots: Dict[int, int]):
         sb = bounds_cache[sid]
         ext = sb.pass_down(root_extents)
         full_extents[sid] = ext
+        relaxed_extents[sid] = sb.pass_down(relaxed_roots)
         assign_ranges(sid, ext)
         # recurse into attached stages at each iterator position
         stage = out.stages[sid]
@@ -244,26 +278,28 @@ def infer_bound(dag, state: State) -> State:
             if not attached:
                 continue
             for a_sid in attached:
-                demands = _demanded_region(out, sid, pos, bounds_cache,
-                                           full_extents)
                 a_stage = out.stages[a_sid]
-                roots = _root_extent_map(a_stage)
-                if isinstance(a_stage.op, ComputeOp):
-                    dem = demands.get(a_stage.op.uid)
-                    if dem is not None:
-                        # spatial dims take demanded extents; reduce dims full
-                        dim_to_uid = {
-                            id(dim): uid for uid, dim in a_stage.root_of.items()
-                        }
-                        for d, ax in enumerate(a_stage.op.axes):
-                            uid = dim_to_uid.get(id(ax))
-                            if uid is not None and d < len(dem):
-                                roots[uid] = min(dem[d].extent, ax.extent)
-                process(a_sid, roots)
+                is_shared = isinstance(a_stage.op, ComputeOp) and \
+                    a_stage.op.name.endswith(".shared")
+                # shared-scope caches see the thread-relaxed region
+                demands = _demanded_region(
+                    out, sid, pos, bounds_cache,
+                    relaxed_extents if is_shared else full_extents,
+                    relax_threads=is_shared,
+                )
+                roots = demand_roots(a_stage, demands)
+                # the relaxed chain always relaxes threads
+                relax_dem = _demanded_region(
+                    out, sid, pos, bounds_cache, relaxed_extents,
+                    relax_threads=True,
+                )
+                r_roots = demand_roots(a_stage, relax_dem)
+                process(a_sid, roots, r_roots)
 
     for sid, stage in enumerate(out.stages):
         if stage.op_type == "placeholder" or stage.compute_at != AT_ROOT:
             continue
-        process(sid, _root_extent_map(stage))
+        roots = _root_extent_map(stage)
+        process(sid, roots, dict(roots))
 
     return out

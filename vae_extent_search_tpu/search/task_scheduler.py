@@ -220,3 +220,74 @@ class TaskScheduler:
         self.cur_score = self._compute_score(self.best_costs)
         for cb in self.callbacks:
             cb.callback(self)
+
+
+def restore_status_from_log(scheduler: TaskScheduler, log_file: str):
+    """Rebuild per-task trial counts and best costs from an existing log
+    (reference task_scheduler.py:386-388,150 _restore_status)."""
+    import os
+
+    from ..records.serde import iter_records
+
+    if not os.path.exists(log_file):
+        return scheduler
+    key_to_idx = {t.workload_key: i for i, t in enumerate(scheduler.tasks)}
+    counts = [0] * len(scheduler.tasks)
+    for rec in iter_records(log_file):
+        idx = key_to_idx.get(rec.inp.task.workload_key)
+        if idx is None or rec.res.error_no != 0:
+            continue
+        counts[idx] += 1
+        cost = rec.res.mean_cost
+        if cost < scheduler.best_costs[idx]:
+            scheduler.best_costs[idx] = cost
+    for i, c in enumerate(counts):
+        if c:
+            scheduler.task_cts[i] = max(
+                1, c // max(1, getattr(scheduler, "num_measures_per_round", 64))
+            )
+            scheduler.task_costs_history[i].append(
+                float(scheduler.best_costs[i])
+            )
+    scheduler.cur_score = scheduler._compute_score(scheduler.best_costs)
+    return scheduler
+
+
+def transfer_tune(scheduler: TaskScheduler, tune_option,
+                  cost_model=None, **tune_kwargs):
+    """Two-stage tuning: tune half the tasks, update the shared cost model
+    on the collected measurements, then tune the rest with the refit model
+    (reference task_scheduler.py:498-583 transfer_tune with the
+    plus_mix_task delta refit)."""
+    import copy
+
+    n = len(scheduler.tasks)
+    half = max(1, n // 2)
+    first = TaskScheduler(
+        scheduler.tasks[:half], scheduler.task_weights[:half],
+        strategy=scheduler.strategy, callbacks=[],
+    )
+    opts1 = copy.copy(tune_option)
+    opts1.num_measure_trials = tune_option.num_measure_trials // 2
+    first.tune(opts1, **tune_kwargs)
+
+    if cost_model is not None and hasattr(cost_model, "update"):
+        # refit from everything measured so far
+        cost_model.update(None, None)
+
+    second = TaskScheduler(
+        scheduler.tasks[half:], scheduler.task_weights[half:],
+        strategy=scheduler.strategy, callbacks=[],
+    )
+    opts2 = copy.copy(tune_option)
+    opts2.num_measure_trials = (
+        tune_option.num_measure_trials - opts1.num_measure_trials
+    )
+    second.tune(opts2, **tune_kwargs)
+
+    # merge results back
+    scheduler.best_costs[:half] = first.best_costs
+    scheduler.best_costs[half:] = second.best_costs
+    scheduler.ct = first.ct + second.ct
+    scheduler.cur_score = scheduler._compute_score(scheduler.best_costs)
+    return scheduler
