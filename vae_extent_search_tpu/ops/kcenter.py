@@ -83,3 +83,46 @@ def k_center_greedy_blocked(z_norm: jnp.ndarray, cand_mask: jnp.ndarray,
              jnp.zeros((k,), bool))
     _, _, sel, val = jax.lax.fori_loop(0, k, body, state)
     return sel, val
+
+
+@functools.partial(jax.jit, static_argnames=("max_centers",))
+def min_dists_to_centers_gathered(z: jnp.ndarray, center_mask: jnp.ndarray,
+                                  max_centers: int = 4096) -> jnp.ndarray:
+    """min-dists via gathering up to ``max_centers`` center rows — one
+    [N, C] distance matmul instead of scanning all N columns. Exact when
+    the center count fits the bound; beyond it, surplus centers are
+    ignored (k-center diversity degrades gracefully)."""
+    n = z.shape[0]
+    idx = jnp.where(center_mask, size=max_centers, fill_value=0)[0]
+    valid = center_mask[idx]
+    centers = z[idx]
+    d = _dist_block(z, centers)  # [N, C]
+    d = jnp.where(valid[None, :], d, jnp.inf)
+    return d.min(axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_centers"))
+def k_center_greedy_gathered(z_norm: jnp.ndarray, cand_mask: jnp.ndarray,
+                             center_mask: jnp.ndarray, k: int,
+                             max_centers: int = 4096):
+    """k-center greedy with gathered-center initialization."""
+    min_dists = min_dists_to_centers_gathered(z_norm, center_mask,
+                                              max_centers)
+
+    def body(i, state):
+        min_dists, avail, sel, val = state
+        score = jnp.where(avail, min_dists, NEG_INF)
+        j = jnp.argmax(score)
+        ok = score[j] > NEG_INF / 2
+        sel = sel.at[i].set(jnp.int32(j))
+        val = val.at[i].set(ok)
+        avail = avail.at[j].set(False)
+        d_new = jnp.sqrt(
+            jnp.maximum(jnp.sum((z_norm - z_norm[j]) ** 2, -1), 0.0)
+        )
+        return (jnp.minimum(min_dists, d_new), avail, sel, val)
+
+    state = (min_dists, cand_mask, jnp.zeros((k,), jnp.int32),
+             jnp.zeros((k,), bool))
+    _, _, sel, val = jax.lax.fori_loop(0, k, body, state)
+    return sel, val

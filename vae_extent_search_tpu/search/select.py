@@ -148,6 +148,7 @@ class SelectionConfig(NamedTuple):
     uncertainty_topk: int = 128
     topk_factor: int = 5
     dropout_rate: float = 0.1
+    max_centers: int = 4096
 
     @property
     def budget(self) -> int:
@@ -229,12 +230,15 @@ def select_programs(params: Dict, X: jnp.ndarray, used_mask: jnp.ndarray,
     picked = scatter_set(picked, ui, uv)
 
     # 6. latent diversity (k-center greedy), centers = used + picked
-    # (blocked variant: no [N, N] distance matrix — see ops/kcenter.py)
-    from ..ops.kcenter import k_center_greedy_blocked
+    # (gathered-centers variant: one [N, C] matmul, C = cfg.max_centers —
+    # see ops/kcenter.py)
+    from ..ops.kcenter import k_center_greedy_gathered
 
     z_norm = l2_normalize(mu)
-    di, dv = k_center_greedy_blocked(z_norm, cand_mask, used_mask | picked,
-                                     cfg.n_div) if cfg.n_div \
+    di, dv = k_center_greedy_gathered(
+        z_norm, cand_mask, used_mask | picked, cfg.n_div,
+        max_centers=cfg.max_centers,
+    ) if cfg.n_div \
         else (jnp.zeros((0,), jnp.int32), jnp.zeros((0,), bool))
     picked = scatter_set(picked, di, dv)
 
