@@ -149,3 +149,26 @@ def test_blocked_kcenter_matches_full():
     s2, v2 = k_center_greedy_blocked(z, cand, centers, 8, block=64)
     assert (np.asarray(s1) == np.asarray(s2)).all()
     assert bool(v1.all()) and bool(v2.all())
+
+
+def test_pallas_segment_sum_interpret():
+    """Pallas ragged segment-sum kernel == jax.ops.segment_sum (interpreter
+    mode so the suite covers it on the CPU mesh)."""
+    from vae_extent_search_tpu.ops.segment_sum_pallas import (
+        pad_for_pallas,
+        segment_ids_to_offsets,
+        segment_sum_pallas,
+    )
+
+    rng = np.random.default_rng(1)
+    S, H, MAXR = 24, 128, 16
+    counts = rng.integers(1, 9, size=S)
+    seg_ids = np.repeat(np.arange(S), counts)
+    feats = rng.normal(size=(int(counts.sum()), H)).astype(np.float32)
+    offs = segment_ids_to_offsets(seg_ids, S)
+    fp, fo, S2 = pad_for_pallas(feats, offs, MAXR)
+    ref = jax.ops.segment_sum(jnp.asarray(feats), jnp.asarray(seg_ids),
+                              num_segments=S)
+    out = segment_sum_pallas(jnp.asarray(fp), jnp.asarray(fo), S2, MAXR,
+                             interpret=True)[:S]
+    assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
