@@ -217,22 +217,37 @@ def _fuse_into_consumer(st: State, stage_id: int, target: int,
     st.compute_at(stage_id, target, attach_pos)
 
 
-def generate_sketches(task: SearchTask, seed: int = 0) -> List[State]:
-    """Walk stages last-to-first, applying: AlwaysInline for strictly
-    inlineable non-output stages; MultiLevelTilingWithFusion when a tilable
-    stage has a fusible (elementwise) consumer; plain MultiLevelTiling
-    otherwise; on GPU additionally AddCacheRead("shared") for the tiled
-    stage's inputs attached at the end of the first reduce level
-    (sketch_policy.cc:96-147 rule order, GPU rules :128-138)."""
+def _needs_rfactor(op: ComputeOp, num_cores: int = 8) -> bool:
+    """AddRfactor applies when the reduction dominates a small spatial
+    domain (sketch_policy_rules.cc AddRfactor condition: the space domain
+    can't fill the cores)."""
+    space = 1
+    for d in op.axes:
+        space *= d.extent
+    red = 1
+    for d in op.reduce_axes:
+        red *= d.extent
+    return space < num_cores and red >= 16
+
+
+def _generate_main_sketch(task: SearchTask, use_rfactor: bool = False,
+                          cross_thread: bool = False,
+                          fuse_level: int = None) -> State:
+    """One sketch: AlwaysInline for strictly inlineable non-output stages;
+    for tilable stages MultiLevelTilingWithFusion (or AddCacheWrite when
+    no fusible consumer exists — the cache copy becomes the consumer), GPU
+    AddCacheRead("shared"); optionally the AddRfactor / CrossThreadReduction
+    alternatives for reduction-heavy small-spatial stages
+    (sketch_policy.cc:96-147 rule order)."""
     dag = task.compute_dag
     analysis = AccessAnalysis(dag)
     is_gpu = task.is_gpu
     structure = "SSSRRSRS" if is_gpu else "SSRSRS"
-    n_split = 3 if is_gpu else 2
+    n_split = fuse_level if fuse_level is not None else (3 if is_gpu else 2)
     n_space_levels = structure.count("S")
 
     st = dag.init_state.copy()
-    st.tiled_stage_split_ids = {}  # op uid -> spatial split step ids
+    st.tiled_stage_split_ids = {}  # op name -> spatial split step ids
     stage_id = len(st.stages) - 1
     while stage_id >= 0:
         stage = st.stages[stage_id]
@@ -248,49 +263,143 @@ def generate_sketches(task: SearchTask, seed: int = 0) -> List[State]:
             st.compute_inline(stage_id)
             stage_id -= 1
             continue
-        if analysis.needs_multi_level_tiling.get(uid):
-            consumers = analysis.consumers(st, stage_id)
-            fusible = [
-                c
-                for c in consumers
-                if analysis.is_output.get(st.stages[c].op.uid)
-                and st.stages[c].compute_at == AT_ROOT
-                and not st.stages[c].op.reduce_axes
-            ]
-            split_ids = do_multi_level_tiling(st, stage_id, structure)
-            # keyed by op NAME: cache-read steps clone downstream ops (new
-            # uids) but preserve names
-            st.tiled_stage_split_ids[op.name] = split_ids
-            n_axes = len(split_ids)
-            if fusible:
-                _fuse_into_consumer(st, stage_id, fusible[0], split_ids,
-                                    n_split)
-            if is_gpu:
-                # AddCacheRead: shared caches for the tiled stage's inputs,
-                # attached at the last iterator of the first reduce level
-                n_reduce_axes = len(op.reduce_axes)
-                attach_pos = n_space_levels * n_axes + n_reduce_axes - 1
-                inputs = [
-                    t for t in op.input_tensors()
-                ]
-                for tensor in inputs:
-                    # find the producer stage id in the current state
-                    src_sid = None
-                    for sid2, s2 in enumerate(st.stages):
-                        if s2.op.uid == tensor.op.uid and \
-                                s2.compute_at != AT_INLINED:
-                            src_sid = sid2
-                            break
-                    if src_sid is None:
-                        continue
-                    added = st.cache_read(src_sid, "shared", [stage_id])
-                    # ids after insertion: our stage shifted if behind
-                    tgt = stage_id + 1 if stage_id >= added else stage_id
-                    st.compute_at(added, tgt, attach_pos)
-                    if stage_id >= added:
-                        stage_id += 1
+        if not analysis.needs_multi_level_tiling.get(uid):
+            if op.reduce_axes and _needs_rfactor(
+                op, task.hardware_params.num_cores
+            ):
+                if use_rfactor and not is_gpu:
+                    # AddRfactor (sketch_policy_rules.cc:248-300): fuse all
+                    # reduce iters, split, rfactor the outer part. The
+                    # split factor is applied concretely then reset to
+                    # undefined so init-population samples it (the
+                    # reference's rfactor hack, sketch_policy.cc:355-378).
+                    red_pos = [
+                        i for i, it in enumerate(stage.iters)
+                        if it.kind != KIND_SPATIAL
+                    ]
+                    if len(red_pos) >= 1:
+                        if len(red_pos) > 1:
+                            st.fuse(stage_id, red_pos)
+                        st.split(stage_id, red_pos[0], [4])
+                        st.rfactor(stage_id, red_pos[0], 0)
+                        from ..ir.steps import SplitStep as _SP
+
+                        sp = st.transform_steps[-2]
+                        st.transform_steps[-2] = _SP(
+                            sp.stage_id, sp.iter_id, sp.extent, [None],
+                            sp.inner_to_outer,
+                        )
+                        stage_id += 1  # rfactor inserted a stage before
+                elif cross_thread and is_gpu:
+                    # CrossThreadReduction (sketch_policy_rules.cc:372-420):
+                    # fuse reduce iters and bind them to threadIdx.x
+                    red_pos = [
+                        i for i, it in enumerate(stage.iters)
+                        if it.kind != KIND_SPATIAL
+                    ]
+                    if red_pos:
+                        fused = (
+                            st.fuse(stage_id, red_pos)
+                            if len(red_pos) > 1
+                            else stage.iters[red_pos[0]]
+                        )
+                        parts = st.split(
+                            stage_id, fused,
+                            [task.hardware_params.warp_size],
+                        )
+                        st.bind(stage_id, parts[1], "threadIdx.x")
+            stage_id -= 1
+            continue
+
+        consumers = analysis.consumers(st, stage_id)
+        fusible = [
+            c
+            for c in consumers
+            if analysis.is_output.get(st.stages[c].op.uid)
+            and st.stages[c].compute_at == AT_ROOT
+            and not st.stages[c].op.reduce_axes
+        ]
+        if not fusible:
+            # AddCacheWrite: [cache compute at stage_id, copy at
+            # stage_id + 1]; the copy becomes the fusion consumer
+            scope = "local" if is_gpu else "global"
+            st.cache_write(stage_id, scope)
+            fusible = [stage_id + 1]
+
+        stage = st.stages[stage_id]
+        op = stage.op
+        split_ids = do_multi_level_tiling(st, stage_id, structure)
+        # keyed by op NAME: cache-read steps clone downstream ops (new
+        # uids) but preserve names
+        st.tiled_stage_split_ids[op.name] = split_ids
+        n_axes = len(split_ids)
+        if fusible:
+            _fuse_into_consumer(st, stage_id, fusible[0], split_ids, n_split)
+        if is_gpu:
+            # AddCacheRead: shared caches for the tiled stage's inputs,
+            # attached at the last iterator of the first reduce level
+            n_reduce_axes = len(op.reduce_axes)
+            attach_pos = n_space_levels * n_axes + n_reduce_axes - 1
+            for tensor in op.input_tensors():
+                # find the producer stage id in the current state
+                src_sid = None
+                for sid2, s2 in enumerate(st.stages):
+                    if s2.op.uid == tensor.op.uid and \
+                            s2.compute_at != AT_INLINED:
+                        src_sid = sid2
+                        break
+                if src_sid is None:
+                    continue
+                added = st.cache_read(src_sid, "shared", [stage_id])
+                # ids after insertion: our stage shifted if behind
+                tgt = stage_id + 1 if stage_id >= added else stage_id
+                st.compute_at(added, tgt, attach_pos)
+                if stage_id >= added:
+                    stage_id += 1
         stage_id -= 1
-    return [st]
+    return st
+
+
+def generate_sketches(task: SearchTask, seed: int = 0) -> List[State]:
+    """All sketch variants for the task (the reference's rule BFS yields
+    multiple sketches; we enumerate the rule alternatives explicitly):
+    one per consumer-fusion level (CPU levels {1, 2}, GPU {3} — the
+    reference's follow_tiling_levels) plus the rfactor /
+    cross-thread-reduction alternative when a small-spatial reduction
+    qualifies."""
+    levels = [3] if task.is_gpu else [2, 1]
+    sketches = []
+    seen = set()
+    for lv in levels:
+        try:
+            sk = _generate_main_sketch(task, fuse_level=lv)
+        except Exception:
+            continue
+        key = sk.to_str()
+        if key not in seen:
+            seen.add(key)
+            sketches.append(sk)
+    if not sketches:
+        sketches = [_generate_main_sketch(task)]
+    dag = task.compute_dag
+    # rfactor / cross-thread-reduction alternatives when some stage
+    # qualifies
+    has_small_reduce = any(
+        isinstance(op, ComputeOp) and op.reduce_axes
+        and _needs_rfactor(op, task.hardware_params.num_cores)
+        for op in dag.ops
+    )
+    if has_small_reduce:
+        try:
+            alt = _generate_main_sketch(
+                task, use_rfactor=not task.is_gpu,
+                cross_thread=task.is_gpu,
+            )
+            if alt.to_str() not in {sk.to_str() for sk in sketches}:
+                sketches.append(alt)
+        except Exception:
+            pass
+    return sketches
 
 
 def init_thread_bind(state: State, task: SearchTask,
@@ -541,6 +650,45 @@ def mutate_tile_size(state: State, rng: random.Random,
     return None
 
 
+def mutate_parallel(state: State, task: SearchTask,
+                    rng: random.Random) -> Optional[State]:
+    """Re-sample the outer fuse+parallel granularity of a root stage
+    (MutateParallel, sketch_policy_rules.cc:1118): find a trailing
+    FuseStep whose fused iterator is parallel-annotated and change the
+    number of fused outer iterators."""
+    from ..ir.steps import AnnotationStep, FuseStep
+
+    steps = state.transform_steps
+    for i in range(len(steps) - 1, 0, -1):
+        st_i = steps[i]
+        if not (isinstance(st_i, AnnotationStep) and st_i.annotation == 3):
+            continue
+        prev = steps[i - 1]
+        if not (isinstance(prev, FuseStep)
+                and prev.stage_id == st_i.stage_id
+                and st_i.iter_id == prev.fused_ids[0]):
+            continue
+        n_old = len(prev.fused_ids)
+        choices = [n for n in (1, 2, 3, 4) if n != n_old]
+        n_new = rng.choice(choices)
+        recs = [s.to_record() for s in steps]
+        base = prev.fused_ids[0]
+        if n_new == 1:
+            # drop the fuse, annotate the bare iterator
+            recs[i - 1:i + 1] = [
+                AnnotationStep(st_i.stage_id, base, 3).to_record()
+            ]
+        else:
+            recs[i - 1] = FuseStep(
+                prev.stage_id, list(range(base, base + n_new))
+            ).to_record()
+        try:
+            return state.dag.apply_steps(recs)
+        except Exception:
+            return None
+    return None
+
+
 def mutate_auto_unroll(state: State, task: SearchTask,
                        rng: random.Random) -> Optional[State]:
     pragma_ids = [
@@ -691,13 +839,18 @@ class SketchPolicy:
                     int(np.searchsorted(np.cumsum(probs), self.rng.random()))
                 ]
                 if self.rng.random() < mut_prob:
-                    if self.rng.random() < 0.9:
+                    # mutation weights mirror sketch_policy.cc:113-151
+                    # (tile .90, unroll .04-.10, parallel .01; no crossover)
+                    r = self.rng.random()
+                    if r < 0.90:
                         child = mutate_tile_size(
                             parent, self.rng,
                             self.params["max_innermost_split_factor"],
                         )
-                    else:
+                    elif r < 0.99:
                         child = mutate_auto_unroll(parent, self.task, self.rng)
+                    else:
+                        child = mutate_parallel(parent, self.task, self.rng)
                     if child is not None:
                         nxt.append(child)
                 else:
