@@ -263,8 +263,9 @@ class MLPModelInternal:
         va = [int(i) for i in perm[:n_val]]
 
         key = jax.random.PRNGKey(self.seed)
-        self.params = init_segment_mlp_params(key, self.in_dim,
-                                              self.hidden_dim)
+        if self.params is None:
+            self.params = init_segment_mlp_params(key, self.in_dim,
+                                                  self.hidden_dim)
         optimizer, step = self._make_step()
         opt_state = optimizer.init(self.params)
 
@@ -582,3 +583,69 @@ def fit_segment_vae(params, features, segment_ids, valid, key, n_seg: int,
         step, (params, opt_state, key), None, length=epochs
     )
     return params, losses
+
+
+def few_shot_fit(base_cls, features_by_task, labels_by_task,
+                 mode: str = "base_only", in_dim: int = 164,
+                 fine_tune_epochs: int = 30, **model_kw):
+    """Few-shot training modes over per-task datasets (reference
+    mlp_model.py:422-510,683-786: base_only / local_only_mix_task /
+    fine_tune_mix_task / plus_mix_task).
+
+    Returns {task: model-like with predict_on_features} plus a "__base__"
+    entry when a shared base model exists.
+    """
+    all_feats, all_labels = [], []
+    for t in features_by_task:
+        all_feats.extend(features_by_task[t])
+        all_labels.extend(labels_by_task[t])
+
+    models = {}
+    if mode in ("base_only", "fine_tune", "plus"):
+        base = base_cls(in_dim=in_dim, **model_kw)
+        base.fit_base(all_feats, np.asarray(all_labels, np.float32))
+        models["__base__"] = base
+        if mode == "base_only":
+            for t in features_by_task:
+                models[t] = base
+            return models
+
+    for t in features_by_task:
+        feats = features_by_task[t]
+        labels = np.asarray(labels_by_task[t], np.float32)
+        if mode == "local":
+            local = base_cls(in_dim=in_dim, **model_kw)
+            local.fit_base(feats, labels)
+            models[t] = local
+        elif mode == "fine_tune":
+            import copy
+
+            ft = copy.copy(models["__base__"])
+            ft.n_epoch = fine_tune_epochs
+            # warm-start from the base parameters
+            ft.params = models["__base__"].params
+            ft.fea_norm_vec = models["__base__"].fea_norm_vec
+            ft.fit_base(feats, labels)
+            models[t] = ft
+        elif mode == "plus":
+            base = models["__base__"]
+            residual = base_cls(in_dim=in_dim, **model_kw)
+            base_pred = base.predict_on_features(feats)
+            base_pred = np.where(np.isfinite(base_pred), base_pred, 0.0)
+            residual.fit_base(feats, labels - base_pred)
+
+            class _Plus:
+                def __init__(self, b, r):
+                    self.b, self.r = b, r
+
+                def predict_on_features(self, fl):
+                    pb = self.b.predict_on_features(fl)
+                    pr = self.r.predict_on_features(fl)
+                    return np.where(
+                        np.isfinite(pb) & np.isfinite(pr), pb + pr, -np.inf
+                    )
+
+            models[t] = _Plus(base, residual)
+        else:
+            raise ValueError(f"unknown few-shot mode {mode}")
+    return models

@@ -1,0 +1,143 @@
+"""In-search cost-model wrappers.
+
+Parity target: python/tvm/auto_scheduler/cost_model/cost_model.py
+(PythonBasedModel: the C++ evolutionary search calls back into the Python
+model's predict per GA iteration) and the in-search wrappers
+MLPModel (mlp_model.py:814-846) / XGBModel: featurize candidate states
+with the per-store extractor and score them; update() refits on measured
+records; unlowerable states score -inf.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from ..features.per_store import get_per_store_features_from_states
+from ..records.task import SearchTask
+from .sketch import PythonCostModel, RandomCostModel  # noqa: F401
+
+
+class LearnedCostModel(PythonCostModel):
+    """Wraps a fit/predict model (MLPModelInternal / GBDTModelInternal /
+    SequenceModelInternal) behind the search-callback interface."""
+
+    def __init__(self, internal=None, kind: str = "mlp",
+                 few_shot_learning: str = "base_only"):
+        if internal is None:
+            if kind == "mlp":
+                from ..models.segment import MLPModelInternal
+
+                internal = MLPModelInternal()
+            elif kind == "gbdt":
+                from ..models.gbdt import GBDTModelInternal
+
+                internal = GBDTModelInternal()
+            else:
+                from ..models.variants import SequenceModelInternal
+
+                internal = SequenceModelInternal(arch=kind)
+        self.internal = internal
+        self.few_shot_learning = few_shot_learning
+        self._inputs: List = []
+        self._results: List = []
+
+    # ---------------- search-side interface -------------------------
+
+    def update(self, inputs, results):
+        """Refit on all measured pairs so far (reference
+        PythonBasedModel.update -> model.update)."""
+        if inputs:
+            self._inputs.extend(inputs)
+            self._results.extend(results)
+        if not self._inputs:
+            return
+        from ..features.per_store import (
+            get_per_store_features_from_measure_pairs,
+        )
+
+        feats, throughputs, task_ids, min_costs = (
+            get_per_store_features_from_measure_pairs(
+                self._inputs, self._results
+            )
+        )
+        keep = [i for i, f in enumerate(feats) if len(f) and np.any(f)]
+        if len(keep) < 8:
+            return
+        self.internal.fit_base(
+            [feats[i] for i in keep], throughputs[keep]
+        )
+
+    def update_from_file(self, path: str, max_lines: Optional[int] = None):
+        """Warm-start from a record log (reference mlp_model.py:848)."""
+        from ..records.serde import load_records
+
+        records = load_records(path, max_lines)
+        self._inputs.extend(r.inp for r in records)
+        self._results.extend(r.res for r in records)
+        self.update(None, None)
+
+    def _is_fit(self) -> bool:
+        return (
+            getattr(self.internal, "params", None) is not None
+            or getattr(self.internal, "model", None) is not None
+        )
+
+    def predict(self, task: SearchTask, states: Sequence) -> np.ndarray:
+        if not self._is_fit():
+            # unfit model scores randomly (reference: an un-updated model
+            # behaves like RandomModel until the first update)
+            rng = np.random.default_rng(0)
+            return rng.random(len(states)).astype(np.float32)
+        feats = get_per_store_features_from_states(states, task)
+        return self.internal.predict_on_features(feats)
+
+    def save(self, path: str):
+        self.internal.save(path)
+
+    @classmethod
+    def load(cls, path: str, kind: str = "mlp"):
+        if kind == "mlp":
+            from ..models.segment import MLPModelInternal
+
+            return cls(MLPModelInternal.load(path), kind)
+        if kind == "gbdt":
+            from ..models.gbdt import GBDTModelInternal
+
+            return cls(GBDTModelInternal.load(path), kind)
+        from ..models.variants import SequenceModelInternal
+
+        return cls(SequenceModelInternal.load(path), kind)
+
+
+def make_search_policies(search_policy: str, tasks, seed: int = 0,
+                         load_model_file: Optional[str] = None,
+                         load_log_file: Optional[str] = None):
+    """Per-task policies for 'sketch.<model>' specs (reference
+    task_scheduler.py:44-172 make_search_policies; '-no-update' suffix
+    freezes a pretrained model)."""
+    from .sketch import SketchPolicy
+
+    kind = "random"
+    no_update = False
+    if "." in search_policy:
+        _, kind = search_policy.split(".", 1)
+        if kind.endswith("-no-update"):
+            kind = kind[: -len("-no-update")]
+            no_update = True
+
+    if kind == "random":
+        model = RandomCostModel(seed)
+    else:
+        if load_model_file:
+            model = LearnedCostModel.load(load_model_file, kind)
+        else:
+            model = LearnedCostModel(kind=kind)
+        if load_log_file:
+            model.update_from_file(load_log_file)
+        if no_update:
+            model.update = lambda *a, **k: None
+    return [
+        SketchPolicy(t, model, seed=seed + i) for i, t in enumerate(tasks)
+    ], model

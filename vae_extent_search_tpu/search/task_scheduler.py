@@ -116,7 +116,7 @@ class TaskScheduler:
 
     # ------------------------------------------------------------------
     def tune(self, tune_option: TuningOptions, search_policy="sketch",
-             search_policy_params=None, policies=None,
+             search_policy_params=None, policies=None, cost_model=None,
              per_task_early_stopping=None):
         n = len(self.tasks)
         self.measurer = ProgramMeasurer(
@@ -125,8 +125,15 @@ class TaskScheduler:
             callbacks=tune_option.measure_callbacks or [],
         )
         self.num_measures_per_round = tune_option.num_measures_per_round
+        self.cost_model = cost_model
         if policies is not None:
             self.search_policies = policies
+        elif isinstance(search_policy, str) and "." in search_policy:
+            from .cost_model import make_search_policies
+
+            self.search_policies, self.cost_model = make_search_policies(
+                search_policy, self.tasks
+            )
         else:
             self.search_policies = [
                 SketchPolicy(t, params=search_policy_params, seed=i)
@@ -208,6 +215,15 @@ class TaskScheduler:
             self.dead_tasks.add(idx)
             return
         results = self.measurer.measure(task, states)
+        if getattr(self, "cost_model", None) is not None:
+            from ..records.serde import MeasureInput
+
+            inputs = [
+                MeasureInput(task, [s.to_record()
+                                    for s in st.transform_steps])
+                for st in states
+            ]
+            self.cost_model.update(inputs, results)
         self.ct += len(states)
         self.task_cts[idx] += 1
         for res in results:
