@@ -99,14 +99,6 @@ class StoreInfo:
     dtype_bytes: int = 4
 
 
-class _StageCtx:
-    __slots__ = ("dim_exprs", "leaf_vars")
-
-    def __init__(self):
-        self.dim_exprs: Dict[int, E.Expr] = {}  # id(IterDim) -> global expr
-        self.leaf_vars: Dict[int, E.Var] = {}
-
-
 def _reconstruct_dim_exprs(stage, zero_inner_after: Optional[int] = None):
     """axis IterDim -> expr over the stage's leaf loop vars (PassUpIndex).
 
@@ -274,7 +266,6 @@ def build_store_infos(state: State, is_gpu: bool = False) -> List[StoreInfo]:
     reduction init store is subsumed by last-write-wins,
     feature.cc:832-834)."""
     infos: List[StoreInfo] = []
-    ctxs: Dict[int, Tuple[Dict, Dict]] = {}
 
     def visit(stage_id: int, outer_loops: List[LoopInfo],
               attach_offsets: Dict[int, E.Expr]):
@@ -286,19 +277,16 @@ def build_store_infos(state: State, is_gpu: bool = False) -> List[StoreInfo]:
             for d_id, off in attach_offsets.items():
                 if d_id in dim_exprs:
                     dim_exprs[d_id] = _simp_add(off, dim_exprs[d_id])
-        ctxs[stage_id] = (dim_exprs, leaf_vars)
 
         # the stage's own loops (non-trivial), in iter order; collect the
         # loop infos for positions and recurse into attachments
         own_loops: List[LoopInfo] = []
-        pos_to_depth = {}
         for pos, it in enumerate(stage.iters):
             ext = it.range[1] if it.range is not None else 1
             if ext != 1:
                 li = LoopInfo(leaf_vars[it.uid], ext, it.annotation,
                               is_thread=it.annotation in _THREAD_ANN)
                 own_loops.append(li)
-            pos_to_depth[pos] = len(own_loops)
             attached = state.attach_map.iter_to_attached_stages.get(
                 (stage_id, pos)
             )
@@ -702,7 +690,6 @@ def extract_store_features(info: StoreInfo, is_gpu: bool,
         + counts["float_div_mod"] + counts["float_cmp"]
         + counts["float_math"]
     )
-    region_at_outermost: Dict[int, List[int]] = {}
     for i in range(len(loop_stack) - 1, -1, -1):
         li = loop_stack[i]
         env[li.var] = E.Interval(0, li.extent - 1)
@@ -717,8 +704,6 @@ def extract_store_features(info: StoreInfo, is_gpu: bool,
                 (acc_type, touched, ebytes)
             )
             mem_bytes += touched * ebytes
-            if i == 0:
-                region_at_outermost[tensor.op.uid] = region
         mem_bytes_list.append(math.log2(max(mem_bytes, 1e-10)))
         cur_compute_ops *= li.extent
         compute_ops_list.append(math.log2(max(cur_compute_ops, 1e-10)))

@@ -21,10 +21,6 @@ _LIB = None
 
 _STEP_KINDS = ["AN", "FU", "PR", "RE", "SP", "FSP", "FFSP", "SA", "CA",
                "CI", "CR", "CHR", "CHW", "RF"]
-# which argument positions are strings for each step kind (after the key)
-_STR_ARG = {"PR": {1}, "CHR": {1}, "CHW": {1}}
-# which argument positions are lists
-_LIST_ARG = {"FU": {1}, "RE": {1}, "SP": {3}, "FFSP": {2}, "CHR": {2}}
 
 
 def _load_lib():
@@ -169,9 +165,8 @@ def load_records_fast(path: str, max_lines: Optional[int] = None):
     out = []
     for i in range(len(raw)):
         steps = raw.decode_steps(i)
-        res = MeasureResult([float(raw.first_cost[i])] if True else [],
+        res = MeasureResult([float(raw.mean_cost[i])],
                             int(raw.error_no[i]), 0.0, 0.0)
-        res.costs = [float(raw.mean_cost[i])]
         out.append(MeasureRecord(
             MeasureInput(tasks[raw.task_id[i]], steps), res
         ))

@@ -43,7 +43,6 @@ AUTO_UNROLL_CANDIDATES_GPU = [0, 16, 64, 512, 1024]
 class AccessAnalysis:
     def __init__(self, dag):
         self.dag = dag
-        out_uids = {t.op.uid for t in dag.tensors if isinstance(t.op, ComputeOp)}
         # an op is an output if nothing in the dag reads it
         read_uids = set()
         for op in dag.ops:
