@@ -1,0 +1,181 @@
+"""Full multi-task sweep: the 13,848-task-scale driver (BASELINE config 5).
+
+Per task (sharded across hosts by --shard-idx/--num-shards or
+jax.process_index on a multi-host pod): generate a candidate pool ->
+measure (simulated or replayed) -> featurize extents through the NATIVE
+pipeline -> run the VAE-extent active search -> append a per-task result
+row. Equivalent of running the reference's experiment across every TenSet
+task, with the fleet mechanics of scripts/collect_aws replaced by
+process-index sharding (SURVEY §5 DCN task sharding).
+"""
+
+import argparse
+import csv
+import os
+import pickle
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from scripts.common import clean_name
+from vae_extent_search_tpu.records import SearchTask
+from vae_extent_search_tpu.search import SelectionConfig, run_active_search
+from vae_extent_search_tpu.search.measure import (
+    AnalyticRunner,
+    EmptyBuilder,
+    ProgramMeasurer,
+    RecordToFile,
+)
+from vae_extent_search_tpu.search.sketch import make_states
+
+
+def sweep_task(task: SearchTask, work_dir: str, n_states: int,
+               measure_size: int, seeds, max_phases: int,
+               vae_epochs: int, reg_epochs: int, noise: float):
+    log = os.path.join(
+        work_dir,
+        clean_name((task.workload_key, task.target.split()[0])) + ".json",
+    )
+    if not os.path.exists(log):
+        states = make_states(task, n_states, seed=2023)
+        measurer = ProgramMeasurer(
+            EmptyBuilder(), AnalyticRunner(noise=noise),
+            callbacks=[RecordToFile(log)],
+        )
+        for s in range(0, len(states), 256):
+            measurer.measure(task, states[s:s + 256])
+
+    # featurize through the native pipeline (python fallback automatic)
+    from vae_extent_search_tpu.records.fast_parser import (
+        featurize_extents_native,
+    )
+
+    try:
+        vecs, labels, status = featurize_extents_native(log)
+    except (FileNotFoundError, OSError):
+        from vae_extent_search_tpu.features import (
+            extent_features_from_records,
+        )
+        from vae_extent_search_tpu.records import load_records
+
+        feats, labels, _ = extent_features_from_records(load_records(log))
+        vecs = list(feats)
+        status = np.zeros(len(vecs), np.int32)
+
+    ok = [i for i in range(len(vecs))
+          if status[i] == 0 and vecs[i] is not None]
+    if len(ok) < measure_size * 2:
+        return None
+    # modal length (the experiment's implicit uniform-length requirement)
+    from collections import Counter
+
+    modal = Counter(len(vecs[i]) for i in ok).most_common(1)[0][0]
+    sel = [i for i in ok if len(vecs[i]) == modal]
+    feats = np.stack([vecs[i] for i in sel])
+    labs = np.asarray([labels[i] for i in sel], np.float32)
+    if len(feats) < measure_size * 2:
+        return None
+
+    rows = []
+    for seed in seeds:
+        res = run_active_search(
+            feats, labs, measure_size=measure_size, max_phases=max_phases,
+            vae_epochs=vae_epochs, reg_epochs=reg_epochs,
+            selection=SelectionConfig(num_select=measure_size),
+            sampling_seed=seed,
+        )
+        rows.append({
+            "workload_key": task.workload_key[:48],
+            "n_candidates": len(feats),
+            "seed": seed,
+            "found": int(res.found),
+            "phase": res.phase,
+            "train_size": res.train_size,
+            "used_time": round(res.used_time, 2),
+        })
+    return rows
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--tasks-pkl", type=str, default=None,
+                   help="all_tasks.pkl-style task list")
+    p.add_argument("--networks", nargs="*",
+                   default=["resnet_18", "mobilenet_v2"])
+    p.add_argument("--target", type=str, default="llvm -mcpu=skylake-avx512")
+    p.add_argument("--work-dir", type=str, default="sweep_records")
+    p.add_argument("--out-csv", type=str, default="sweep_results.csv")
+    p.add_argument("--n-states", type=int, default=1000)
+    p.add_argument("--measure-size", type=int, default=32)
+    p.add_argument("--seeds", nargs="+", type=int, default=[2000, 2001])
+    p.add_argument("--max-phases", type=int, default=20)
+    p.add_argument("--vae-epochs", type=int, default=200)
+    p.add_argument("--reg-epochs", type=int, default=300)
+    p.add_argument("--noise", type=float, default=0.25)
+    p.add_argument("--max-tasks", type=int, default=None)
+    p.add_argument("--shard-idx", type=int, default=0)
+    p.add_argument("--num-shards", type=int, default=1)
+    p.add_argument("--auto-shard", action="store_true")
+    args = p.parse_args()
+
+    if args.tasks_pkl:
+        with open(args.tasks_pkl, "rb") as f:
+            tasks = [SearchTask.from_record(r) for r in pickle.load(f)]
+    else:
+        from vae_extent_search_tpu.records.networks import get_network_tasks
+
+        tasks = []
+        seen = set()
+        for net in args.networks:
+            for t, _ in zip(*get_network_tasks(net, target=args.target)):
+                if t.workload_key not in seen:
+                    seen.add(t.workload_key)
+                    tasks.append(t)
+
+    shard_idx, num_shards = args.shard_idx, args.num_shards
+    if args.auto_shard:
+        import jax
+
+        shard_idx, num_shards = jax.process_index(), jax.process_count()
+    tasks = tasks[shard_idx::num_shards]
+    if args.max_tasks:
+        tasks = tasks[: args.max_tasks]
+
+    os.makedirs(args.work_dir, exist_ok=True)
+    print(f"[shard {shard_idx}/{num_shards}] {len(tasks)} tasks")
+    t0 = time.time()
+    all_rows = []
+    for i, task in enumerate(tasks):
+        rows = sweep_task(
+            task, args.work_dir, args.n_states, args.measure_size,
+            args.seeds, args.max_phases, args.vae_epochs, args.reg_epochs,
+            args.noise,
+        )
+        if rows:
+            all_rows.extend(rows)
+            found = sum(r["found"] for r in rows)
+            print(f"  task {i + 1}/{len(tasks)}: top-1 found "
+                  f"{found}/{len(rows)} seeds "
+                  f"(phases {[r['phase'] for r in rows]})")
+        else:
+            print(f"  task {i + 1}/{len(tasks)}: skipped (pool too small)")
+
+    if all_rows:
+        exists = os.path.exists(args.out_csv)
+        with open(args.out_csv, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(all_rows[0].keys()))
+            if not exists:
+                w.writeheader()
+            w.writerows(all_rows)
+        found_rate = np.mean([r["found"] for r in all_rows])
+        mean_phase = np.mean([r["phase"] for r in all_rows])
+        print(f"swept {len(tasks)} tasks in {time.time() - t0:.0f}s: "
+              f"top-1 found rate {found_rate:.2f}, mean phases "
+              f"{mean_phase:.2f} -> {args.out_csv}")
+
+
+if __name__ == "__main__":
+    main()

@@ -71,18 +71,37 @@ def run_active_search(
     train_seed: int = 2023,
     stop_top_k: int = 1,
     pretrained_vae_params=None,
+    mesh=None,
     verbose: bool = False,
 ) -> ActiveSearchResult:
     """Search until the true-best schedule is measured.
 
     features: [N, D] raw extent features; labels: [N] (-log mean cost,
-    higher is better).
+    higher is better). With ``mesh``, the candidate axis is sharded over
+    the mesh's "data" axis (training + scoring collectives ride ICI).
     """
     t0 = time.time()
     N = features.shape[0]
     X_scaled, _ = standardize(features)
     X = jnp.asarray(X_scaled)
     y_all = jnp.asarray(labels)
+    if mesh is not None:
+        from ..parallel.mesh import shard_batch
+
+        # pad the candidate axis to the mesh's data size
+        per = mesh.shape["data"]
+        pad = (-N) % per
+        if pad:
+            X = jnp.concatenate([X, jnp.zeros((pad, X.shape[1]), X.dtype)])
+            y_all = jnp.concatenate(
+                [y_all, jnp.full((pad,), -1e9, y_all.dtype)]
+            )
+        X = shard_batch(X, mesh)
+        y_all = shard_batch(y_all, mesh)
+        N_pad = X.shape[0]
+    else:
+        pad = 0
+        N_pad = N
 
     true_best = int(np.argmax(labels))
     true_top_set = set(np.argsort(-labels)[:stop_top_k].tolist())
@@ -105,7 +124,7 @@ def run_active_search(
     # ---- init measured set: random measure_size indices ----
     rng = np.random.default_rng(sampling_seed)
     init_idx = rng.choice(N, size=min(measure_size, N), replace=False)
-    used_mask = np.zeros(N, bool)
+    used_mask = np.zeros(N_pad, bool)
     used_mask[init_idx] = True
     selected_order = list(init_idx)
 
@@ -122,6 +141,14 @@ def run_active_search(
 
     used = jnp.asarray(used_mask)
     remaining = ~used
+    if pad:
+        # padded rows are neither measured nor selectable
+        remaining = remaining.at[N:].set(False)
+    if mesh is not None:
+        from ..parallel.mesh import shard_batch
+
+        used = shard_batch(used, mesh)
+        remaining = shard_batch(remaining, mesh)
 
     if reg_config is None:
         pred_cfg = PredictorConfig()

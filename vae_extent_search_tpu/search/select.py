@@ -30,10 +30,17 @@ NEG_INF = -1e30
 
 def masked_top_k(scores: jnp.ndarray, mask: jnp.ndarray, k: int):
     """Indices of the k largest scores where mask; masked-out entries score
-    -inf. Returns (indices [k], valid [k])."""
+    -inf. Returns (indices [k], valid [k]); when k exceeds the pool size
+    the tail is padded invalid."""
+    n = scores.shape[0]
+    kk = min(k, n)
     masked = jnp.where(mask, scores, NEG_INF)
-    vals, idx = jax.lax.top_k(masked, k)
-    return idx, vals > NEG_INF / 2
+    vals, idx = jax.lax.top_k(masked, kk)
+    valid = vals > NEG_INF / 2
+    if kk < k:
+        idx = jnp.concatenate([idx, jnp.zeros(k - kk, idx.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros(k - kk, bool)])
+    return idx, valid
 
 
 def scatter_unset(mask: jnp.ndarray, idx: jnp.ndarray,
