@@ -341,10 +341,12 @@ def eval_interval(e: Expr, env: dict) -> Interval:
         a = eval_interval(e.a, env)
         if b.lo == b.hi and b.lo > 0:
             m = b.lo
-            # if a spans less than one period and doesn't wrap, keep it tight
-            if a.extent <= m and a.lo % m <= a.hi % m:
-                return Interval(a.lo % m, a.hi % m)
-            return Interval(0, m - 1)
+            if a.lo == a.hi:
+                return Interval(a.lo % m, a.lo % m)
+            # non-point ranges widen to the full period — mirrors TVM's
+            # arith::ConstIntBound for floormod (it does not track
+            # non-wrapping spans), which the demand analysis must match
+            return Interval(0, min(m - 1, max(a.hi, 0)))
         return Interval(0, max(abs(b.lo), abs(b.hi)))
     if isinstance(e, Min):
         a, b = eval_interval(e.a, env), eval_interval(e.b, env)
