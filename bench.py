@@ -16,10 +16,9 @@ phases of 17-45 s runs -> ~4,000 candidates/s scored. We use
 BASELINE_CANDS_PER_SEC = 4000.0 as the per-chip reference throughput.
 
 Methodology: the phase here is ONE fused XLA program (the reference
-executes ~10 separate GPU<->CPU round-trips per phase); we measure
-steady-state pipelined throughput over 50 phases with pre-derived PRNG
-keys and a trailing block_until_ready, i.e. the device executes 50 full
-selection programs within the timed window.
+executes ~10 separate GPU<->CPU round-trips per phase); we measure strict
+per-call latency — every phase blocks on its outputs before the next
+starts — which lower-bounds what any pipelined deployment achieves.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -64,7 +63,7 @@ def main():
 
     # warmup + compile; pre-derive per-iteration keys so the timed loop
     # measures only the fused selection program (steady-state pipelined)
-    iters = 50
+    iters = 200
     keys = [jax.random.fold_in(key, i) for i in range(iters)]
     jax.block_until_ready(keys)
     sel, cost = run(keys[0])
@@ -73,8 +72,8 @@ def main():
     t0 = time.perf_counter()
     for i in range(iters):
         sel, cost = run(keys[i])
-    sel.block_until_ready()
-    cost.block_until_ready()
+        sel.block_until_ready()
+        cost.block_until_ready()
     dt = time.perf_counter() - t0
 
     per_phase = dt / iters
