@@ -43,7 +43,7 @@ struct TaskDesc {
   std::vector<OpDesc> ops;
 };
 
-TaskDesc parse_task_desc(const int32_t* d) {
+inline TaskDesc parse_task_desc(const int32_t* d) {
   TaskDesc td;
   int p = 0;
   int n_ops = d[p++];
@@ -142,6 +142,9 @@ struct State {
   std::vector<OpDesc> ops;  // extended by cache steps
   std::vector<Stage> stages;
   std::vector<int> attach_tgt, attach_pos;  // per stage; -1 = none
+  std::vector<int> attach_seq;  // CA application order (python AttachMap
+                                // appends attached stages in step order)
+  int attach_counter = 0;
   std::vector<Step> steps;
   int uid = 0;
   bool failed = false;
@@ -149,13 +152,14 @@ struct State {
   int fresh() { return uid++; }
 };
 
-long ceil_div(long a, long b) { return (a + b - 1) / b; }
+inline long ceil_div(long a, long b) { return (a + b - 1) / b; }
 
-void init_state(State& st, const TaskDesc& td) {
+inline void init_state(State& st, const TaskDesc& td) {
   st.ops = td.ops;
   st.stages.resize(td.ops.size());
   st.attach_tgt.assign(td.ops.size(), -1);
   st.attach_pos.assign(td.ops.size(), -1);
+  st.attach_seq.assign(td.ops.size(), -1);
   for (size_t i = 0; i < td.ops.size(); ++i) {
     Stage& s = st.stages[i];
     s.op = static_cast<int>(i);
@@ -176,7 +180,7 @@ void init_state(State& st, const TaskDesc& td) {
 }
 
 // attach-map position remap after split/fuse on (stage_id)
-void update_attach_positions(State& st, int stage_id,
+inline void update_attach_positions(State& st, int stage_id,
                              const std::vector<std::pair<int, int>>& remap) {
   for (size_t s = 0; s < st.stages.size(); ++s) {
     if (st.attach_tgt[s] == stage_id) {
@@ -190,7 +194,7 @@ void update_attach_positions(State& st, int stage_id,
   }
 }
 
-void apply_split_common(State& st, int stage_id, int iter_id,
+inline void apply_split_common(State& st, int stage_id, int iter_id,
                         const std::vector<long>& lengths,
                         bool inner_to_outer) {
   Stage& stage = st.stages[stage_id];
@@ -254,7 +258,7 @@ void apply_split_common(State& st, int stage_id, int iter_id,
   update_attach_positions(st, stage_id, remap);
 }
 
-std::vector<long> extract_follow_split_lengths(const State& st,
+inline std::vector<long> extract_follow_split_lengths(const State& st,
                                                const Step& step) {
   const Step& src = st.steps[step.src_step_id];
   std::vector<long> lengths(src.lengths.begin(),
@@ -270,7 +274,7 @@ std::vector<long> extract_follow_split_lengths(const State& st,
   return lengths;
 }
 
-long extract_follow_fused_length(const State& st, const Step& step) {
+inline long extract_follow_fused_length(const State& st, const Step& step) {
   long ret = 1;
   for (int sid : step.ids) {
     const Step& src = st.steps[sid];
@@ -283,7 +287,7 @@ long extract_follow_fused_length(const State& st, const Step& step) {
   return ret;
 }
 
-void apply_cache_read(State& st, const Step& step) {
+inline void apply_cache_read(State& st, const Step& step) {
   int src_stage = step.stage_id;
   int src_op = st.stages[src_stage].op;
   // new op: identity read of src
@@ -325,6 +329,7 @@ void apply_cache_read(State& st, const Step& step) {
   st.stages.insert(st.stages.begin() + added, s);
   st.attach_tgt.insert(st.attach_tgt.begin() + added, -1);
   st.attach_pos.insert(st.attach_pos.begin() + added, -1);
+  st.attach_seq.insert(st.attach_seq.begin() + added, -1);
   for (size_t i = 0; i < st.attach_tgt.size(); ++i) {
     if (static_cast<int>(i) != added && st.attach_tgt[i] >= added) {
       st.attach_tgt[i] += 1;
@@ -332,10 +337,11 @@ void apply_cache_read(State& st, const Step& step) {
   }
 }
 
-void apply_cache_write(State& st, const Step& step) {
+inline void apply_cache_write(State& st, const Step& step) {
   int tgt_stage = step.stage_id;
   int orig_op = st.stages[tgt_stage].op;
-  OpDesc& orig = st.ops[orig_op];
+  // by value: push_back below may reallocate st.ops
+  OpDesc orig = st.ops[orig_op];
 
   // cache op: the original computation (same dims/reduce/reads)
   OpDesc cache = orig;
@@ -385,6 +391,7 @@ void apply_cache_write(State& st, const Step& step) {
   st.stages.insert(st.stages.begin() + tgt_stage, cs);
   st.attach_tgt.insert(st.attach_tgt.begin() + tgt_stage, -1);
   st.attach_pos.insert(st.attach_pos.begin() + tgt_stage, -1);
+  st.attach_seq.insert(st.attach_seq.begin() + tgt_stage, -1);
   for (size_t i = 0; i < st.attach_tgt.size(); ++i) {
     if (static_cast<int>(i) != tgt_stage && st.attach_tgt[i] >= tgt_stage) {
       st.attach_tgt[i] += 1;
@@ -398,7 +405,7 @@ void apply_cache_write(State& st, const Step& step) {
   st.stages[tgt_stage + 1].op = orig_op;
 }
 
-bool apply_step(State& st, const Step& step) {
+inline bool apply_step(State& st, const Step& step) {
   switch (step.kind) {
     case S_AN: {
       Stage& s = st.stages[step.stage_id];
@@ -482,6 +489,7 @@ bool apply_step(State& st, const Step& step) {
       s.compute_at = AT_ITER;
       st.attach_tgt[step.stage_id] = step.target_stage_id;
       st.attach_pos[step.stage_id] = step.target_iter_id;
+      st.attach_seq[step.stage_id] = st.attach_counter++;
       return true;
     }
     case S_CI: {
@@ -605,8 +613,18 @@ struct Interval {
   long lo, hi;
 };
 
+// optional full-expression read evaluator: (consumer op idx, dim
+// intervals, demand accumulator) -> false on evaluation failure. When
+// set it replaces the affine read tables for demand propagation (the
+// python reference, ir/bound.py, always evaluates full expressions).
+using ReadEvalHook = std::function<bool(
+    int, const std::vector<struct Interval>&,
+    std::vector<std::vector<struct Interval>>&)>;
+
 struct InferCtx {
   const State* st;
+  ReadEvalHook read_hook;
+  bool fail = false;
   std::vector<StageBounds> sb;
   std::vector<std::vector<long>> full;     // per stage: uid -> extent
   std::vector<std::vector<long>> relaxed;  // thread-relaxed variant
@@ -687,7 +705,11 @@ struct InferCtx {
       if (le < 0) le = stage.roots[i].second;
       dim_iv[i] = {0, std::max(0L, le - 1)};
     }
-    eval_read_intervals(op, dim_iv, -1);
+    if (read_hook) {
+      if (!read_hook(stage.op, dim_iv, demand)) fail = true;
+    } else {
+      eval_read_intervals(op, dim_iv, -1);
+    }
 
     // propagate through inlined stages (reverse stage order)
     for (int sid = static_cast<int>(st->stages.size()) - 1; sid >= 0; --sid) {
@@ -704,7 +726,11 @@ struct InferCtx {
       for (size_t d = 0; d < op2.reduce.size(); ++d) {
         iv2[op2.dims.size() + d] = {0, op2.reduce[d] - 1};
       }
-      eval_read_intervals(op2, iv2, -1);
+      if (read_hook) {
+        if (!read_hook(s2.op, iv2, demand)) fail = true;
+      } else {
+        eval_read_intervals(op2, iv2, -1);
+      }
     }
   }
 };
@@ -714,7 +740,7 @@ struct InferCtx {
 // Step-token decoding
 // ---------------------------------------------------------------------
 
-bool decode_steps(const int32_t* toks, int64_t begin, int64_t end,
+inline bool decode_steps(const int32_t* toks, int64_t begin, int64_t end,
                   const char* pool, const int64_t* str_offs,
                   std::vector<Step>& steps) {
   int64_t i = begin;
@@ -834,11 +860,13 @@ struct InferResult {
   bool ok = false;
 };
 
-inline InferResult infer_bounds(State& st) {
+inline InferResult infer_bounds(State& st,
+                                ReadEvalHook read_hook = nullptr) {
   InferResult out;
   int max_uid = st.uid;
   InferCtx ctx;
   ctx.st = &st;
+  ctx.read_hook = std::move(read_hook);
   ctx.max_uid = max_uid;
   ctx.sb.resize(st.stages.size());
   ctx.full.assign(st.stages.size(), {});
@@ -855,9 +883,13 @@ inline InferResult infer_bounds(State& st) {
                                                   static_cast<int>(s));
     }
   }
+  // per position, attached stages in CA application order (python
+  // AttachMap append order)
   for (auto& v : out.attached) {
-    std::stable_sort(v.begin(), v.end(),
-                     [](auto& a, auto& b) { return a.first < b.first; });
+    std::stable_sort(v.begin(), v.end(), [&](auto& a, auto& b) {
+      if (a.first != b.first) return a.first < b.first;
+      return st.attach_seq[a.second] < st.attach_seq[b.second];
+    });
   }
 
   auto roots_from_demand = [&](const Stage& a_stage) {
@@ -914,7 +946,7 @@ inline InferResult infer_bounds(State& st) {
     std::vector<long> roots2(max_uid, -1);
     process(static_cast<int>(sid), roots, roots2);
   }
-  out.ok = true;
+  out.ok = !ctx.fail;
   return out;
 }
 

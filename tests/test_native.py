@@ -73,3 +73,50 @@ def test_native_extent_featurizer_golden(record_log):
         py = extent_vector(rec.inp.recover_state(infer_bound=True))
         assert vecs[i].shape == py.shape, (i, vecs[i], py)
         assert np.allclose(vecs[i], py), (i, vecs[i], py)
+
+
+def test_native_perstore_featurizer_golden(record_log):
+    from vae_extent_search_tpu.features.per_store import (
+        get_per_store_features_from_state,
+    )
+    from vae_extent_search_tpu.records.fast_parser import (
+        featurize_perstore_native,
+        load_records_fast,
+    )
+
+    feats, status = featurize_perstore_native(record_log,
+                                              python_fallback=False)
+    recs = load_records_fast(record_log)
+    assert (status == 0).all(), status
+    for i, rec in enumerate(recs):
+        st = rec.inp.recover_state(infer_bound=True)
+        ref = get_per_store_features_from_state(st, rec.inp.task)
+        assert feats[i].shape == ref.shape, (i, feats[i].shape, ref.shape)
+        assert np.allclose(feats[i], ref, atol=1e-4), (
+            i, np.argwhere(~np.isclose(feats[i], ref, atol=1e-4))[:5])
+
+
+def test_native_perstore_ci_corpora_golden():
+    """Golden equality on the reference's own cuda corpus — exercises
+    cache read/write mirroring, attach ordering and the non-affine
+    (winograd) full-expression demand path."""
+    from tests.conftest import CI_LOGS
+    from vae_extent_search_tpu.features.per_store import (
+        get_per_store_features_from_state,
+    )
+    from vae_extent_search_tpu.records.fast_parser import (
+        featurize_perstore_native,
+        load_records_fast,
+    )
+
+    path = os.path.join(CI_LOGS, "resnet-18-NHWC-B1-cuda.json")
+    if not os.path.exists(path):
+        pytest.skip("reference ci_logs unavailable")
+    feats, status = featurize_perstore_native(path, python_fallback=False)
+    recs = load_records_fast(path)
+    assert (status == 0).all(), status
+    for i, rec in enumerate(recs):
+        st = rec.inp.recover_state(infer_bound=True)
+        ref = get_per_store_features_from_state(st, rec.inp.task)
+        assert feats[i].shape == ref.shape
+        assert np.allclose(feats[i], ref, atol=1e-4), i

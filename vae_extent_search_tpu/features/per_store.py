@@ -566,9 +566,10 @@ def _compute_reuse(buf_uid, index_tuples, loop_stack, touch_regions):
         li = loop_stack[i]
         extent = li.extent
         find = any(
-            li.var in E.collect_vars(idx)
+            li.var in E.collect_vars(e)
             for idxs in index_tuples
             for idx in idxs
+            for e in idx
         )
         if scan_status == 0:
             if find:
@@ -913,7 +914,19 @@ def get_per_store_features_from_measure_pairs(inputs, results,
 
 
 def get_per_store_features_from_file(filename, max_lines=None,
-                                     max_n_bufs=DEFAULT_MAX_N_BUFS):
+                                     max_n_bufs=DEFAULT_MAX_N_BUFS,
+                                     use_native=True):
+    """Prefers the native (C++) batch featurizer when the library is built
+    (csrc/per_store_featurizer.cpp, ~40x the python path per core); python
+    is the behavioral reference and the per-record fallback."""
+    if use_native and max_n_bufs == DEFAULT_MAX_N_BUFS:
+        try:
+            from ..records.fast_parser import perstore_dataset_native
+
+            return perstore_dataset_native(
+                filename, -1 if max_lines is None else max_lines)
+        except Exception:
+            pass
     from ..records.serde import load_records
 
     records = load_records(filename, max_lines)

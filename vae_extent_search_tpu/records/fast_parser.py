@@ -304,3 +304,198 @@ def featurize_extents_native(path: str, n_threads: int = 1,
             except Exception:
                 statuses[i] = 2
     return vecs, labels, statuses
+
+
+# ---------------------------------------------------------------------------
+# Native batch per-store featurization (csrc/per_store_featurizer.cpp)
+# ---------------------------------------------------------------------------
+
+
+def _load_ps(lib):
+    if getattr(lib, "_ps_ready", False):
+        return lib
+    lib.ves_featurize_perstore.restype = ctypes.c_void_p
+    lib.ves_featurize_perstore.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),  # task desc (affine)
+        ctypes.POINTER(ctypes.c_int32),  # expr desc (full trees)
+        ctypes.POINTER(ctypes.c_int32),  # step tokens
+        ctypes.POINTER(ctypes.c_int64),  # rec begin
+        ctypes.POINTER(ctypes.c_int64),  # rec end
+        ctypes.c_int64,                  # n recs
+        ctypes.POINTER(ctypes.c_char),   # string pool
+        ctypes.POINTER(ctypes.c_int64),  # string offsets
+        ctypes.c_int,                    # is_gpu
+        ctypes.c_int,                    # cache line size
+        ctypes.c_int,                    # n threads
+    ]
+    lib.ves_ps_features.restype = ctypes.POINTER(ctypes.c_float)
+    lib.ves_ps_features.argtypes = [ctypes.c_void_p]
+    lib.ves_ps_num_rows.restype = ctypes.c_int64
+    lib.ves_ps_num_rows.argtypes = [ctypes.c_void_p]
+    lib.ves_ps_offsets.restype = ctypes.POINTER(ctypes.c_int64)
+    lib.ves_ps_offsets.argtypes = [ctypes.c_void_p]
+    lib.ves_ps_status.restype = ctypes.POINTER(ctypes.c_int32)
+    lib.ves_ps_status.argtypes = [ctypes.c_void_p]
+    lib.ves_ps_free.argtypes = [ctypes.c_void_p]
+    lib._ps_ready = True
+    return lib
+
+
+def _string_pool_arrays(strings):
+    pool = b"\x00".join(s.encode() for s in strings) + b"\x00"
+    offs = np.zeros(max(len(strings), 1), np.int64)
+    o = 0
+    for k, s in enumerate(strings):
+        offs[k] = o
+        o += len(s.encode()) + 1
+    return pool, offs
+
+
+def featurize_perstore_native(path: str, n_threads: int = 1,
+                              python_fallback: bool = True,
+                              max_lines: int = -1):
+    """Batch per-store (164-dim) featurization through the native pipeline.
+
+    Returns (features: list of [n_stores_i, 164] float32 arrays, statuses
+    [n] int32: 0 native, 1 python-fallback used (or needed), 2 error).
+    Records are grouped by task (a log may hold many tasks); tasks whose
+    DAG has non-affine accesses are shipped via the full-expression
+    descriptor, so winograd et al. still run natively.
+    """
+    from ..features.per_store import (
+        FEATURE_VEC_LEN,
+        get_per_store_features_from_state,
+    )
+    from .expr_desc import build_expr_desc
+    from .serde import MeasureInput
+    from .task import SearchTask
+    from .task_desc import NonAffineError, build_task_desc
+    from .workload import workload_key_to_dag
+
+    lib = _load_ps(_load_fx(_load_lib()))
+    raw = load_raw(path, max_lines)
+    n = len(raw)
+    feats = [None] * n
+    statuses = np.full(max(n, 1), 1, np.int32)[:n]
+    if n == 0:
+        return feats, statuses
+
+    pool, offs = _string_pool_arrays(raw.strings)
+    step_tokens = np.ascontiguousarray(raw.step_tokens)
+    tasks = [SearchTask(wk, tgt)
+             for wk, tgt in zip(raw.task_workload, raw.task_target)]
+
+    for tid in range(len(tasks)):
+        idx = np.nonzero(raw.task_id == tid)[0]
+        if len(idx) == 0:
+            continue
+        task = tasks[tid]
+        try:
+            dag = workload_key_to_dag(task.workload_key)
+            edesc = np.ascontiguousarray(build_expr_desc(dag))
+        except Exception:
+            continue  # python fallback for the whole task
+        try:
+            desc = build_task_desc(dag)
+            desc_ptr = desc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        except NonAffineError:
+            # non-affine DAG (winograd et al.): the native side derives
+            # the op table from the expression descriptor and runs demand
+            # propagation over full expression trees
+            desc_ptr = None
+        begin = np.ascontiguousarray(raw.step_begin[idx])
+        end = np.ascontiguousarray(raw.step_end[idx])
+        h = lib.ves_featurize_perstore(
+            desc_ptr,
+            edesc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            step_tokens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            begin.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            end.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(idx),
+            pool,
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            int(task.is_gpu),
+            int(task.hardware_params.cache_line_bytes),
+            n_threads,
+        )
+        try:
+            total = lib.ves_ps_num_rows(h)
+            if total > 0:
+                rows = np.ctypeslib.as_array(
+                    lib.ves_ps_features(h), (total * FEATURE_VEC_LEN,)
+                ).reshape(-1, FEATURE_VEC_LEN).copy()
+            else:
+                rows = np.zeros((0, FEATURE_VEC_LEN), np.float32)
+            ps_offs = np.ctypeslib.as_array(
+                lib.ves_ps_offsets(h), (len(idx) + 1,)).copy()
+            ps_status = np.ctypeslib.as_array(
+                lib.ves_ps_status(h), (max(len(idx), 1),))[:len(idx)].copy()
+        finally:
+            lib.ves_ps_free(h)
+        for k, rec in enumerate(idx):
+            if ps_status[k] == 0:
+                feats[rec] = rows[ps_offs[k]:ps_offs[k + 1]]
+                statuses[rec] = 0
+            else:
+                statuses[rec] = ps_status[k]
+
+    if python_fallback:
+        for i in range(n):
+            if statuses[i] != 1:
+                continue
+            try:
+                inp = MeasureInput(tasks[raw.task_id[i]],
+                                   raw.decode_steps(i))
+                st = inp.recover_state(infer_bound=True)
+                feats[i] = get_per_store_features_from_state(
+                    st, inp.task)
+                statuses[i] = 0
+            except Exception:
+                statuses[i] = 2
+    return feats, statuses
+
+
+def perstore_dataset_native(path: str, max_lines: int = -1,
+                            n_threads: int = 1):
+    """Native equivalent of per_store.get_per_store_features_from_file:
+    (features, normalized_throughputs, task_ids, min_costs), with the same
+    zero-row error convention and per-task min-cost normalization
+    (reference feature.cc:1457-1535)."""
+    from ..features.per_store import FEATURE_VEC_LEN
+
+    feats, statuses = featurize_perstore_native(
+        path, n_threads=n_threads, python_fallback=True,
+        max_lines=max_lines)
+    raw = load_raw(path, max_lines)
+    n = len(raw)
+    task_keys = {}
+    task_ids = np.zeros(n, np.int32)
+    costs = np.zeros(n, np.float64)
+    min_costs = []
+    for i in range(n):
+        key = (raw.task_workload[raw.task_id[i]],
+               raw.task_target[raw.task_id[i]])
+        if key not in task_keys:
+            task_keys[key] = len(task_keys)
+            min_costs.append(float("inf"))
+        tid = task_keys[key]
+        task_ids[i] = tid
+        c = float(raw.mean_cost[i]) if raw.error_no[i] == 0 else float("inf")
+        costs[i] = c
+        if c < min_costs[tid]:
+            min_costs[tid] = c
+    out_feats = []
+    for i in range(n):
+        f = feats[i]
+        if f is None or statuses[i] == 2 or f.shape[0] == 0:
+            f = np.zeros((1, FEATURE_VEC_LEN), np.float32)
+        out_feats.append(f)
+    throughputs = np.asarray(
+        [
+            (min_costs[t] / c) if np.isfinite(c) and c > 0 else 0.0
+            for t, c in zip(task_ids, costs)
+        ],
+        np.float32,
+    )
+    return (out_feats, throughputs, task_ids,
+            np.asarray(min_costs, np.float32))
