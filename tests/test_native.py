@@ -120,3 +120,27 @@ def test_native_perstore_ci_corpora_golden():
         ref = get_per_store_features_from_state(st, rec.inp.task)
         assert feats[i].shape == ref.shape
         assert np.allclose(feats[i], ref, atol=1e-4), i
+
+
+def test_native_perstore_states_golden():
+    """State-batch featurization (the learned-cost-model search hot loop)
+    matches the python path on evolutionary states — including partially
+    bound ones, where compute_at reset some stages' ranges."""
+    from vae_extent_search_tpu.features.per_store import (
+        get_per_store_features_from_states,
+    )
+
+    task = SearchTask(
+        make_workload_key(
+            "conv2d_layer", (1, 14, 14, 64, 64, 3, 3, [1, 1], [1, 1])
+        ),
+        "cuda",
+    )
+    states = make_states(task, 48, evo_population=64, min_population=16,
+                         seed=3)
+    A = get_per_store_features_from_states(states, task, use_native=True)
+    B = get_per_store_features_from_states(states, task, use_native=False)
+    assert len(A) == len(B) == len(states)
+    for i, (a, b) in enumerate(zip(A, B)):
+        assert a.shape == b.shape, i
+        assert np.allclose(a, b, atol=1e-4), i

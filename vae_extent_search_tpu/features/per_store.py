@@ -853,15 +853,28 @@ def get_per_store_features_from_state(state: State, task,
 
 
 def get_per_store_features_from_states(states, task,
-                                       max_n_bufs: int = DEFAULT_MAX_N_BUFS):
+                                       max_n_bufs: int = DEFAULT_MAX_N_BUFS,
+                                       use_native: bool = True):
     """List of [n_stores_i, 164] arrays; unlowerable states yield a single
-    all-zero row (feature.cc:1365-1367 error convention)."""
+    all-zero row (feature.cc:1365-1367 error convention). Prefers the
+    native batch featurizer (search-time hot loop of the learned cost
+    model); python is the behavioral reference and per-state fallback."""
+    if use_native and max_n_bufs == DEFAULT_MAX_N_BUFS:
+        try:
+            from ..records.fast_parser import (
+                featurize_perstore_states_native,
+            )
+
+            return featurize_perstore_states_native(task, states)
+        except Exception:
+            pass
     out = []
     for st in states:
         try:
-            if st.stages and st.stages[-1].iters and \
-                    st.stages[-1].iters[0].range is None:
-                st = task.compute_dag.infer_bound(st)
+            # always re-infer: search states can be partially bound (a
+            # compute_at resets the moved stage's ranges) and the
+            # reference always re-lowers from steps (feature.cc:1336)
+            st = task.compute_dag.infer_bound(st)
             feats = get_per_store_features_from_state(st, task, max_n_bufs)
             if feats.shape[0] == 0:
                 feats = np.zeros((1, FEATURE_VEC_LEN), np.float32)

@@ -499,3 +499,131 @@ def perstore_dataset_native(path: str, max_lines: int = -1,
     )
     return (out_feats, throughputs, task_ids,
             np.asarray(min_costs, np.float32))
+
+
+def _encode_steps(step_records, strings, string_index, out):
+    """Encode step records into the native token stream (the same format
+    record_parser.cpp emits: [kind, n_tokens, args...]; lists as -(len+1)
+    markers; strings as -1000000-id; None as -1)."""
+    for rec in step_records:
+        kind = _STEP_KINDS.index(rec[0])
+        toks = []
+        for arg in rec[1:]:
+            if isinstance(arg, bool):
+                toks.append(int(arg))
+            elif isinstance(arg, (int, np.integer)):
+                toks.append(int(arg))
+            elif arg is None:
+                toks.append(-1)
+            elif isinstance(arg, str):
+                sid = string_index.get(arg)
+                if sid is None:
+                    sid = len(strings)
+                    strings.append(arg)
+                    string_index[arg] = sid
+                toks.append(-1000000 - sid)
+            elif isinstance(arg, (list, tuple)):
+                toks.append(-(len(arg) + 1))
+                toks.extend(-1 if x is None else int(x) for x in arg)
+            else:
+                raise TypeError(f"cannot encode step arg {arg!r}")
+        out.append(kind)
+        out.append(len(toks))
+        out.extend(toks)
+
+
+def featurize_perstore_states_native(task, states, n_threads: int = 1,
+                                     python_fallback: bool = True):
+    """Per-store features for in-memory states through the native
+    featurizer — the search-time hot loop of the learned cost model
+    (reference feature.cc GetPerStoreFeaturesFromStates, called per
+    evolutionary-search round). Returns a list of [n_stores_i, 164]
+    arrays; states the native path cannot handle (rfactor) fall back to
+    python; unlowerable states yield a single all-zero row."""
+    from ..features.per_store import (
+        FEATURE_VEC_LEN,
+        get_per_store_features_from_state,
+    )
+    from .expr_desc import build_expr_desc
+    from .task_desc import NonAffineError, build_task_desc
+    from .workload import workload_key_to_dag
+
+    lib = _load_ps(_load_fx(_load_lib()))
+    n = len(states)
+    feats = [None] * n
+    statuses = np.full(max(n, 1), 1, np.int32)[:n]
+    native_ready = False
+    try:
+        dag = workload_key_to_dag(task.workload_key)
+        edesc = np.ascontiguousarray(build_expr_desc(dag))
+        try:
+            desc = build_task_desc(dag)
+            desc_ptr = desc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        except NonAffineError:
+            desc_ptr = None
+        toks: List[int] = []
+        begin = np.zeros(n, np.int64)
+        end = np.zeros(n, np.int64)
+        strings: List[str] = []
+        string_index = {}
+        for i, st in enumerate(states):
+            begin[i] = len(toks)
+            _encode_steps([s.to_record() for s in st.transform_steps],
+                          strings, string_index, toks)
+            end[i] = len(toks)
+        tok_arr = np.asarray(toks if toks else [0], np.int32)
+        pool, offs = _string_pool_arrays(strings)
+        native_ready = True
+    except Exception:
+        pass
+
+    if native_ready:
+        h = lib.ves_featurize_perstore(
+            desc_ptr,
+            edesc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            tok_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            begin.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            end.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n,
+            pool,
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            int(task.is_gpu),
+            int(task.hardware_params.cache_line_bytes),
+            n_threads,
+        )
+        try:
+            total = lib.ves_ps_num_rows(h)
+            if total > 0:
+                rows = np.ctypeslib.as_array(
+                    lib.ves_ps_features(h), (total * FEATURE_VEC_LEN,)
+                ).reshape(-1, FEATURE_VEC_LEN).copy()
+            else:
+                rows = np.zeros((0, FEATURE_VEC_LEN), np.float32)
+            ps_offs = np.ctypeslib.as_array(
+                lib.ves_ps_offsets(h), (n + 1,)).copy()
+            ps_status = np.ctypeslib.as_array(
+                lib.ves_ps_status(h), (max(n, 1),))[:n].copy()
+        finally:
+            lib.ves_ps_free(h)
+        for i in range(n):
+            if ps_status[i] == 0 and ps_offs[i + 1] > ps_offs[i]:
+                feats[i] = rows[ps_offs[i]:ps_offs[i + 1]]
+                statuses[i] = 0
+            else:
+                statuses[i] = max(int(ps_status[i]), 1)
+
+    for i in range(n):
+        if statuses[i] == 0:
+            continue
+        if python_fallback and statuses[i] == 1:
+            try:
+                st = task.compute_dag.infer_bound(states[i])
+                f = get_per_store_features_from_state(st, task)
+                feats[i] = f if f.shape[0] else np.zeros(
+                    (1, FEATURE_VEC_LEN), np.float32)
+                statuses[i] = 0
+                continue
+            except Exception:
+                pass
+        feats[i] = np.zeros((1, FEATURE_VEC_LEN), np.float32)
+    return feats
