@@ -56,6 +56,14 @@ def make_model(spec: str, in_dim: int):
     if kind == "mlp":
         loss = parts[1] if len(parts) > 1 else "lambdaRank"
         return MLPModelInternal(in_dim=in_dim, loss_type=loss)
+    if kind == "lgb":
+        from vae_extent_search_tpu.models.gbdt import LGBModelInternal
+
+        return LGBModelInternal()
+    if kind == "random":
+        from vae_extent_search_tpu.models.gbdt import RandomModelInternal
+
+        return RandomModelInternal()
     if kind == "gbdt":
         from vae_extent_search_tpu.models.gbdt import GBDTModelInternal
 

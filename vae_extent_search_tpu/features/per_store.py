@@ -886,9 +886,21 @@ def get_per_store_features_from_states(states, task,
 
 def get_per_store_features_from_measure_pairs(inputs, results,
                                               skip_first_n_feature=0,
-                                              max_n_bufs=DEFAULT_MAX_N_BUFS):
+                                              max_n_bufs=DEFAULT_MAX_N_BUFS,
+                                              use_native=True):
     """(features, normalized_throughputs, task_ids, min_costs) — throughput
-    normalized per task: min_cost / cost (feature.cc:1457-1535)."""
+    normalized per task: min_cost / cost (feature.cc:1457-1535). Prefers
+    the native batch featurizer; python per-record fallback."""
+    native_feats = None
+    if use_native and max_n_bufs == DEFAULT_MAX_N_BUFS:
+        try:
+            from ..records.fast_parser import (
+                featurize_perstore_inputs_native,
+            )
+
+            native_feats = featurize_perstore_inputs_native(inputs)
+        except Exception:
+            native_feats = None
     features = []
     throughputs = []
     task_ids = []
@@ -905,13 +917,17 @@ def get_per_store_features_from_measure_pairs(inputs, results,
         if cost < min_costs[tid]:
             min_costs[tid] = cost
         task_ids.append(tid)
-        try:
-            st = inp.recover_state(infer_bound=True)
-            feats = get_per_store_features_from_state(
-                st, inp.task, max_n_bufs
-            )
-        except Exception:
-            feats = np.zeros((1, FEATURE_VEC_LEN), np.float32)
+        nf = native_feats[len(features)] if native_feats else None
+        if nf is not None:
+            feats = nf
+        else:
+            try:
+                st = inp.recover_state(infer_bound=True)
+                feats = get_per_store_features_from_state(
+                    st, inp.task, max_n_bufs
+                )
+            except Exception:
+                feats = np.zeros((1, FEATURE_VEC_LEN), np.float32)
         features.append(feats)
         throughputs.append(cost)
 

@@ -28,6 +28,14 @@ except ImportError:
     xgb = None
     HAS_XGB = False
 
+try:
+    import lightgbm as lgb
+
+    HAS_LGB = True
+except ImportError:
+    lgb = None
+    HAS_LGB = False
+
 
 def _pack_ids(features_list) -> np.ndarray:
     ids = []
@@ -38,12 +46,20 @@ def _pack_ids(features_list) -> np.ndarray:
 
 class GBDTModelInternal:
     def __init__(self, max_depth: int = 6, learning_rate: float = 0.2,
-                 n_estimators: int = 300, seed: int = 43):
+                 n_estimators: int = 300, seed: int = 43,
+                 backend: str = "auto"):
         self.max_depth = max_depth
         self.learning_rate = learning_rate
         self.n_estimators = n_estimators
         self.seed = seed
-        self.use_xgb = HAS_XGB
+        if backend == "auto":
+            backend = "xgb" if HAS_XGB else ("lgb" if HAS_LGB else "sklearn")
+        if backend == "xgb" and not HAS_XGB:
+            backend = "sklearn"
+        if backend == "lgb" and not HAS_LGB:
+            backend = "sklearn"
+        self.backend = backend
+        self.use_xgb = backend == "xgb"
         self.model = None
 
     # ------------------------------------------------------------------
@@ -51,6 +67,8 @@ class GBDTModelInternal:
         labels = np.asarray(labels, np.float32)
         if self.use_xgb:
             self._fit_xgb(features_list, labels)
+        elif self.backend == "lgb":
+            self._fit_lgb(features_list, labels)
         else:
             self._fit_sklearn(features_list, labels)
         return self
@@ -69,6 +87,17 @@ class GBDTModelInternal:
 
         X = self._aggregate(features_list)
         self.model = GradientBoostingRegressor(
+            max_depth=self.max_depth, learning_rate=self.learning_rate,
+            n_estimators=self.n_estimators, random_state=self.seed,
+        )
+        self.model.fit(X, labels)
+
+    def _fit_lgb(self, features_list, labels):
+        """LightGBM over per-program summed features (reference
+        cost_model/lgbm_model.py LGBModelInternal; same aggregation
+        trade-off as the sklearn fallback)."""
+        X = self._aggregate(features_list)
+        self.model = lgb.LGBMRegressor(
             max_depth=self.max_depth, learning_rate=self.learning_rate,
             n_estimators=self.n_estimators, random_state=self.seed,
         )
@@ -115,6 +144,40 @@ class GBDTModelInternal:
             if len(f) == 0 or not np.any(f):
                 out[i] = -np.inf
         return out
+
+    def save(self, path: str):
+        with open(path, "wb") as f:
+            pickle.dump(self, f)
+
+    @classmethod
+    def load(cls, path: str):
+        with open(path, "rb") as f:
+            return pickle.load(f)
+
+
+class LGBModelInternal(GBDTModelInternal):
+    """LightGBM-backed variant (reference cost_model/lgbm_model.py);
+    degrades to sklearn when lightgbm is unavailable."""
+
+    def __init__(self, **kw):
+        kw.setdefault("backend", "lgb")
+        super().__init__(**kw)
+
+
+class RandomModelInternal:
+    """Uniform-random predictions — the sanity baseline (reference
+    cost_model/cost_model.py:87-113 RandomModelInternal)."""
+
+    def __init__(self, seed: int = 0):
+        self.seed = seed
+        self.model = True  # "fit" from the start
+
+    def fit_base(self, features_list, labels, verbose=False):
+        return self
+
+    def predict_on_features(self, features_list) -> np.ndarray:
+        rng = np.random.default_rng(self.seed)
+        return rng.random(len(features_list)).astype(np.float32)
 
     def save(self, path: str):
         with open(path, "wb") as f:

@@ -84,3 +84,14 @@ def recall_at_k(preds, labels, k: int = 1) -> int:
     true_best = int(np.argmax(labels))
     topk = np.argsort(-preds)[:k]
     return int(true_best in set(topk.tolist()))
+
+
+def random_mix(values, randomness: float):
+    """Blend predictions with uniform noise spanning the value range
+    (reference cost_model/metric.py random_mix) — used to study model
+    quality vs search outcome sensitivity."""
+    values = np.asarray(values)
+    random_values = np.random.uniform(
+        np.min(values), np.max(values), len(values)
+    )
+    return randomness * random_values + (1 - randomness) * values

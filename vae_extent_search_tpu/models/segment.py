@@ -253,8 +253,11 @@ class MLPModelInternal:
         return optimizer, step
 
     def fit_base(self, features_list, labels, valid_split: float = 0.1,
-                 verbose: bool = False):
-        self.fea_norm_vec = compute_fea_norm_vec(features_list)
+                 verbose: bool = False, keep_norm: bool = False):
+        # keep_norm: reuse the existing normalization vector (fine-tune /
+        # meta-learning adaptation must share the base model's scaling)
+        if not keep_norm or self.fea_norm_vec is None:
+            self.fea_norm_vec = compute_fea_norm_vec(features_list)
         rng = np.random.default_rng(self.seed)
         n = len(features_list)
         perm = rng.permutation(n)
@@ -601,7 +604,7 @@ def few_shot_fit(base_cls, features_by_task, labels_by_task,
         all_labels.extend(labels_by_task[t])
 
     models = {}
-    if mode in ("base_only", "fine_tune", "plus"):
+    if mode in ("base_only", "fine_tune", "plus", "maml"):
         base = base_cls(in_dim=in_dim, **model_kw)
         base.fit_base(all_feats, np.asarray(all_labels, np.float32))
         models["__base__"] = base
@@ -610,6 +613,36 @@ def few_shot_fit(base_cls, features_by_task, labels_by_task,
                 models[t] = base
             return models
 
+    if mode == "maml":
+        # first-order meta-learning of the initialization (the reference's
+        # MAML few-shot mode, mlp_model.py:683-786; we use the Reptile
+        # first-order update: adapt a copy on one task for a few epochs,
+        # then move the meta-parameters toward the adapted ones)
+        import copy as _copy
+
+        import jax
+
+        meta = models["__base__"]
+        tasks = list(features_by_task)
+        rng = np.random.default_rng(getattr(meta, "seed", 0))
+        meta_rounds = 3 * len(tasks)
+        step_size = 0.2
+        for _ in range(meta_rounds):
+            t = tasks[int(rng.integers(len(tasks)))]
+            inner = _copy.copy(meta)
+            inner.params = meta.params
+            inner.n_epoch = max(5, fine_tune_epochs // 3)
+            inner.fit_base(
+                features_by_task[t],
+                np.asarray(labels_by_task[t], np.float32),
+                keep_norm=True,
+            )
+            meta.params = jax.tree_util.tree_map(
+                lambda a, b: a + step_size * (b - a), meta.params,
+                inner.params,
+            )
+        models["__base__"] = meta
+
     for t in features_by_task:
         feats = features_by_task[t]
         labels = np.asarray(labels_by_task[t], np.float32)
@@ -617,15 +650,15 @@ def few_shot_fit(base_cls, features_by_task, labels_by_task,
             local = base_cls(in_dim=in_dim, **model_kw)
             local.fit_base(feats, labels)
             models[t] = local
-        elif mode == "fine_tune":
+        elif mode in ("fine_tune", "maml"):
             import copy
 
             ft = copy.copy(models["__base__"])
             ft.n_epoch = fine_tune_epochs
-            # warm-start from the base parameters
+            # warm-start from the base parameters, keep its normalization
             ft.params = models["__base__"].params
             ft.fea_norm_vec = models["__base__"].fea_norm_vec
-            ft.fit_base(feats, labels)
+            ft.fit_base(feats, labels, keep_norm=True)
             models[t] = ft
         elif mode == "plus":
             base = models["__base__"]

@@ -627,3 +627,83 @@ def featurize_perstore_states_native(task, states, n_threads: int = 1,
                 pass
         feats[i] = np.zeros((1, FEATURE_VEC_LEN), np.float32)
     return feats
+
+
+def featurize_perstore_inputs_native(inputs, n_threads: int = 1):
+    """Per-store features for in-memory MeasureInputs (cost-model update
+    path). Returns a list parallel to ``inputs``; entries are None where
+    the native path could not handle the record (caller falls back to
+    python per record)."""
+    from ..features.per_store import FEATURE_VEC_LEN
+    from .expr_desc import build_expr_desc
+    from .task_desc import NonAffineError, build_task_desc
+    from .workload import workload_key_to_dag
+
+    lib = _load_ps(_load_fx(_load_lib()))
+    n = len(inputs)
+    feats = [None] * n
+
+    groups = {}
+    for i, inp in enumerate(inputs):
+        groups.setdefault(
+            (inp.task.workload_key, inp.task.target), []
+        ).append(i)
+
+    for (wk, _tgt), idx in groups.items():
+        task = inputs[idx[0]].task
+        try:
+            dag = workload_key_to_dag(wk)
+            edesc = np.ascontiguousarray(build_expr_desc(dag))
+        except Exception:
+            continue
+        try:
+            desc = build_task_desc(dag)
+            desc_ptr = desc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        except NonAffineError:
+            desc_ptr = None
+        try:
+            toks: List[int] = []
+            begin = np.zeros(len(idx), np.int64)
+            end = np.zeros(len(idx), np.int64)
+            strings: List[str] = []
+            string_index = {}
+            for k, i in enumerate(idx):
+                begin[k] = len(toks)
+                _encode_steps(inputs[i].step_records, strings,
+                              string_index, toks)
+                end[k] = len(toks)
+        except Exception:
+            continue
+        tok_arr = np.asarray(toks if toks else [0], np.int32)
+        pool, offs = _string_pool_arrays(strings)
+        h = lib.ves_featurize_perstore(
+            desc_ptr,
+            edesc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            tok_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            begin.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            end.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(idx),
+            pool,
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            int(task.is_gpu),
+            int(task.hardware_params.cache_line_bytes),
+            n_threads,
+        )
+        try:
+            total = lib.ves_ps_num_rows(h)
+            if total > 0:
+                rows = np.ctypeslib.as_array(
+                    lib.ves_ps_features(h), (total * FEATURE_VEC_LEN,)
+                ).reshape(-1, FEATURE_VEC_LEN).copy()
+            else:
+                rows = np.zeros((0, FEATURE_VEC_LEN), np.float32)
+            ps_offs = np.ctypeslib.as_array(
+                lib.ves_ps_offsets(h), (len(idx) + 1,)).copy()
+            ps_status = np.ctypeslib.as_array(
+                lib.ves_ps_status(h), (max(len(idx), 1),))[:len(idx)].copy()
+        finally:
+            lib.ves_ps_free(h)
+        for k, i in enumerate(idx):
+            if ps_status[k] == 0 and ps_offs[k + 1] > ps_offs[k]:
+                feats[i] = rows[ps_offs[k]:ps_offs[k + 1]]
+    return feats

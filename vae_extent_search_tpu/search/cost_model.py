@@ -34,6 +34,10 @@ class LearnedCostModel(PythonCostModel):
                 from ..models.gbdt import GBDTModelInternal
 
                 internal = GBDTModelInternal()
+            elif kind == "lgb":
+                from ..models.gbdt import LGBModelInternal
+
+                internal = LGBModelInternal()
             else:
                 from ..models.variants import SequenceModelInternal
 
@@ -106,6 +110,10 @@ class LearnedCostModel(PythonCostModel):
             from ..models.gbdt import GBDTModelInternal
 
             return cls(GBDTModelInternal.load(path), kind)
+        if kind == "lgb":
+            from ..models.gbdt import LGBModelInternal
+
+            return cls(LGBModelInternal.load(path), kind)
         from ..models.variants import SequenceModelInternal
 
         return cls(SequenceModelInternal.load(path), kind)
