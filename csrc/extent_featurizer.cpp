@@ -24,34 +24,6 @@ namespace {
 
 using namespace ves;
 
-// print-order extent extraction over an inferred state
-void extract_extents(State& st, const InferResult& inf,
-                     std::vector<float>& extents,
-                     std::vector<float>& unrolls) {
-  std::function<void(int)> extract = [&](int sid) {
-    Stage& stage = st.stages[sid];
-    if (stage.auto_unroll != 0) {
-      unrolls.push_back(static_cast<float>(stage.auto_unroll));
-    }
-    for (size_t pos = 0; pos < stage.iters.size(); ++pos) {
-      long e = stage.iters[pos].extent;
-      if (e != 1 && e >= 0) {
-        extents.push_back(static_cast<float>(e));
-      }
-      for (auto& pa : inf.attached[sid]) {
-        if (pa.first == static_cast<int>(pos)) extract(pa.second);
-      }
-    }
-  };
-  for (size_t sid = 0; sid < st.stages.size(); ++sid) {
-    if (st.ops[st.stages[sid].op].kind == 0 ||
-        st.stages[sid].compute_at != AT_ROOT) {
-      continue;
-    }
-    extract(static_cast<int>(sid));
-  }
-}
-
 struct FeaturizeResult {
   std::vector<float> extents;       // flattened
   std::vector<int64_t> offsets;     // per record begin (n+1 entries)
@@ -101,7 +73,7 @@ void* ves_featurize_extents(const int32_t* task_desc,
         continue;
       }
       std::vector<float> ext, unr;
-      extract_extents(st, inf, ext, unr);
+      ves::extract_extents(st, inf, ext, unr);
       if (unr.empty()) unr.push_back(0.0f);
       ext.insert(ext.end(), unr.begin(), unr.end());
       per_rec_ext[r] = std::move(ext);

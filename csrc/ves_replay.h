@@ -950,4 +950,34 @@ inline InferResult infer_bounds(State& st,
   return out;
 }
 
+// print-order extent extraction over an inferred state (the VAE-extent
+// feature: loop extents in print order + auto_unroll values,
+// vae_extent_search.py:166-176)
+inline void extract_extents(State& st, const InferResult& inf,
+                            std::vector<float>& extents,
+                            std::vector<float>& unrolls) {
+  std::function<void(int)> extract = [&](int sid) {
+    Stage& stage = st.stages[sid];
+    if (stage.auto_unroll != 0) {
+      unrolls.push_back(static_cast<float>(stage.auto_unroll));
+    }
+    for (size_t pos = 0; pos < stage.iters.size(); ++pos) {
+      long e = stage.iters[pos].extent;
+      if (e != 1 && e >= 0) {
+        extents.push_back(static_cast<float>(e));
+      }
+      for (auto& pa : inf.attached[sid]) {
+        if (pa.first == static_cast<int>(pos)) extract(pa.second);
+      }
+    }
+  };
+  for (size_t sid = 0; sid < st.stages.size(); ++sid) {
+    if (st.ops[st.stages[sid].op].kind == 0 ||
+        st.stages[sid].compute_at != AT_ROOT) {
+      continue;
+    }
+    extract(static_cast<int>(sid));
+  }
+}
+
 }  // namespace ves

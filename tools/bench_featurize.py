@@ -59,6 +59,20 @@ def main():
     print(f"reference per-core baseline: ~2,100 rec/s/core "
           f"(77k rec/s on 36 vCPU); ours = {n/dt/2100:.1f}x per core")
 
+    # per-store 164-dim featurizer (the reference's actual feature.cc path)
+    from vae_extent_search_tpu.records.fast_parser import (
+        featurize_perstore_native,
+    )
+
+    featurize_perstore_native(path, python_fallback=False)  # warm
+    t0 = time.perf_counter()
+    feats, status = featurize_perstore_native(path, python_fallback=False)
+    dt = time.perf_counter() - t0
+    ok = int((status == 0).sum())
+    print(f"per-store native: {n} records in {dt*1000:.0f}ms = "
+          f"{n/dt:,.0f} rec/s/core ({ok} native-ok); "
+          f"= {n/dt/2100:.1f}x reference per core")
+
 
 if __name__ == "__main__":
     main()

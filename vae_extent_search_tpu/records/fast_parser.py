@@ -192,15 +192,33 @@ def _load_fx(lib):
         ctypes.POINTER(ctypes.c_int64),  # string offsets
         ctypes.c_int,                    # n threads
     ]
-    lib.ves_fx_extents.restype = ctypes.POINTER(ctypes.c_float)
-    lib.ves_fx_extents.argtypes = [ctypes.c_void_p]
-    lib.ves_fx_num_extents.restype = ctypes.c_int64
-    lib.ves_fx_num_extents.argtypes = [ctypes.c_void_p]
-    lib.ves_fx_offsets.restype = ctypes.POINTER(ctypes.c_int64)
-    lib.ves_fx_offsets.argtypes = [ctypes.c_void_p]
-    lib.ves_fx_status.restype = ctypes.POINTER(ctypes.c_int32)
-    lib.ves_fx_status.argtypes = [ctypes.c_void_p]
-    lib.ves_fx_free.argtypes = [ctypes.c_void_p]
+    # v2: full-expression demand propagation (handles non-affine DAGs);
+    # task desc may be None
+    lib.ves_featurize_extents2.restype = ctypes.c_void_p
+    lib.ves_featurize_extents2.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),  # task desc (nullable)
+        ctypes.POINTER(ctypes.c_int32),  # expr desc
+        ctypes.POINTER(ctypes.c_int32),  # step tokens
+        ctypes.POINTER(ctypes.c_int64),  # rec begin
+        ctypes.POINTER(ctypes.c_int64),  # rec end
+        ctypes.c_int64,                  # n recs
+        ctypes.POINTER(ctypes.c_char),   # string pool
+        ctypes.POINTER(ctypes.c_int64),  # string offsets
+        ctypes.c_int,                    # n threads
+    ]
+    for pre in ("ves_fx", "ves_fx2"):
+        getattr(lib, pre + "_extents").restype = ctypes.POINTER(
+            ctypes.c_float)
+        getattr(lib, pre + "_extents").argtypes = [ctypes.c_void_p]
+        getattr(lib, pre + "_num_extents").restype = ctypes.c_int64
+        getattr(lib, pre + "_num_extents").argtypes = [ctypes.c_void_p]
+        getattr(lib, pre + "_offsets").restype = ctypes.POINTER(
+            ctypes.c_int64)
+        getattr(lib, pre + "_offsets").argtypes = [ctypes.c_void_p]
+        getattr(lib, pre + "_status").restype = ctypes.POINTER(
+            ctypes.c_int32)
+        getattr(lib, pre + "_status").argtypes = [ctypes.c_void_p]
+        getattr(lib, pre + "_free").argtypes = [ctypes.c_void_p]
     lib._fx_ready = True
     return lib
 
@@ -212,78 +230,76 @@ def featurize_extents_native(path: str, n_threads: int = 1,
     Returns (extent vectors: list of float32 arrays, labels [n] float32,
     statuses [n] int32: 0 native, 1 python-fallback, 2 error/skipped).
     Labels are -log(mean cost + 1e-8); error records and costs > 1e6 get
-    status 2 (reference print_programs.py:23 filter).
+    status 2 (reference print_programs.py:23 filter). Records are grouped
+    by task; non-affine DAGs run through the full-expression demand path
+    (ves_featurize_extents2).
     """
     from ..features.extent import label_from_costs
-    from .serde import record_from_json
+    from .expr_desc import build_expr_desc
     from .task_desc import NonAffineError, build_task_desc
     from .workload import workload_key_to_dag
 
     lib = _load_fx(_load_lib())
+    raw = load_raw(path, -1)
+    n = len(raw)
+    if n == 0:
+        return [], np.zeros(0, np.float32), np.zeros(0, np.int32)
 
-    # parse once; keep the handle alive during featurization
-    handle = lib.ves_parse_file(path.encode(), -1)
-    if not handle:
-        raise IOError(f"native parse failed for {path}")
-    try:
-        raw = RawRecords(handle, lib)
-        n = len(raw)
-        if n == 0:
-            return [], np.zeros(0, np.float32), np.zeros(0, np.int32)
-        dag = workload_key_to_dag(raw.task_workload[0])
+    vecs = [None] * n
+    statuses = np.full(n, 2, np.int32)
+    labels = np.zeros(n, np.float32)
+    for i in range(n):
+        if raw.error_no[i] == 0 and raw.first_cost[i] <= 1e6:
+            labels[i] = label_from_costs([raw.mean_cost[i]])
+            statuses[i] = 1  # provisional: python fallback
+
+    pool, offs = _string_pool_arrays(raw.strings)
+    step_tokens = np.ascontiguousarray(raw.step_tokens)
+
+    for tid in range(len(raw.task_workload)):
+        idx = np.nonzero((raw.task_id == tid) & (statuses == 1))[0]
+        if len(idx) == 0:
+            continue
+        try:
+            dag = workload_key_to_dag(raw.task_workload[tid])
+            edesc = np.ascontiguousarray(build_expr_desc(dag))
+        except Exception:
+            continue  # python fallback for the whole task
         try:
             desc = build_task_desc(dag)
-            native_ok = True
+            desc_ptr = desc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
         except NonAffineError:
-            native_ok = False
-
-        vecs = [None] * n
-        statuses = np.full(n, 2, np.int32)
-        labels = np.zeros(n, np.float32)
-        for i in range(n):
-            ok = raw.error_no[i] == 0 and raw.first_cost[i] <= 1e6
-            if ok:
-                labels[i] = label_from_costs([raw.mean_cost[i]])
-                statuses[i] = 1  # provisional: python fallback
-
-        if native_ok:
-            step_tokens = np.ascontiguousarray(raw.step_tokens)
-            begin = np.ascontiguousarray(raw.step_begin)
-            end = np.ascontiguousarray(raw.step_end)
-            pool = "\x00".join(raw.strings).encode() + b"\x00"
-            offs = np.zeros(len(raw.strings), np.int64)
-            o = 0
-            for k, s in enumerate(raw.strings):
-                offs[k] = o
-                o += len(s.encode()) + 1
-            fx = lib.ves_featurize_extents(
-                desc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                step_tokens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-                begin.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                end.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                n,
-                pool,
-                offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-                n_threads,
-            )
-            try:
-                total = lib.ves_fx_num_extents(fx)
+            desc_ptr = None  # v2 derives the op table from the expr desc
+        begin = np.ascontiguousarray(raw.step_begin[idx])
+        end = np.ascontiguousarray(raw.step_end[idx])
+        fx = lib.ves_featurize_extents2(
+            desc_ptr,
+            edesc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            step_tokens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            begin.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            end.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(idx),
+            pool,
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n_threads,
+        )
+        try:
+            total = lib.ves_fx2_num_extents(fx)
+            if total > 0:
                 ext = np.ctypeslib.as_array(
-                    lib.ves_fx_extents(fx), (max(total, 1),))[:total].copy()
-                fx_offs = np.ctypeslib.as_array(
-                    lib.ves_fx_offsets(fx), (n + 1,)).copy()
-                fx_status = np.ctypeslib.as_array(
-                    lib.ves_fx_status(fx), (max(n, 1),))[:n].copy()
-            finally:
-                lib.ves_fx_free(fx)
-            for i in range(n):
-                if statuses[i] == 2:
-                    continue
-                if fx_status[i] == 0:
-                    vecs[i] = ext[fx_offs[i]:fx_offs[i + 1]]
-                    statuses[i] = 0
-    finally:
-        lib.ves_free(handle)
+                    lib.ves_fx2_extents(fx), (total,)).copy()
+            else:
+                ext = np.zeros(0, np.float32)
+            fx_offs = np.ctypeslib.as_array(
+                lib.ves_fx2_offsets(fx), (len(idx) + 1,)).copy()
+            fx_status = np.ctypeslib.as_array(
+                lib.ves_fx2_status(fx), (max(len(idx), 1),))[:len(idx)].copy()
+        finally:
+            lib.ves_fx2_free(fx)
+        for k, rec in enumerate(idx):
+            if fx_status[k] == 0:
+                vecs[rec] = ext[fx_offs[k]:fx_offs[k + 1]]
+                statuses[rec] = 0
 
     if python_fallback:
         from ..features.extent import extent_vector
