@@ -406,9 +406,20 @@ inline void apply_cache_write(State& st, const Step& step) {
 }
 
 inline bool apply_step(State& st, const Step& step) {
+  // bounds guards: mutated candidate schedules (native evolutionary
+  // search) can carry out-of-range ids; mirror the python path where
+  // apply_steps raises and the child is discarded
+  if (step.stage_id < 0 ||
+      step.stage_id >= static_cast<int>(st.stages.size())) {
+    return false;
+  }
   switch (step.kind) {
     case S_AN: {
       Stage& s = st.stages[step.stage_id];
+      if (step.iter_id < 0 ||
+          step.iter_id >= static_cast<int>(s.iters.size())) {
+        return false;
+      }
       s.iters[step.iter_id].annotation =
           static_cast<int8_t>(step.level);  // reuse .level = annotation
       return true;
@@ -416,6 +427,9 @@ inline bool apply_step(State& st, const Step& step) {
     case S_FU: {
       Stage& s = st.stages[step.stage_id];
       if (step.ids.empty()) return true;
+      for (int id : step.ids) {
+        if (id < 0 || id >= static_cast<int>(s.iters.size())) return false;
+      }
       long ext = 1;
       int kind = s.iters[step.ids.front()].kind;
       bool defined = true;
@@ -462,20 +476,45 @@ inline bool apply_step(State& st, const Step& step) {
     case S_RE: {
       Stage& s = st.stages[step.stage_id];
       std::vector<Iter> ni;
+      for (int id : step.ids) {
+        if (id < 0 || id >= static_cast<int>(s.iters.size())) return false;
+      }
       for (int id : step.ids) ni.push_back(s.iters[id]);
       s.iters = std::move(ni);
       return true;
     }
     case S_SP:
+      if (step.iter_id < 0 ||
+          step.iter_id >=
+              static_cast<int>(st.stages[step.stage_id].iters.size())) {
+        return false;
+      }
       apply_split_common(st, step.stage_id, step.iter_id, step.lengths,
                          step.inner_to_outer);
       return true;
     case S_FSP: {
+      if (step.iter_id < 0 ||
+          step.iter_id >=
+              static_cast<int>(st.stages[step.stage_id].iters.size()) ||
+          step.src_step_id < 0 ||
+          step.src_step_id >= static_cast<int>(st.steps.size())) {
+        return false;
+      }
       auto lengths = extract_follow_split_lengths(st, step);
       apply_split_common(st, step.stage_id, step.iter_id, lengths, true);
       return true;
     }
     case S_FFSP: {
+      if (step.iter_id < 0 ||
+          step.iter_id >=
+              static_cast<int>(st.stages[step.stage_id].iters.size())) {
+        return false;
+      }
+      for (int sid : step.ids) {
+        if (sid < 0 || sid >= static_cast<int>(st.steps.size())) {
+          return false;
+        }
+      }
       long len = extract_follow_fused_length(st, step);
       apply_split_common(st, step.stage_id, step.iter_id, {len},
                          step.inner_to_outer);
@@ -484,6 +523,10 @@ inline bool apply_step(State& st, const Step& step) {
     case S_SA:
       return true;  // storage align: no effect on extents
     case S_CA: {
+      if (step.target_stage_id < 0 ||
+          step.target_stage_id >= static_cast<int>(st.stages.size())) {
+        return false;
+      }
       Stage& s = st.stages[step.stage_id];
       for (auto& it : s.iters) it.extent = -1;
       s.compute_at = AT_ITER;
@@ -505,6 +548,11 @@ inline bool apply_step(State& st, const Step& step) {
       return true;
     }
     case S_CHR:
+      for (int rid : step.ids) {
+        if (rid < 0 || rid >= static_cast<int>(st.stages.size())) {
+          return false;
+        }
+      }
       apply_cache_read(st, step);
       return true;
     case S_CHW:
@@ -948,6 +996,32 @@ inline InferResult infer_bounds(State& st,
   }
   out.ok = !ctx.fail;
   return out;
+}
+
+// structural hash of a replayed state: stage ops, compute locations,
+// iterator extents/annotations and attachments — the native equivalent of
+// dedup by State::ToStr (names are determined by ops and order)
+inline uint64_t state_struct_hash(const State& st) {
+  uint64_t h = 1469598103934665603ULL;  // FNV-1a
+  auto mix = [&h](long v) {
+    h ^= static_cast<uint64_t>(v);
+    h *= 1099511628211ULL;
+  };
+  for (size_t sid = 0; sid < st.stages.size(); ++sid) {
+    const Stage& s = st.stages[sid];
+    mix(s.op);
+    mix(s.compute_at);
+    mix(s.auto_unroll);
+    mix(st.attach_tgt[sid]);
+    mix(st.attach_pos[sid]);
+    mix(static_cast<long>(s.iters.size()));
+    for (auto& it : s.iters) {
+      mix(it.extent);
+      mix(it.annotation);
+      mix(it.kind);
+    }
+  }
+  return h;
 }
 
 // print-order extent extraction over an inferred state (the VAE-extent

@@ -144,3 +144,43 @@ def test_native_perstore_states_golden():
     for i, (a, b) in enumerate(zip(A, B)):
         assert a.shape == b.shape, i
         assert np.allclose(a, b, atol=1e-4), i
+
+
+def test_native_evolutionary_search():
+    """The native-batched GA (record-level mutations, C++ replay + dedup
+    keys + features per generation) produces valid unique states whose
+    best score is no worse than the initial population's."""
+    import numpy as np
+
+    from vae_extent_search_tpu.features.per_store import (
+        get_per_store_features_from_states,
+    )
+    from vae_extent_search_tpu.search.sketch import (
+        PythonCostModel,
+        SketchPolicy,
+    )
+
+    class DetModel(PythonCostModel):
+        def predict(self, task, states):
+            feats = get_per_store_features_from_states(states, task)
+            return self.predict_on_feature_list(task, feats)
+
+        def predict_on_feature_list(self, task, feats):
+            return np.asarray([f.sum() % 7.0 for f in feats], np.float32)
+
+    task = SearchTask(
+        make_workload_key(
+            "conv2d_layer", (1, 7, 7, 32, 32, 3, 3, [1, 1], [1, 1])
+        ),
+        "llvm -mcpu=skylake-avx512",
+    )
+    model = DetModel()
+    pol = SketchPolicy(task, model, seed=11)
+    init = pol.sample_initial_population(24)
+    out = pol._evolutionary_search_native(init, 16)
+    assert out is not None and len(out) > 0  # native path engaged
+    keys = {s.to_str() for s in out}
+    assert len(keys) == len(out)  # unique
+    best_out = max(model.predict(task, out))
+    best_init = max(model.predict(task, init))
+    assert best_out >= best_init

@@ -352,6 +352,8 @@ def _load_ps(lib):
     lib.ves_ps_offsets.argtypes = [ctypes.c_void_p]
     lib.ves_ps_status.restype = ctypes.POINTER(ctypes.c_int32)
     lib.ves_ps_status.argtypes = [ctypes.c_void_p]
+    lib.ves_ps_keys.restype = ctypes.POINTER(ctypes.c_uint64)
+    lib.ves_ps_keys.argtypes = [ctypes.c_void_p]
     lib.ves_ps_free.argtypes = [ctypes.c_void_p]
     lib._ps_ready = True
     return lib
@@ -723,3 +725,99 @@ def featurize_perstore_inputs_native(inputs, n_threads: int = 1):
             if ps_status[k] == 0 and ps_offs[k + 1] > ps_offs[k]:
                 feats[i] = rows[ps_offs[k]:ps_offs[k + 1]]
     return feats
+
+
+class _TaskDescCache:
+    """Per-task descriptor cache for repeated GA generations."""
+
+    _cache = {}
+
+    @classmethod
+    def get(cls, task):
+        key = (task.workload_key, task.target)
+        hit = cls._cache.get(key)
+        if hit is not None:
+            return hit
+        from .expr_desc import build_expr_desc
+        from .task_desc import NonAffineError, build_task_desc
+        from .workload import workload_key_to_dag
+
+        dag = workload_key_to_dag(task.workload_key)
+        edesc = np.ascontiguousarray(build_expr_desc(dag))
+        try:
+            desc = build_task_desc(dag)
+        except NonAffineError:
+            desc = None
+        cls._cache[key] = (desc, edesc)
+        return cls._cache[key]
+
+
+def featurize_perstore_records_native(task, record_lists,
+                                      n_threads: int = 1):
+    """Per-store features + structural dedup keys for step-record lists
+    (the native evolutionary-search generation batch). Returns
+    (features list, keys uint64 [n], statuses int32 [n]); entries with
+    status != 0 have features None and key 0 — the caller decides whether
+    to python-fallback (rfactor) or discard (invalid child)."""
+    from ..features.per_store import FEATURE_VEC_LEN
+
+    lib = _load_ps(_load_fx(_load_lib()))
+    n = len(record_lists)
+    feats = [None] * n
+    keys = np.zeros(n, np.uint64)
+    statuses = np.full(max(n, 1), 2, np.int32)[:n]
+    if n == 0:
+        return feats, keys, statuses
+
+    desc, edesc = _TaskDescCache.get(task)
+    desc_ptr = (desc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+                if desc is not None else None)
+    toks: List[int] = []
+    begin = np.zeros(n, np.int64)
+    end = np.zeros(n, np.int64)
+    strings: List[str] = []
+    string_index = {}
+    for i, recs in enumerate(record_lists):
+        begin[i] = len(toks)
+        _encode_steps(recs, strings, string_index, toks)
+        end[i] = len(toks)
+    tok_arr = np.asarray(toks if toks else [0], np.int32)
+    pool, offs = _string_pool_arrays(strings)
+
+    h = lib.ves_featurize_perstore(
+        desc_ptr,
+        edesc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        tok_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        begin.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        end.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n,
+        pool,
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        int(task.is_gpu),
+        int(task.hardware_params.cache_line_bytes),
+        n_threads,
+    )
+    try:
+        total = lib.ves_ps_num_rows(h)
+        if total > 0:
+            rows = np.ctypeslib.as_array(
+                lib.ves_ps_features(h), (total * FEATURE_VEC_LEN,)
+            ).reshape(-1, FEATURE_VEC_LEN).copy()
+        else:
+            rows = np.zeros((0, FEATURE_VEC_LEN), np.float32)
+        ps_offs = np.ctypeslib.as_array(
+            lib.ves_ps_offsets(h), (n + 1,)).copy()
+        ps_status = np.ctypeslib.as_array(
+            lib.ves_ps_status(h), (max(n, 1),))[:n].copy()
+        ps_keys = np.ctypeslib.as_array(
+            lib.ves_ps_keys(h), (max(n, 1),))[:n].copy()
+    finally:
+        lib.ves_ps_free(h)
+    for i in range(n):
+        statuses[i] = ps_status[i]
+        keys[i] = ps_keys[i]
+        if ps_status[i] == 0 and ps_offs[i + 1] > ps_offs[i]:
+            feats[i] = rows[ps_offs[i]:ps_offs[i + 1]]
+        elif ps_status[i] == 0:
+            statuses[i] = 2  # replayed but produced no stores
+    return feats, keys, statuses

@@ -97,6 +97,15 @@ class LearnedCostModel(PythonCostModel):
         feats = get_per_store_features_from_states(states, task)
         return self.internal.predict_on_features(feats)
 
+    def predict_on_feature_list(self, task, feats) -> np.ndarray:
+        """Score pre-extracted per-store feature matrices (the native
+        evolutionary search featurizes generations in C++ and scores
+        here, skipping State reconstruction entirely)."""
+        if not self._is_fit():
+            rng = np.random.default_rng(0)
+            return rng.random(len(feats)).astype(np.float32)
+        return self.internal.predict_on_features(feats)
+
     def save(self, path: str):
         self.internal.save(path)
 

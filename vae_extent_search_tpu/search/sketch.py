@@ -714,6 +714,109 @@ def mutate_auto_unroll(state: State, task: SearchTask,
         return None
 
 
+
+# ---------------------------------------------------------------------------
+# Record-level mutations for the native evolutionary search: identical
+# semantics to the State-based mutations above, but children stay as step
+# records — replay, dedup keys and features come from the native batch
+# (records/fast_parser.featurize_perstore_records_native)
+# ---------------------------------------------------------------------------
+
+
+def _mutate_tile_size_recs(recs: List[list], rng: random.Random,
+                           max_innermost: int = 64) -> Optional[List[list]]:
+    split_ids = []
+    for i, r in enumerate(recs):
+        if r[0] != "SP":
+            continue
+        extent, lengths = r[3], r[4]
+        if not extent or any(l is None for l in lengths):
+            continue
+        if (lengths[-1] if lengths else 1) > max_innermost:
+            continue
+        split_ids.append(i)
+    if not split_ids:
+        return None
+    for _ in range(4 * len(split_ids)):
+        step_id = rng.choice(split_ids)
+        _, stage_id, iter_id, extent, lens, ito = recs[step_id]
+        if extent and extent > 1:
+            break
+    else:
+        return None
+
+    lengths = [1] + list(lens)
+    prod = 1
+    for l in lens:
+        prod *= l
+    lengths[0] = extent // prod if prod else extent
+
+    perm = list(range(len(lengths)))
+    rng.shuffle(perm)
+    for i, src_idx in enumerate(perm):
+        length = lengths[src_idx]
+        if length <= 1:
+            continue
+        dst_idx = perm[(i + 1) % len(perm)]
+        factors = [d for d in range(2, length + 1) if length % d == 0]
+        if dst_idx == len(lengths) - 1:
+            factors = [
+                f for f in factors if f * lengths[dst_idx] <= max_innermost
+            ]
+        if not factors:
+            continue
+        divide = rng.choice(factors)
+        new_lengths = list(lengths)
+        new_lengths[src_idx] = lengths[src_idx] // divide
+        new_lengths[dst_idx] = lengths[dst_idx] * divide
+        out = list(recs)
+        out[step_id] = ["SP", stage_id, iter_id, extent, new_lengths[1:],
+                        ito]
+        return out
+    return None
+
+
+def _mutate_auto_unroll_recs(recs: List[list], is_gpu: bool,
+                             rng: random.Random) -> Optional[List[list]]:
+    pragma_ids = [
+        i for i, r in enumerate(recs)
+        if r[0] == "PR" and isinstance(r[3], str)
+        and r[3].startswith("auto_unroll_max_step")
+    ]
+    if not pragma_ids:
+        return None
+    cands = (
+        AUTO_UNROLL_CANDIDATES_GPU if is_gpu else AUTO_UNROLL_CANDIDATES_CPU
+    )
+    step_id = rng.choice(pragma_ids)
+    out = list(recs)
+    out[step_id] = ["PR", recs[step_id][1], recs[step_id][2],
+                    f"auto_unroll_max_step${rng.choice(cands)}"]
+    return out
+
+
+def _mutate_parallel_recs(recs: List[list],
+                          rng: random.Random) -> Optional[List[list]]:
+    for i in range(len(recs) - 1, 0, -1):
+        r = recs[i]
+        if not (r[0] == "AN" and r[3] == 3):
+            continue
+        prev = recs[i - 1]
+        if not (prev[0] == "FU" and prev[1] == r[1]
+                and r[2] == prev[2][0]):
+            continue
+        n_old = len(prev[2])
+        choices = [n for n in (1, 2, 3, 4) if n != n_old]
+        n_new = rng.choice(choices)
+        out = list(recs)
+        base = prev[2][0]
+        if n_new == 1:
+            out[i - 1:i + 1] = [["AN", r[1], base, 3]]
+        else:
+            out[i - 1] = ["FU", prev[1], list(range(base, base + n_new))]
+        return out
+    return None
+
 # ---------------------------------------------------------------------------
 # Cost models for generation
 # ---------------------------------------------------------------------------
@@ -735,6 +838,9 @@ class RandomCostModel(PythonCostModel):
 
     def predict(self, task, states):
         return self.rng.random(len(states)).astype(np.float32)
+
+    def predict_on_feature_list(self, task, feats):
+        return self.rng.random(len(feats)).astype(np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -801,7 +907,17 @@ class SketchPolicy:
                             out_size: int) -> List[State]:
         """Cost-model-scored GA (sketch_policy.cc:487-624): keep a heap of
         the best unique states; parents sampled by prefix-sum probability
-        over scores; mutations only (no crossover)."""
+        over scores; mutations only (no crossover).
+
+        When the native library is built and no sketch uses rfactor, the
+        generation batches (replay + dedup keys + 164-dim features) run in
+        C++ — the counterpart of the reference running its whole GA inside
+        sketch_policy.cc."""
+        if init_population:
+            native = self._evolutionary_search_native(init_population,
+                                                      out_size)
+            if native is not None:
+                return native
         population = self.params["evolutionary_search_population"]
         iters = self.params["evolutionary_search_num_iters"]
         mut_prob = self.params["evolutionary_search_mutation_prob"]
@@ -869,6 +985,120 @@ class SketchPolicy:
 
         best = sorted(heap, key=lambda t: -t[0])
         return [st for _, _, st in best]
+
+    def _evolutionary_search_native(self, init_population: List[State],
+                                    out_size: int) -> Optional[List[State]]:
+        """Native-batched GA; returns None when unavailable (no native lib,
+        rfactor sketches, or a cost model without feature-level predict)."""
+        score_fn = getattr(self.cost_model, "predict_on_feature_list", None)
+        if score_fn is None:
+            return None
+        # a subclass overriding predict() but inheriting
+        # predict_on_feature_list would be scored inconsistently — require
+        # both methods to come from the same class
+        def _definer(name):
+            for c in type(self.cost_model).__mro__:
+                if name in c.__dict__:
+                    return c
+            return None
+
+        if _definer("predict") is not _definer("predict_on_feature_list"):
+            return None
+        try:
+            from ..records.fast_parser import (
+                featurize_perstore_records_native,
+            )
+        except Exception:
+            return None
+
+        cur_recs = [[st_.to_record() for st_ in s.transform_steps]
+                    for s in init_population]
+        if any(r[0] == "RF" for recs in cur_recs for r in recs):
+            return None  # rfactor replays in python only
+
+        population = self.params["evolutionary_search_population"]
+        iters = self.params["evolutionary_search_num_iters"]
+        mut_prob = self.params["evolutionary_search_mutation_prob"]
+        max_inner = self.params["max_innermost_split_factor"]
+        is_gpu = self.task.is_gpu
+
+        def featurize(recs_list):
+            try:
+                feats, keys, status = featurize_perstore_records_native(
+                    self.task, recs_list
+                )
+            except Exception:
+                return None
+            keep, kfeats, kkeys = [], [], []
+            for i, recs in enumerate(recs_list):
+                if status[i] == 0:
+                    keep.append(recs)
+                    kfeats.append(feats[i])
+                    kkeys.append(int(keys[i]))
+            return keep, kfeats, kkeys
+
+        heap: List[Tuple[float, int, list]] = []  # (score, tiebreak, recs)
+        in_heap = set()
+        counter = 0
+
+        def push(recs_list, keys, scores):
+            nonlocal counter
+            for recs, key, sc in zip(recs_list, keys, scores):
+                if key in in_heap:
+                    continue
+                if len(heap) < out_size:
+                    heapq.heappush(heap, (float(sc), counter, recs))
+                    in_heap.add(key)
+                    counter += 1
+                elif sc > heap[0][0]:
+                    heapq.heappushpop(heap, (float(sc), counter, recs))
+                    in_heap.add(key)
+                    counter += 1
+
+        batch = featurize(cur_recs)
+        if batch is None or not batch[0]:
+            return None
+        cur, feats, keys = batch
+        scores = np.asarray(score_fn(self.task, feats))
+        push(cur, keys, scores)
+
+        for _ in range(iters):
+            w = scores - scores.min() + 1e-6
+            probs = np.cumsum(w / w.sum())
+            nxt = []
+            while len(nxt) < min(population, 4 * max(1, len(cur))):
+                parent = cur[int(np.searchsorted(probs, self.rng.random()))]
+                if self.rng.random() < mut_prob:
+                    r = self.rng.random()
+                    if r < 0.90:
+                        child = _mutate_tile_size_recs(parent, self.rng,
+                                                       max_inner)
+                    elif r < 0.99:
+                        child = _mutate_auto_unroll_recs(parent, is_gpu,
+                                                         self.rng)
+                    else:
+                        child = _mutate_parallel_recs(parent, self.rng)
+                    if child is not None:
+                        nxt.append(child)
+                else:
+                    nxt.append(parent)
+                if len(nxt) >= len(cur) * 4:
+                    break
+            batch = featurize(nxt)
+            if batch is None or not batch[0]:
+                break
+            cur, feats, keys = batch
+            scores = np.asarray(score_fn(self.task, feats))
+            push(cur, keys, scores)
+
+        best = sorted(heap, key=lambda t: -t[0])
+        out = []
+        for _, _, recs in best:
+            try:
+                out.append(self.task.compute_dag.apply_steps(recs))
+            except Exception:
+                continue
+        return out
 
     def continue_search_one_round(self, num_measure: int) -> List[State]:
         """One search round: sample init population -> evolutionary search
