@@ -26,7 +26,8 @@ import numpy as np
 
 from ..ir import schedule_api  # noqa: F401  (installs State methods)
 from ..ir import expr as E
-from ..ir.state import AT_INLINED, AT_ITER, AT_ROOT, KIND_SPATIAL, State
+from ..ir.state import (AT_INLINED, AT_ITER, AT_ROOT, KIND_REDUCTION,
+                        KIND_SPATIAL, State)
 from ..ir.steps import PragmaStep, SplitStep
 from ..ir.tensor import ComputeOp, PlaceholderOp
 from ..records.task import SearchTask
@@ -60,11 +61,20 @@ class AccessAnalysis:
                 continue
             self.is_simple_access[op.uid] = self._simple_access(op)
             self.needs_multi_level_tiling[op.uid] = self._needs_mlt(op)
+            reads = E.collect_reads(op.body)
             self.is_strictly_inlineable[op.uid] = (
                 self.is_simple_access[op.uid]
                 and not op.reduce_axes
                 and not self._has_expensive_op(op)
+                # branches (Select / if_then_else) are never strictly
+                # inlined — padding stays a separate stage whose location
+                # the ChangeComputeLocation rules tune
+                # (compute_dag.cc:336-356)
+                and not self._has_branch(op)
+                and not self._reorders_axes(op, reads)
             )
+            if not reads:  # constant tensor (compute_dag.cc:354-356)
+                self.is_strictly_inlineable[op.uid] = True
 
     def _simple_access(self, op: ComputeOp) -> bool:
         """Every read index is an axis var, a constant, or var +/- const
@@ -90,6 +100,50 @@ class AccessAnalysis:
     def _has_expensive_op(self, op: ComputeOp) -> bool:
         counts = E.count_math_ops(op.body)
         return counts["float_math"] > 0 or counts["float_div_mod"] > 0
+
+    def _has_branch(self, op: ComputeOp) -> bool:
+        found = False
+
+        def walk(e):
+            nonlocal found
+            if found:
+                return
+            if isinstance(e, E.Select):
+                found = True
+                return
+            if isinstance(e, E.Call) and e.func == "if_then_else":
+                found = True
+                return
+            for attr in ("a", "b", "cond", "true_value", "false_value",
+                         "value"):
+                v = getattr(e, attr, None)
+                if isinstance(v, E.Expr):
+                    walk(v)
+            for attr in ("parts", "args", "indices"):
+                v = getattr(e, attr, None)
+                if v:
+                    for x in v:
+                        if isinstance(x, E.Expr):
+                            walk(x)
+
+        walk(op.body)
+        return found
+
+    def _reorders_axes(self, op: ComputeOp, reads) -> bool:
+        """Transposed / duplicated axis access — not strictly inlined
+        (compute_dag.cc:336-339 same_order / axis_duplicated)."""
+        axis_pos = {d.var: i for i, d in enumerate(op.axes)}
+        for r in reads:
+            seq = []
+            for idx in r.indices:
+                for v in E.collect_vars(idx):
+                    if v in axis_pos:
+                        seq.append(axis_pos[v])
+            if len(set(seq)) != len(seq):
+                return True
+            if seq != sorted(seq):
+                return True
+        return False
 
     def _needs_mlt(self, op: ComputeOp) -> bool:
         """Has reduction and data reuse: some read misses a spatial axis
@@ -587,6 +641,166 @@ def init_vectorization(state: State, task: SearchTask,
 
 
 # ---------------------------------------------------------------------------
+# Compute-location candidates (utils.cc:68-155 GetComputeLocationCandidates)
+# ---------------------------------------------------------------------------
+
+_ANALYSIS_CACHE: Dict[int, "AccessAnalysis"] = {}
+
+
+def _analysis_for(dag) -> "AccessAnalysis":
+    a = _ANALYSIS_CACHE.get(id(dag))
+    if a is None:
+        a = AccessAnalysis(dag)
+        _ANALYSIS_CACHE[id(dag)] = a
+    return a
+
+
+def _is_tiled_stage(stage) -> bool:
+    """More iterators than original dims => splits applied (utils.h:478)."""
+    op = stage.op
+    if not isinstance(op, ComputeOp):
+        return False
+    return len(stage.iters) != len(op.axes) + len(op.reduce_axes)
+
+
+def _iter_extent(it) -> int:
+    return it.range[1] if it.range is not None else 1
+
+
+def get_compute_location_candidates(analysis, state: State,
+                                    stage_id: int) -> List[Tuple[int, int]]:
+    """(target_stage, iter position) pairs where this stage could be
+    computed_at: its single consumer's outer loops (stopping at reduce
+    boundaries / unroll regions / existing attachments), plus the
+    consumer's own attach target when the consumer is itself attached."""
+    cons = analysis.consumers(state, stage_id)
+    if len(cons) != 1:
+        return []
+    tgt = cons[0]
+    target_stage = state.stages[tgt]
+    target_compute_at_other = target_stage.compute_at == AT_ITER
+    target_is_tiled = _is_tiled_stage(target_stage)
+
+    cands: List[Tuple[int, int]] = []
+    visited_reduce = False
+    for i, it in enumerate(target_stage.iters):
+        if it.kind == KIND_REDUCTION:
+            visited_reduce = True
+            if not target_is_tiled:  # do not go into reduce iters
+                break
+        elif it.kind == KIND_SPATIAL and visited_reduce:
+            break  # do not go into the inner tile
+        if it.annotation == 1:  # unroll region
+            break
+        if _iter_extent(it) == 1:
+            continue
+        if (target_compute_at_other and it.kind == KIND_SPATIAL
+                and it.name.endswith(".0")):
+            continue  # first-level iters are length-1 under compute_at
+        cands.append((tgt, i))
+        if (tgt, i) in state.attach_map.iter_to_attached_stages:
+            break
+
+    if target_compute_at_other:
+        ttid, _ = state.attach_map.stage_to_attach_iter[tgt]
+        tts = state.stages[ttid]
+        for i, it in enumerate(tts.iters):
+            if it.kind == KIND_REDUCTION or (
+                (ttid, i) in state.attach_map.iter_to_attached_stages
+            ):
+                break
+            if it.annotation == 1:
+                break
+            if _iter_extent(it) == 1:
+                continue
+            cands.append((ttid, i))
+    return cands
+
+
+def init_change_compute_location(state: State, task: SearchTask,
+                                 rng: random.Random) -> State:
+    """Randomly re-place non-tiled stages among inline / root / candidate
+    compute_at locations (InitChangeComputeLocation,
+    sketch_policy_rules.cc:533-579)."""
+    analysis = _analysis_for(state.dag)
+    for stage_id in range(len(state.stages) - 1, -1, -1):
+        stage = state.stages[stage_id]
+        if stage.op_type == "placeholder" or stage.compute_at == AT_INLINED:
+            continue
+        if _is_tiled_stage(stage) or analysis.needs_multi_level_tiling.get(
+            stage.op.uid
+        ):
+            continue
+        cands = get_compute_location_candidates(analysis, state, stage_id)
+        choice = rng.randrange(len(cands) + 2)
+        if choice == 0:
+            has_reduce = isinstance(stage.op, ComputeOp) and \
+                stage.op.reduce_axes
+            if not has_reduce and \
+                    stage_id in state.attach_map.stage_to_attach_iter:
+                state.compute_inline(stage_id)
+        elif choice == 1:
+            state.compute_root(stage_id)
+        else:
+            tgt, pos = cands[choice - 2]
+            state.compute_at(stage_id, tgt, pos)
+    return state
+
+
+def _stage_inc(steps, step_id: int) -> int:
+    """Stage-id shift of steps[step_id].stage_id in the final state
+    (utils.h:542 GetTargetStageIDInState): later cache/rfactor steps at
+    lower-or-equal ids push it up."""
+    from ..ir.steps import CacheReadStep, CacheWriteStep, RfactorStep
+
+    inc = 0
+    base = steps[step_id].stage_id
+    for s in steps[step_id + 1:]:
+        if isinstance(s, (CacheReadStep, CacheWriteStep, RfactorStep)):
+            if s.stage_id <= base + inc:
+                inc += 1
+    return inc
+
+
+def mutate_compute_location(state: State, task: SearchTask,
+                            rng: random.Random) -> Optional[State]:
+    """Re-sample the target of one ComputeAt step (MutateComputeLocation,
+    sketch_policy_rules.cc:1055-1117)."""
+    from ..ir.steps import ComputeAtStep
+
+    analysis = _analysis_for(state.dag)
+    steps = state.transform_steps
+    ca_steps = []
+    for i, st_ in enumerate(steps):
+        if not isinstance(st_, ComputeAtStep):
+            continue
+        cur_id = st_.stage_id + _stage_inc(steps, i)
+        if cur_id >= len(state.stages):
+            continue
+        stage = state.stages[cur_id]
+        if _is_tiled_stage(stage) or analysis.needs_multi_level_tiling.get(
+            stage.op.uid
+        ):
+            continue
+        ca_steps.append((i, cur_id))
+    if not ca_steps:
+        return None
+    step_id, cur_id = ca_steps[rng.randrange(len(ca_steps))]
+    cands = get_compute_location_candidates(analysis, state, cur_id)
+    if not cands:
+        return None
+    tgt, pos = cands[rng.randrange(len(cands))]
+    inc = _stage_inc(steps, step_id)
+    recs = [s.to_record() for s in steps]
+    ps = steps[step_id]
+    recs[step_id] = ComputeAtStep(ps.stage_id, tgt - inc, pos).to_record()
+    try:
+        return state.dag.apply_steps(recs)
+    except Exception:
+        return None
+
+
+# ---------------------------------------------------------------------------
 # Mutations (sketch_policy_rules.cc:912-1054)
 # ---------------------------------------------------------------------------
 
@@ -890,6 +1104,8 @@ class SketchPolicy:
                     st = init_unroll(st, self.task, self.rng)
                     st = self.task.compute_dag.infer_bound(st)
                 else:
+                    st = init_change_compute_location(st, self.task,
+                                                      self.rng)
                     st = init_parallel(st, self.task, self.rng)
                     st = init_unroll(st, self.task, self.rng)
                     st = self.task.compute_dag.infer_bound(st)
@@ -954,16 +1170,29 @@ class SketchPolicy:
                     int(np.searchsorted(np.cumsum(probs), self.rng.random()))
                 ]
                 if self.rng.random() < mut_prob:
-                    # mutation weights mirror sketch_policy.cc:113-151
-                    # (tile .90, unroll .04-.10, parallel .01; no crossover)
+                    # mutation weights mirror sketch_policy.cc:113-152
+                    # (CPU: tile .90 / unroll .04 / compute-location .05 /
+                    # parallel .01; GPU: tile .90 / unroll .10)
                     r = self.rng.random()
-                    if r < 0.90:
+                    if self.task.is_gpu:
+                        if r < 0.90:
+                            child = mutate_tile_size(
+                                parent, self.rng,
+                                self.params["max_innermost_split_factor"],
+                            )
+                        else:
+                            child = mutate_auto_unroll(parent, self.task,
+                                                       self.rng)
+                    elif r < 0.90:
                         child = mutate_tile_size(
                             parent, self.rng,
                             self.params["max_innermost_split_factor"],
                         )
-                    elif r < 0.99:
+                    elif r < 0.94:
                         child = mutate_auto_unroll(parent, self.task, self.rng)
+                    elif r < 0.99:
+                        child = mutate_compute_location(parent, self.task,
+                                                        self.rng)
                     else:
                         child = mutate_parallel(parent, self.task, self.rng)
                     if child is not None:
@@ -1070,12 +1299,32 @@ class SketchPolicy:
                 parent = cur[int(np.searchsorted(probs, self.rng.random()))]
                 if self.rng.random() < mut_prob:
                     r = self.rng.random()
-                    if r < 0.90:
+                    if is_gpu:
+                        if r < 0.90:
+                            child = _mutate_tile_size_recs(parent, self.rng,
+                                                           max_inner)
+                        else:
+                            child = _mutate_auto_unroll_recs(parent, is_gpu,
+                                                             self.rng)
+                    elif r < 0.90:
                         child = _mutate_tile_size_recs(parent, self.rng,
                                                        max_inner)
-                    elif r < 0.99:
+                    elif r < 0.94:
                         child = _mutate_auto_unroll_recs(parent, is_gpu,
                                                          self.rng)
+                    elif r < 0.99:
+                        # compute-location needs stage structure: replay
+                        # the parent in python for this 5% of mutations
+                        child = None
+                        try:
+                            pst = self.task.compute_dag.apply_steps(parent)
+                            cst = mutate_compute_location(pst, self.task,
+                                                          self.rng)
+                            if cst is not None:
+                                child = [s_.to_record()
+                                         for s_ in cst.transform_steps]
+                        except Exception:
+                            child = None
                     else:
                         child = _mutate_parallel_recs(parent, self.rng)
                     if child is not None:
