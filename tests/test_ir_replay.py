@@ -112,3 +112,23 @@ def test_trivial_loop_deletion_matches_printer_contract():
     trimmed = st.to_str(True)
     assert full.count("\n") > trimmed.count("\n")
     assert "(0,1)" not in trimmed
+
+
+def test_print_steps_as_python():
+    """ComputeDAG.print_steps_as_python renders a TVM-style schedule
+    (reference compute_dag.cc:1202): axis headers + one call per step,
+    with names tracked through splits and fuses."""
+    from vae_extent_search_tpu.records import SearchTask, make_workload_key
+    from vae_extent_search_tpu.search.sketch import make_states
+
+    task = SearchTask(
+        make_workload_key("conv2d_layer",
+                          (1, 7, 7, 32, 32, 3, 3, [1, 1], [1, 1])),
+        "cuda",
+    )
+    st = make_states(task, 2, evo_population=8, min_population=2, seed=4)[0]
+    code = task.compute_dag.print_steps_as_python(st)
+    assert "tuple(conv2d_nchw.op.axis)" in code
+    assert ".split(" in code and ".fuse(" in code
+    assert "te.thread_axis(\"threadIdx.x\")" in code
+    assert code.count("\n") >= len(st.transform_steps)

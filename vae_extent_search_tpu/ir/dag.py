@@ -126,6 +126,139 @@ class ComputeDAG:
 
         return apply_steps_to_state(self, records_or_steps)
 
+    def print_steps_as_python(self, state: State) -> str:
+        """Render the transform steps as TVM-style python schedule code
+        (reference ComputeDAG::PrintStepsAsPython, compute_dag.cc:1202 +
+        per-step PrintAsPythonAPI): an axis-unpacking header per compute
+        stage followed by one schedule call per step, with iterator names
+        tracked through the incremental replay."""
+        from . import steps as ST
+
+        def clean(n):
+            return n.replace(".", "_").replace("@", "_")
+
+        st = self.init_state.copy()
+        lines = []
+        for sid, stage in enumerate(st.stages):
+            if stage.op_type == "placeholder":
+                continue
+            op = stage.op
+            names = ", ".join(clean(it.name) for it in stage.iters)
+            rhs = f"tuple({op.name}.op.axis)"
+            if op.reduce_axes:
+                rhs += f" + tuple({op.name}.op.reduce_axis)"
+            lines.append(f"{names}, = {rhs}" if "," not in names
+                         else f"{names} = {rhs}")
+
+        for step in state.transform_steps:
+            stage = st.stages[step.stage_id]
+            op_name = stage.op.name
+            # pre-apply snapshots for renaming steps
+            pre_names = [it.name for it in stage.iters]
+            st.transform_steps.append(step)
+            step.apply_to_state(st)
+            post = st.stages[step.stage_id] \
+                if step.stage_id < len(st.stages) else stage
+
+            if isinstance(step, ST.SplitStep):
+                old = pre_names[step.iter_id]
+                news = [
+                    clean(it.name)
+                    for it in post.iters[
+                        step.iter_id:step.iter_id + len(step.lengths) + 1
+                    ]
+                ]
+                fac = ", ".join(str(l) for l in step.lengths)
+                lines.append(
+                    f"{', '.join(news)} = s[{op_name}].split("
+                    f"{clean(old)}, factors=[{fac}])"
+                )
+                continue
+            if isinstance(step, (ST.FollowSplitStep,
+                                 ST.FollowFusedSplitStep)):
+                old = pre_names[step.iter_id]
+                n_out = (step.n_split + 1
+                         if isinstance(step, ST.FollowSplitStep) else 2)
+                news = [
+                    clean(it.name)
+                    for it in post.iters[step.iter_id:step.iter_id + n_out]
+                ]
+                lines.append(
+                    f"{', '.join(news)} = s[{op_name}].split("
+                    f"{clean(old)}, factors=follow({step.to_record()!r}))"
+                )
+                continue
+            if isinstance(step, ST.FuseStep):
+                olds = [clean(pre_names[i]) for i in step.fused_ids]
+                new = clean(post.iters[step.fused_ids[0]].name)
+                lines.append(
+                    f"{new} = s[{op_name}].fuse({', '.join(olds)})"
+                )
+                continue
+            if isinstance(step, ST.ReorderStep):
+                order = [clean(pre_names[i]) for i in step.after_ids]
+                lines.append(f"s[{op_name}].reorder({', '.join(order)})")
+            elif isinstance(step, ST.AnnotationStep):
+                from .state import ANNOTATION_STRINGS, THREAD_ANNOTATIONS
+
+                it = clean(pre_names[step.iter_id])
+                ann = ANNOTATION_STRINGS[step.annotation]
+                if step.annotation in THREAD_ANNOTATIONS:
+                    lines.append(
+                        f"s[{op_name}].bind({it}, "
+                        f"te.thread_axis(\"{ann}\"))"
+                    )
+                else:
+                    lines.append(f"s[{op_name}].{ann}({it})")
+            elif isinstance(step, ST.PragmaStep):
+                it = clean(pre_names[step.iter_id]) if pre_names else "None"
+                if "$" in step.pragma_type:
+                    name, val = step.pragma_type.split("$", 1)
+                    lines.append(
+                        f"s[{op_name}].pragma({it}, \"{name}\", {val})"
+                    )
+                else:
+                    lines.append(
+                        f"s[{op_name}].pragma({it}, "
+                        f"\"{step.pragma_type}\")"
+                    )
+            elif isinstance(step, ST.StorageAlignStep):
+                it = clean(pre_names[step.iter_id])
+                lines.append(
+                    f"s[{op_name}].storage_align({it}, {step.factor}, "
+                    f"{step.offset})"
+                )
+            elif isinstance(step, ST.ComputeAtStep):
+                tgt = st.stages[step.target_stage_id]
+                it = clean(tgt.iters[step.target_iter_id].name)
+                lines.append(
+                    f"s[{op_name}].compute_at(s[{tgt.op.name}], {it})"
+                )
+            elif isinstance(step, ST.ComputeInlineStep):
+                lines.append(f"s[{op_name}].compute_inline()")
+            elif isinstance(step, ST.ComputeRootStep):
+                lines.append(f"s[{op_name}].compute_root()")
+            elif isinstance(step, ST.CacheReadStep):
+                readers = ", ".join(
+                    st.stages[r].op.name for r in step.reader_stage_ids
+                )
+                lines.append(
+                    f"{op_name}_{step.scope_name} = s.cache_read("
+                    f"{op_name}, \"{step.scope_name}\", [{readers}])"
+                )
+            elif isinstance(step, ST.CacheWriteStep):
+                lines.append(
+                    f"{op_name}_{step.scope_name} = s.cache_write("
+                    f"{op_name}, \"{step.scope_name}\")"
+                )
+            elif isinstance(step, ST.RfactorStep):
+                it = clean(pre_names[step.iter_id])
+                lines.append(
+                    f"{op_name}_rf = s.rfactor({op_name}, {it}, "
+                    f"{step.factor_iter_id})"
+                )
+        return "\n".join(lines) + "\n"
+
     def __repr__(self):
         return f"ComputeDAG({[op.name for op in self.ops]}, flops={self.flop_ct:g})"
 

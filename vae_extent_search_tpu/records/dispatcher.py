@@ -126,3 +126,74 @@ class ApplyHistoryBest:
         factor = calc_workload_dis_factor((name, args), (r_name, r_args))
         factor = 1.0 if not (factor < float("inf")) else factor
         return rec.res.mean_cost * factor
+
+
+class ApplyHistoryBestOrSample(ApplyHistoryBest):
+    """ApplyHistoryBest that, on a miss, runs a short sampling search for
+    the workload and uses its best result (reference dispatcher.py:328-415
+    ApplyHistoryBestOrSample: sample an init population with zero GA
+    iterations, measure the top picks, reload, re-query).
+
+    The measurer is injected (analytic by default) since real candidate
+    timing on TPU is an external adapter.
+    """
+
+    def __init__(self, records=None, include_compatible: bool = True,
+                 cost_model=None, num_measure: int = 8,
+                 sample_simple_workloads: bool = False, measurer=None,
+                 log_file: Optional[str] = None):
+        super().__init__(records, include_compatible=include_compatible)
+        self.cost_model = cost_model
+        self.num_measure = max(1, num_measure)
+        self.sample_simple_workloads = sample_simple_workloads
+        self.measurer = measurer
+        self.log_file = log_file
+
+    def _sample(self, target: str, workload_key: str):
+        from ..search.measure import (
+            AnalyticRunner,
+            EmptyBuilder,
+            ProgramMeasurer,
+            RecordToFile,
+        )
+        from ..search.sketch import RandomCostModel, SketchPolicy
+        from .serde import MeasureInput, MeasureRecord
+        from .task import SearchTask
+
+        task = SearchTask(workload_key, target)
+        policy = SketchPolicy(
+            task,
+            self.cost_model or RandomCostModel(0),
+            params={
+                "eps_greedy": 0.01,
+                "sample_init_min_population": 64,
+                "evolutionary_search_num_iters": 0,
+            },
+        )
+        states = policy.continue_search_one_round(self.num_measure)
+        if not states:
+            return
+        callbacks = [RecordToFile(self.log_file)] if self.log_file else []
+        measurer = self.measurer or ProgramMeasurer(
+            EmptyBuilder(), AnalyticRunner(), callbacks=callbacks
+        )
+        results = measurer.measure(task, states)
+        recs = [
+            MeasureRecord(
+                MeasureInput(task, [s.to_record()
+                                    for s in st.transform_steps]),
+                res,
+            )
+            for st, res in zip(states, results)
+        ]
+        self.update(recs)
+
+    def query(self, target: str, workload_key: str):
+        rec = super().query(target, workload_key)
+        if rec is not None:
+            name, args = decode_workload_key_flat(workload_key)
+            r = decode_workload_key_flat(rec.inp.task.workload_key)
+            if (name, args) == r:
+                return rec  # exact hit: no sampling needed
+        self._sample(target, workload_key)
+        return super().query(target, workload_key)
