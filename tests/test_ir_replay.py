@@ -132,3 +132,43 @@ def test_print_steps_as_python():
     assert ".split(" in code and ".fuse(" in code
     assert "te.thread_axis(\"threadIdx.x\")" in code
     assert code.count("\n") >= len(st.transform_steps)
+
+
+def test_rewrite_layout_roundtrip():
+    """rewrite_layout produces a DAG whose weight placeholder is tiled in
+    schedule loop order (reference ComputeDAG::RewriteLayout), the repacked
+    array matches the new shape, and the new DAG replays the same steps."""
+    import numpy as np
+
+    from vae_extent_search_tpu.ir.layout import rewrite_layout, transform_array
+    from vae_extent_search_tpu.records import SearchTask, make_workload_key
+    from vae_extent_search_tpu.search.sketch import make_states
+
+    task = SearchTask(
+        make_workload_key("conv2d_layer",
+                          (1, 14, 14, 64, 64, 3, 3, [1, 1], [1, 1])),
+        "llvm -mcpu=skylake-avx512",
+    )
+    states = make_states(task, 8, evo_population=16, min_population=8,
+                         seed=3)
+    dag = task.compute_dag
+    n_done = 0
+    for st in states:
+        new_dag, layouts = rewrite_layout(dag, st)
+        if not layouts:
+            continue
+        n_done += 1
+        (orig, new), = layouts.values()
+        # tile products reproduce the original extents per axis
+        prods = {}
+        for n, e in new:
+            prods[n] = prods.get(n, 1) * e
+        assert all(prods[n] == e for n, e in orig if n != "IntImm")
+        w = np.zeros([e for _, e in orig], np.float32)
+        assert transform_array(w, orig, new).shape == \
+            tuple(e for _, e in new)
+        assert abs(new_dag.flop_ct - dag.flop_ct) <= 1e-6 * dag.flop_ct
+        # the rewritten DAG still replays and bound-infers the schedule
+        recs = [s.to_record() for s in st.transform_steps]
+        new_dag.infer_bound(new_dag.apply_steps(recs))
+    assert n_done >= 3
