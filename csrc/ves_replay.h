@@ -405,6 +405,109 @@ inline void apply_cache_write(State& st, const Step& step) {
   st.stages[tgt_stage + 1].op = orig_op;
 }
 
+// rfactor: src -> src.rf (partial reduction; the factored split part
+// becomes a spatial dim) + src (reduction of src.rf over that dim) —
+// mirror of ir/steps.py RfactorStep.apply_to_state + dag._apply_rfactor.
+// The rf op's affine reads are non-affine (floordiv/mod unflattening), so
+// they stay empty; demand propagation must run through the
+// full-expression hook (as the featurizers do).
+inline bool apply_rfactor(State& st, const Step& step) {
+  int n = static_cast<int>(st.steps.size());
+  // context: steps[n-1] is this RF; steps[n-2] must be the reduce split
+  if (n < 2 || st.steps[n - 2].kind != S_SP) return false;
+  const Step& sp = st.steps[n - 2];
+  if (sp.lengths.size() != 1 || sp.lengths[0] < 0) return false;
+  int stage_id = step.stage_id;
+  if (stage_id < 0 || stage_id >= static_cast<int>(st.stages.size())) {
+    return false;
+  }
+  int src_op = st.stages[stage_id].op;
+  OpDesc src = st.ops[src_op];  // by value: pushes below may reallocate
+  int n_spatial = static_cast<int>(src.dims.size());
+  if (src.reduce.empty()) return false;
+  long total = 1;
+  for (long r : src.reduce) total *= r;
+  long inner_len = sp.lengths[0];
+  long outer_len = ceil_div(total, inner_len);
+  long rf_extent, other_extent;
+  if (step.iter_id == n_spatial) {
+    rf_extent = outer_len;
+    other_extent = inner_len;
+  } else if (step.iter_id == n_spatial + 1) {
+    rf_extent = inner_len;
+    other_extent = outer_len;
+  } else {
+    return false;
+  }
+  int fpos = step.level;  // factor_iter_id
+  if (fpos < 0 || fpos > n_spatial) return false;
+
+  // rf op: spatial dims with the rf axis inserted at fpos
+  OpDesc rf;
+  rf.kind = 1;
+  rf.dims = src.dims;
+  rf.dims.insert(rf.dims.begin() + fpos, rf_extent);
+  rf.reduce = {other_extent};
+  int rf_idx = static_cast<int>(st.ops.size());
+  st.ops.push_back(rf);
+
+  // the original op becomes a reduction of rf over the factored axis;
+  // consumers keep reading src_op (its table slot is rewritten in place)
+  OpDesc red;
+  red.kind = 1;
+  red.dims = src.dims;
+  red.reduce = {rf_extent};
+  ReadDesc rd;
+  rd.src_op = rf_idx;
+  for (int d = 0; d <= n_spatial; ++d) {
+    AffineIdx ai;
+    if (d == fpos) {
+      ai.terms.emplace_back(n_spatial, 1);  // the new reduce var
+    } else {
+      int sd = d < fpos ? d : d - 1;
+      ai.terms.emplace_back(sd, 1);
+    }
+    rd.idx.push_back(ai);
+  }
+  red.reads.push_back(rd);
+  st.ops[src_op] = red;
+
+  // fresh stages (python re-creates both from the new ops)
+  auto make_stage = [&](int op_idx) {
+    Stage s2;
+    s2.op = op_idx;
+    const OpDesc& od = st.ops[op_idx];
+    for (size_t d = 0; d < od.dims.size(); ++d) {
+      int u = st.fresh();
+      s2.iters.push_back({u, od.dims[d], 0, ANN_NONE});
+      s2.roots.emplace_back(u, od.dims[d]);
+      s2.root_is_reduce.push_back(0);
+    }
+    for (size_t d = 0; d < od.reduce.size(); ++d) {
+      int u = st.fresh();
+      s2.iters.push_back({u, od.reduce[d], 1, ANN_NONE});
+      s2.roots.emplace_back(u, od.reduce[d]);
+      s2.root_is_reduce.push_back(1);
+    }
+    return s2;
+  };
+  int8_t ca_type = st.stages[stage_id].compute_at;
+  Stage tgt = make_stage(src_op);
+  tgt.compute_at = ca_type;
+  st.stages[stage_id] = tgt;
+  st.stages.insert(st.stages.begin() + stage_id, make_stage(rf_idx));
+  st.attach_tgt.insert(st.attach_tgt.begin() + stage_id,
+                       -1);
+  st.attach_pos.insert(st.attach_pos.begin() + stage_id, -1);
+  st.attach_seq.insert(st.attach_seq.begin() + stage_id, -1);
+  for (size_t i = 0; i < st.attach_tgt.size(); ++i) {
+    if (static_cast<int>(i) != stage_id && st.attach_tgt[i] >= stage_id) {
+      st.attach_tgt[i] += 1;
+    }
+  }
+  return true;
+}
+
 inline bool apply_step(State& st, const Step& step) {
   // bounds guards: mutated candidate schedules (native evolutionary
   // search) can carry out-of-range ids; mirror the python path where
@@ -559,7 +662,7 @@ inline bool apply_step(State& st, const Step& step) {
       apply_cache_write(st, step);
       return true;
     case S_RF:
-      return false;  // fall back to python
+      return apply_rfactor(st, step);
   }
   return false;
 }
@@ -891,6 +994,8 @@ inline bool decode_steps(const int32_t* toks, int64_t begin, int64_t end,
         break;
       case S_RF:
         s.stage_id = args[0];
+        s.iter_id = args.size() > 1 ? args[1] : 0;
+        s.level = args.size() > 2 ? args[2] : 0;  // factor_iter_id
         break;
       default:
         return false;

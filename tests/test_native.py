@@ -184,3 +184,33 @@ def test_native_evolutionary_search():
     best_out = max(model.predict(task, out))
     best_init = max(model.predict(task, init))
     assert best_out >= best_init
+
+
+def test_native_rfactor_golden():
+    """Rfactor replays natively: per-store + extent features of
+    rfactor-sketch states match the python path exactly."""
+    from vae_extent_search_tpu.features.per_store import (
+        get_per_store_features_from_states,
+    )
+    from vae_extent_search_tpu.records.task import HardwareParams
+
+    hw = HardwareParams(
+        num_cores=18, vector_unit_bytes=64, cache_line_bytes=64,
+        max_shared_memory_per_block=2**31 - 1,
+        max_local_memory_per_block=2**31 - 1,
+        max_threads_per_block=2**31 - 1, max_vthread_extent=1, warp_size=1,
+    )
+    task = SearchTask(
+        make_workload_key("softmax_nm_auto_scheduler_test", (4, 2048)),
+        "llvm -mcpu=skylake-avx512", hardware_params=hw,
+    )
+    states = make_states(task, 32, evo_population=48, min_population=16,
+                         seed=6)
+    assert any(
+        s.to_record()[0] == "RF"
+        for st in states for s in st.transform_steps
+    ), "expected rfactor states in the sketch population"
+    A = get_per_store_features_from_states(states, task, use_native=True)
+    B = get_per_store_features_from_states(states, task, use_native=False)
+    for i, (a, b) in enumerate(zip(A, B)):
+        assert a.shape == b.shape and np.allclose(a, b, atol=1e-4), i

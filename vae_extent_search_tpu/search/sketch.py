@@ -1242,9 +1242,6 @@ class SketchPolicy:
 
         cur_recs = [[st_.to_record() for st_ in s.transform_steps]
                     for s in init_population]
-        if any(r[0] == "RF" for recs in cur_recs for r in recs):
-            return None  # rfactor replays in python only
-
         population = self.params["evolutionary_search_population"]
         iters = self.params["evolutionary_search_num_iters"]
         mut_prob = self.params["evolutionary_search_mutation_prob"]
