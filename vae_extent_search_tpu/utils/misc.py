@@ -136,3 +136,34 @@ class RotatingLog:
             os.replace(self.path, f"{self.path}.1")
         with open(self.path, "a") as f:
             f.write(f"[{time.strftime('%H:%M:%S')}] {line}\n")
+
+
+def call_func_with_timeout(timeout: float, func, args=(), kwargs=None):
+    """Run ``func`` in a child process with a hard timeout (reference
+    utils.py:306 call_func_with_timeout + kill_child_processes): returns
+    the result, or a TimeoutError/Exception instance on failure. Used
+    around external builders/runners that may hang."""
+    import multiprocessing as mp
+
+    def _worker(q, func, args, kwargs):
+        try:
+            q.put(("ok", func(*args, **(kwargs or {}))))
+        except Exception as e:  # pragma: no cover - child-side
+            q.put(("err", repr(e)))
+
+    ctx = mp.get_context("fork")
+    q = ctx.Queue(1)
+    proc = ctx.Process(target=_worker, args=(q, func, args, kwargs))
+    proc.start()
+    proc.join(timeout)
+    if proc.is_alive():
+        proc.terminate()
+        proc.join()
+        return TimeoutError(f"timed out after {timeout}s")
+    try:
+        kind, payload = q.get_nowait()
+    except Exception:
+        return RuntimeError("child produced no result")
+    if kind == "err":
+        return RuntimeError(payload)
+    return payload
