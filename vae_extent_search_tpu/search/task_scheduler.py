@@ -266,6 +266,14 @@ def restore_status_from_log(scheduler: TaskScheduler, log_file: str):
                 float(scheduler.best_costs[i])
             )
     scheduler.cur_score = scheduler._compute_score(scheduler.best_costs)
+    # mark recorded states as measured on each policy so tuning resumes
+    # without re-measuring them (reference PreloadMeasuredStates)
+    for policy in getattr(scheduler, "search_policies", None) or []:
+        if hasattr(policy, "preload_measured_states"):
+            try:
+                policy.preload_measured_states(log_file)
+            except Exception:
+                pass
     return scheduler
 
 
