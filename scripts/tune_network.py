@@ -31,7 +31,9 @@ from vae_extent_search_tpu.search.task_scheduler import (
 
 def tune_and_evaluate(network, batch_size, image_size, target, log_file,
                       num_measure_trials, strategy="gradient",
-                      runner=None, result_file="results.tsv"):
+                      runner=None, result_file="results.tsv",
+                      search_policy="sketch", load_model=None,
+                      use_transfer=False):
     tasks, task_weights = get_network_tasks(network, batch_size, image_size,
                                             target)
     print(f"extracted {len(tasks)} tasks for {network}")
@@ -48,7 +50,17 @@ def tune_and_evaluate(network, batch_size, image_size, target, log_file,
         callbacks=[PrintTableInfo(), LogEstimatedLatency()],
     )
     t0 = time.time()
-    scheduler.tune(tune_option)
+    if use_transfer:
+        # transfer-tune: tune half, refit the shared model, tune the rest
+        # (reference task_scheduler.py:498-583)
+        from vae_extent_search_tpu.search.task_scheduler import (
+            transfer_tune,
+        )
+
+        transfer_tune(scheduler, tune_option)
+    else:
+        scheduler.tune(tune_option, search_policy=search_policy,
+                       load_model_file=load_model)
     search_time = time.time() - t0
 
     from scripts.estimate_network_latency import estimate_network_latency
@@ -76,6 +88,13 @@ def main():
     p.add_argument("--num-measure-trials", type=int, default=128)
     p.add_argument("--strategy", type=str, default="gradient",
                    choices=["gradient", "round-robin"])
+    p.add_argument("--search-policy", type=str, default="sketch",
+                   help="'sketch' (random model) or 'sketch.<model>'"
+                        " with model in mlp/gbdt/lgb/lstm/mha/tabnet,"
+                        " optionally '-no-update' (pretrained, frozen)")
+    p.add_argument("--load-model", type=str, default=None,
+                   help="pretrained cost-model pickle for sketch.<model>")
+    p.add_argument("--transfer-tune", action="store_true")
     args = p.parse_args()
 
     log_file = args.log_file or (
@@ -84,6 +103,8 @@ def main():
     tune_and_evaluate(
         args.network, args.batch_size, args.image_size, args.target,
         log_file, args.num_measure_trials, args.strategy,
+        search_policy=args.search_policy, load_model=args.load_model,
+        use_transfer=args.transfer_tune,
     )
 
 

@@ -1036,6 +1036,23 @@ def _mutate_parallel_recs(recs: List[list],
 # ---------------------------------------------------------------------------
 
 
+
+
+def _parent_probs(scores: np.ndarray) -> np.ndarray:
+    """Prefix-sum parent-selection distribution over raw scores; -inf
+    (unlowerable) scores get zero weight and non-finite sums degrade to
+    uniform."""
+    w = np.where(np.isfinite(scores), scores, -np.inf)
+    finite = w[np.isfinite(w)]
+    lo = finite.min() if finite.size else 0.0
+    w = np.where(np.isfinite(w), w - lo + 1e-6, 0.0)
+    tot = w.sum()
+    if not np.isfinite(tot) or tot <= 0:
+        w = np.ones_like(w)
+        tot = w.sum()
+    return np.cumsum(w / tot)
+
+
 class PythonCostModel:
     """Interface parity: cost_model/cost_model.py PythonBasedModel."""
 
@@ -1162,12 +1179,12 @@ class SketchPolicy:
         push(cur, scores)
         for _ in range(iters):
             # parent selection by prefix-sum probability over raw scores
-            w = scores - scores.min() + 1e-6
-            probs = w / w.sum()
+            probs = _parent_probs(scores)
             nxt = []
             while len(nxt) < min(population, 4 * max(1, len(cur))):
                 parent = cur[
-                    int(np.searchsorted(np.cumsum(probs), self.rng.random()))
+                    min(int(np.searchsorted(probs, self.rng.random())),
+                        len(cur) - 1)
                 ]
                 if self.rng.random() < mut_prob:
                     # mutation weights mirror sketch_policy.cc:113-152
@@ -1289,11 +1306,13 @@ class SketchPolicy:
         push(cur, keys, scores)
 
         for _ in range(iters):
-            w = scores - scores.min() + 1e-6
-            probs = np.cumsum(w / w.sum())
+            probs = _parent_probs(scores)
             nxt = []
             while len(nxt) < min(population, 4 * max(1, len(cur))):
-                parent = cur[int(np.searchsorted(probs, self.rng.random()))]
+                parent = cur[
+                    min(int(np.searchsorted(probs, self.rng.random())),
+                        len(cur) - 1)
+                ]
                 if self.rng.random() < mut_prob:
                     r = self.rng.random()
                     if is_gpu:

@@ -117,7 +117,7 @@ class TaskScheduler:
     # ------------------------------------------------------------------
     def tune(self, tune_option: TuningOptions, search_policy="sketch",
              search_policy_params=None, policies=None, cost_model=None,
-             per_task_early_stopping=None):
+             per_task_early_stopping=None, load_model_file=None):
         n = len(self.tasks)
         self.measurer = ProgramMeasurer(
             tune_option.builder or EmptyBuilder(),
@@ -132,7 +132,8 @@ class TaskScheduler:
             from .cost_model import make_search_policies
 
             self.search_policies, self.cost_model = make_search_policies(
-                search_policy, self.tasks
+                search_policy, self.tasks,
+                load_model_file=load_model_file,
             )
         else:
             self.search_policies = [
