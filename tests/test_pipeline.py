@@ -206,3 +206,50 @@ def test_gpu_sketch_structure():
         if isinstance(s, AnnotationStep)
     }
     assert {5, 4, 6} <= anns  # blockIdx.x, vthread, threadIdx.x
+
+
+def test_learned_model_search_quality():
+    """sketch.gbdt tuning must find schedules at least as good as random
+    sampling of equal budget (the learned-cost-model search loop:
+    featurize -> fit -> GA -> eps-greedy measure)."""
+    import numpy as np
+
+    from vae_extent_search_tpu.records import SearchTask, make_workload_key
+    from vae_extent_search_tpu.records.serde import MeasureInput
+    from vae_extent_search_tpu.search.cost_model import make_search_policies
+    from vae_extent_search_tpu.search.measure import (
+        AnalyticRunner,
+        EmptyBuilder,
+        ProgramMeasurer,
+    )
+    from vae_extent_search_tpu.search.sketch import make_states
+
+    task = SearchTask(
+        make_workload_key("conv2d_layer",
+                          (1, 14, 14, 64, 64, 3, 3, [1, 1], [1, 1])),
+        "llvm -mcpu=skylake-avx512",
+    )
+    measurer = ProgramMeasurer(EmptyBuilder(), AnalyticRunner(noise=0.05))
+    policies, model = make_search_policies("sketch.gbdt", [task], seed=17)
+    pol = policies[0]
+    best_tuned = np.inf
+    n_measured = 0
+    for _ in range(3):
+        states = pol.continue_search_one_round(24)
+        results = measurer.measure(task, states)
+        inputs = [
+            MeasureInput(task, [s.to_record() for s in st.transform_steps])
+            for st in states
+        ]
+        model.update(inputs, results)
+        n_measured += len(results)
+        costs = [r.mean_cost for r in results if r.error_no == 0]
+        if costs:
+            best_tuned = min(best_tuned, min(costs))
+
+    rand_states = make_states(task, n_measured, evo_population=128,
+                              min_population=n_measured, seed=99)
+    rand_results = measurer.measure(task, rand_states)
+    best_rand = min(r.mean_cost for r in rand_results if r.error_no == 0)
+    # the guided search should do at least ~as well as random sampling
+    assert best_tuned <= best_rand * 1.10, (best_tuned, best_rand)
