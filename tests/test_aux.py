@@ -1,0 +1,99 @@
+"""Auxiliary components: dispatcher sampling, schedule mixing, baseline
+models, few-shot modes, layout helpers."""
+
+import numpy as np
+import pytest
+
+from vae_extent_search_tpu.records import (
+    SearchTask,
+    load_records,
+    make_workload_key,
+)
+from vae_extent_search_tpu.search.measure import (
+    AnalyticRunner,
+    EmptyBuilder,
+    ProgramMeasurer,
+    RecordToFile,
+)
+from vae_extent_search_tpu.search.sketch import make_states
+
+WK = make_workload_key("matmul_add", (64, 64, 64))
+TGT = "llvm -mcpu=skylake-avx512"
+
+
+@pytest.fixture(scope="module")
+def small_log(tmp_path_factory):
+    task = SearchTask(WK, TGT)
+    states = make_states(task, 16, evo_population=24, min_population=8,
+                         seed=3)
+    log = str(tmp_path_factory.mktemp("aux") / "recs.json")
+    m = ProgramMeasurer(EmptyBuilder(), AnalyticRunner(noise=0.1),
+                        callbacks=[RecordToFile(log)])
+    m.measure(task, states)
+    return log
+
+
+def test_apply_history_best_or_sample(small_log):
+    from vae_extent_search_tpu.records.dispatcher import (
+        ApplyHistoryBestOrSample,
+    )
+
+    d = ApplyHistoryBestOrSample(load_records(small_log), num_measure=4)
+    hit = d.query(TGT, WK)  # exact hit: no sampling
+    assert hit is not None and hit.res.error_no == 0
+    other = make_workload_key("matmul_add", (32, 32, 32))
+    rec = d.query(TGT, other)  # miss: samples and returns a real record
+    assert rec is not None
+    assert rec.inp.task.workload_key == other
+
+
+def test_schedule_selector(small_log):
+    from vae_extent_search_tpu.utils.schedule_selector import (
+        ScheduleSelector,
+    )
+
+    sel = ScheduleSelector([WK], small_log, seed=1)
+    top = sel.load_rec_only_high(percent=0.5)
+    assert len(top[WK]) >= 1
+    path, total, idxs = sel.random_look4_better(top)
+    assert total > 0 and len(load_records(path)) == 1
+    _, _, idxs2 = sel.random_look4_better(top, seen=[idxs])
+    assert idxs2 != idxs or len(top[WK]) == 1
+
+
+def test_baseline_models_and_metrics():
+    from vae_extent_search_tpu.models.gbdt import (
+        LGBModelInternal,
+        RandomModelInternal,
+    )
+    from vae_extent_search_tpu.models.metrics import random_mix
+
+    rng = np.random.default_rng(0)
+    feats = [rng.random((3, 164)).astype(np.float32) for _ in range(20)]
+    labels = np.asarray([f.sum() for f in feats], np.float32)
+    g = LGBModelInternal(n_estimators=10)
+    g.fit_base(feats, labels)
+    assert g.predict_on_features(feats).shape == (20,)
+    r = RandomModelInternal(seed=1).fit_base(feats, labels)
+    assert r.predict_on_features(feats).shape == (20,)
+    mixed = random_mix(labels, 0.3)
+    assert mixed.shape == labels.shape
+
+
+def test_few_shot_maml_mode():
+    from vae_extent_search_tpu.models.segment import (
+        MLPModelInternal,
+        few_shot_fit,
+    )
+
+    rng = np.random.default_rng(0)
+    fbt, lbt = {}, {}
+    for t in ("a", "b"):
+        fbt[t] = [rng.random((rng.integers(2, 5), 164)).astype(np.float32)
+                  for _ in range(16)]
+        lbt[t] = [float(f.sum() % 3) for f in fbt[t]]
+    models = few_shot_fit(MLPModelInternal, fbt, lbt, mode="maml",
+                          fine_tune_epochs=6, n_epoch=6)
+    for t in ("a", "b"):
+        p = models[t].predict_on_features(fbt[t][:4])
+        assert p.shape == (4,) and np.isfinite(p).all()
