@@ -95,10 +95,76 @@ def _scale_hw(convs, image_size: int):
     return out
 
 
+# inception_v3 distinct conv shapes (299 input; representative branches)
+_INCEPTION_V3_CONVS = [
+    (299, 299, 32, 3, 3, 3, 2, 0, 1),
+    (149, 149, 32, 32, 3, 3, 1, 0, 1),
+    (147, 147, 64, 32, 3, 3, 1, 1, 1),
+    (73, 73, 80, 64, 1, 1, 1, 0, 1),
+    (73, 73, 192, 80, 3, 3, 1, 0, 1),
+    (35, 35, 64, 192, 1, 1, 1, 0, 3),
+    (35, 35, 96, 64, 3, 3, 1, 1, 6),
+    (35, 35, 64, 256, 1, 1, 1, 0, 4),
+    (35, 35, 48, 288, 1, 1, 1, 0, 2),
+    (35, 35, 64, 48, 5, 5, 1, 2, 3),
+    (17, 17, 192, 768, 1, 1, 1, 0, 8),
+    (17, 17, 128, 768, 1, 1, 1, 0, 2),
+    (17, 17, 192, 128, 1, 7, 1, 0, 4),
+    (17, 17, 192, 192, 7, 1, 1, 0, 4),
+    (8, 8, 320, 1280, 1, 1, 1, 0, 2),
+    (8, 8, 384, 1280, 1, 1, 1, 0, 4),
+    (8, 8, 448, 1280, 1, 1, 1, 0, 2),
+    (8, 8, 384, 448, 3, 3, 1, 1, 2),
+]
+
+# densenet_121: stem + per-block 1x1 bottleneck / 3x3 growth convs +
+# transitions (growth rate 32; representative channel counts per block)
+_DENSENET_121_CONVS = [
+    (224, 224, 64, 3, 7, 7, 2, 3, 1),
+    (56, 56, 128, 64, 1, 1, 1, 0, 2),
+    (56, 56, 32, 128, 3, 3, 1, 1, 6),
+    (56, 56, 128, 256, 1, 1, 1, 0, 1),
+    (28, 28, 128, 128, 1, 1, 1, 0, 4),
+    (28, 28, 32, 128, 3, 3, 1, 1, 12),
+    (28, 28, 256, 512, 1, 1, 1, 0, 1),
+    (14, 14, 128, 256, 1, 1, 1, 0, 8),
+    (14, 14, 32, 128, 3, 3, 1, 1, 24),
+    (14, 14, 512, 1024, 1, 1, 1, 0, 1),
+    (7, 7, 128, 512, 1, 1, 1, 0, 5),
+    (7, 7, 32, 128, 3, 3, 1, 1, 16),
+]
+
+
+def _widen(convs, factor=2):
+    """wide_resnet: double the bottleneck 3x3 conv channels."""
+    out = []
+    for (h, w, co, ci, kh, kw, s, p, wt) in convs:
+        if kh == 3 and kw == 3 and h <= 56:
+            co, ci = co * factor, ci * factor if ci > 64 else ci
+        out.append((h, w, co, ci, kh, kw, s, p, wt))
+    return out
+
+
+# resnet3d_18 (16-frame clips): (D, H, W, CO, CI, KD, KH, KW, stride,
+# pad, weight) for conv3d_layer
+_RESNET3D_18_CONVS = [
+    (16, 112, 112, 64, 3, 3, 7, 7, 2, 1, 1),
+    (16, 56, 56, 64, 64, 3, 3, 3, 1, 1, 4),
+    (16, 56, 56, 128, 64, 3, 3, 3, 2, 1, 1),
+    (8, 28, 28, 128, 128, 3, 3, 3, 1, 1, 3),
+    (8, 28, 28, 256, 128, 3, 3, 3, 2, 1, 1),
+    (4, 14, 14, 256, 256, 3, 3, 3, 1, 1, 3),
+    (4, 14, 14, 512, 256, 3, 3, 3, 2, 1, 1),
+    (2, 7, 7, 512, 512, 3, 3, 3, 1, 1, 3),
+]
+
 NETWORK_CONVS = {
     "resnet_50": _RESNET50_CONVS,
     "resnet_18": _RESNET18_CONVS,
+    "wide_resnet_50": _widen(_RESNET50_CONVS),
     "mobilenet_v2": _MOBILENET_V2_CONVS,
+    "inception_v3": _INCEPTION_V3_CONVS,
+    "densenet_121": _DENSENET_121_CONVS,
     "dcgan": _DCGAN_CONVS,
 }
 
@@ -109,11 +175,15 @@ def build_network_keys() -> List[Tuple[str, Tuple]]:
     keys = []
     for batch_size in [1, 4, 8]:
         for image_size in [224, 240, 256]:
-            for name in ["resnet_50", "mobilenet_v2", "resnext_50"]:
+            for name in ["resnet_50", "mobilenet_v2", "resnext_50",
+                         "wide_resnet_50", "inception_v3",
+                         "densenet_121"]:
                 keys.append((name, (batch_size, image_size)))
         for seq_length in [128]:
             for name in ["bert_base"]:
                 keys.append((name, (batch_size, seq_length)))
+        keys.append(("resnet3d_18", (batch_size, 112)))
+        keys.append(("dcgan", (batch_size, 64)))
     return keys
 
 
@@ -128,6 +198,18 @@ def get_network_tasks(name: str, batch_size: int = 1, image_size: int = 224,
         for (n_tok, d_in, d_out, wt) in layers:
             key = make_workload_key(
                 "matmul_add", (batch_size * n_tok, d_in, d_out, "float32")
+            )
+            tasks.append(SearchTask(key, target))
+            weights.append(float(wt))
+        return tasks, weights
+
+    if name in ("resnet3d_18",):
+        for (d, h, w, co, ci, kd, kh, kw, s_, p_,
+             wt) in _RESNET3D_18_CONVS:
+            key = make_workload_key(
+                "conv3d_layer",
+                (batch_size, d, h, w, co, ci, kd, kh, kw, [s_, s_, s_],
+                 [p_, p_, p_]),
             )
             tasks.append(SearchTask(key, target))
             weights.append(float(wt))

@@ -271,3 +271,70 @@ def softmax_abcd_auto_scheduler_test(a, b, c, d):
         "T_softmax_norm",
     )
     return [A, norm]
+
+
+def _pad_ncdhw(data, padding, name="pad_temp"):
+    """Zero padding on D/H/W of an NCDHW tensor."""
+    if padding == 0:
+        return data
+    N, C, D, H, W = data.shape
+    p = padding
+
+    def fcompute(n, c, d, h, w):
+        in_bounds = E.And(
+            (
+                d.var >= p, d.var < D + p,
+                h.var >= p, h.var < H + p,
+                w.var >= p, w.var < W + p,
+            )
+        )
+        return E.Select(
+            in_bounds,
+            data[n.var, c.var, d.var - p, h.var - p, w.var - p],
+            E.FloatImm(0.0),
+        )
+
+    return compute((N, C, D + 2 * p, H + 2 * p, W + 2 * p), fcompute, name)
+
+
+@register_workload
+def conv3d_layer(N, D, H, W, CO, CI, KD, KH, KW, stride, padding):
+    """3D convolution + bias + relu (NCDHW — the resnet3d family of the
+    reference network grid, dump_network_info.py:139-204; topi
+    conv3d_ncdhw semantics)."""
+    data = placeholder((N, CI, D, H, W), name="data")
+    kernel = placeholder((CO, CI, KD, KH, KW), name="kernel")
+    bias = placeholder((1, CO, 1, 1, 1), name="bias")
+    s = stride if isinstance(stride, int) else stride[0]
+    p = padding if isinstance(padding, int) else padding[0]
+    OD = (D + 2 * p - KD) // s + 1
+    OH = (H + 2 * p - KH) // s + 1
+    OW = (W + 2 * p - KW) // s + 1
+    pad = _pad_ncdhw(data, p)
+    rc = reduce_axis(CI, "rc")
+    rd = reduce_axis(KD, "rd")
+    ry = reduce_axis(KH, "ry")
+    rx = reduce_axis(KW, "rx")
+
+    def fconv(nn, ff, zz, yy, xx):
+        return sum_reduce(
+            pad[nn.var, rc.var, zz.var * s + rd.var, yy.var * s + ry.var,
+                xx.var * s + rx.var]
+            * kernel[ff.var, rc.var, rd.var, ry.var, rx.var],
+            [rc, rd, ry, rx],
+        )
+
+    conv = compute((N, CO, OD, OH, OW), fconv, "conv3d_ncdhw")
+    add = compute(
+        conv.shape,
+        lambda n, c, d, h, w: conv[n.var, c.var, d.var, h.var, w.var]
+        + bias[0, c.var, 0, 0, 0],
+        "T_add",
+    )
+    out = compute(
+        add.shape,
+        lambda n, c, d, h, w: E.Max(add[n.var, c.var, d.var, h.var, w.var],
+                                    E.FloatImm(0.0)),
+        "T_relu",
+    )
+    return [data, kernel, bias, out]
