@@ -644,14 +644,20 @@ def init_vectorization(state: State, task: SearchTask,
 # Compute-location candidates (utils.cc:68-155 GetComputeLocationCandidates)
 # ---------------------------------------------------------------------------
 
-_ANALYSIS_CACHE: Dict[int, "AccessAnalysis"] = {}
+# (dag, analysis) pairs: holding the dag pins its id so a collected dag's
+# reused id can never alias a stale analysis
+_ANALYSIS_CACHE: Dict[int, Tuple[object, "AccessAnalysis"]] = {}
 
 
 def _analysis_for(dag) -> "AccessAnalysis":
-    a = _ANALYSIS_CACHE.get(id(dag))
-    if a is None:
-        a = AccessAnalysis(dag)
-        _ANALYSIS_CACHE[id(dag)] = a
+    hit = _ANALYSIS_CACHE.get(id(dag))
+    if hit is not None and hit[0] is dag:
+        return hit[1]
+    a = AccessAnalysis(dag)
+    _ANALYSIS_CACHE[id(dag)] = (dag, a)
+    if len(_ANALYSIS_CACHE) > 256:  # bounded
+        _ANALYSIS_CACHE.clear()
+        _ANALYSIS_CACHE[id(dag)] = (dag, a)
     return a
 
 
