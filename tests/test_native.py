@@ -214,3 +214,25 @@ def test_native_rfactor_golden():
     B = get_per_store_features_from_states(states, task, use_native=False)
     for i, (a, b) in enumerate(zip(A, B)):
         assert a.shape == b.shape and np.allclose(a, b, atol=1e-4), i
+
+
+def test_native_conv3d_golden():
+    """5-dim spatial ops (conv3d / resnet3d family) run the whole stack:
+    sketches, bound inference and both featurizer paths agree."""
+    from vae_extent_search_tpu.features.per_store import (
+        get_per_store_features_from_states,
+    )
+
+    task = SearchTask(
+        make_workload_key(
+            "conv3d_layer",
+            (1, 4, 14, 14, 32, 32, 3, 3, 3, [1, 1, 1], [1, 1, 1]),
+        ),
+        "llvm -mcpu=skylake-avx512",
+    )
+    states = make_states(task, 12, evo_population=16, min_population=8,
+                         seed=2)
+    A = get_per_store_features_from_states(states, task, use_native=True)
+    B = get_per_store_features_from_states(states, task, use_native=False)
+    for i, (a, b) in enumerate(zip(A, B)):
+        assert a.shape == b.shape and np.allclose(a, b, atol=1e-4), i
