@@ -236,3 +236,37 @@ def test_native_conv3d_golden():
     B = get_per_store_features_from_states(states, task, use_native=False)
     for i, (a, b) in enumerate(zip(A, B)):
         assert a.shape == b.shape and np.allclose(a, b, atol=1e-4), i
+
+
+def test_tenset_hash_tasks_search_and_featurize():
+    """TenSet relay-hash workloads reconstructed from the reference cuda
+    corpus (dense / softmax / winograd / conv) all support the full
+    pipeline: sketch generation -> GA -> native featurization golden-equal
+    to python."""
+    from tests.conftest import CI_LOGS
+    from vae_extent_search_tpu.features.per_store import (
+        get_per_store_features_from_states,
+    )
+    from vae_extent_search_tpu.records.fast_parser import load_records_fast
+
+    path = os.path.join(CI_LOGS, "resnet-18-NHWC-B1-cuda.json")
+    if not os.path.exists(path):
+        pytest.skip("reference ci_logs unavailable")
+    recs = load_records_fast(path)
+    seen = set()
+    for r in recs:
+        wk = r.inp.task.workload_key
+        if wk in seen or len(seen) >= 6:
+            continue
+        seen.add(wk)
+        task = r.inp.task
+        states = make_states(task, 4, evo_population=8, min_population=4,
+                             seed=1)
+        assert states
+        A = get_per_store_features_from_states(states, task,
+                                               use_native=True)
+        B = get_per_store_features_from_states(states, task,
+                                               use_native=False)
+        for i, (a, b) in enumerate(zip(A, B)):
+            assert a.shape == b.shape and np.allclose(a, b, atol=1e-4), \
+                (wk[:40], i)
