@@ -56,12 +56,19 @@ class AccessAnalysis:
         self.needs_multi_level_tiling = {}
         self.is_strictly_inlineable = {}
         self.is_simple_access = {}
+        # op uid -> iter names indexing const tensors (the reference's
+        # simplify_const_tensor_indices op attr, set by topi for winograd
+        # data_pack/inverse; here derived: a const tensor is a ComputeOp
+        # whose body reads nothing)
+        self.const_tensor_indices = {}
         for op in dag.ops:
             if not isinstance(op, ComputeOp):
                 continue
             self.is_simple_access[op.uid] = self._simple_access(op)
             self.needs_multi_level_tiling[op.uid] = self._needs_mlt(op)
             reads = E.collect_reads(op.body)
+            self.const_tensor_indices[op.uid] = \
+                self._const_tensor_indices(op, reads)
             self.is_strictly_inlineable[op.uid] = (
                 self.is_simple_access[op.uid]
                 and not op.reduce_axes
@@ -100,6 +107,24 @@ class AccessAnalysis:
     def _has_expensive_op(self, op: ComputeOp) -> bool:
         counts = E.count_math_ops(op.body)
         return counts["float_math"] > 0 or counts["float_div_mod"] > 0
+
+    def _const_tensor_indices(self, op: ComputeOp, reads):
+        const_uids = set()
+        for other in self.dag.ops:
+            if isinstance(other, ComputeOp) and \
+                    not E.collect_reads(other.body):
+                const_uids.add(other.uid)
+        names = set()
+        var_name = {d.var: d.name for d in
+                    list(op.axes) + list(op.reduce_axes)}
+        for r in reads:
+            if r.tensor.op.uid not in const_uids:
+                continue
+            for idx in r.indices:
+                for v in E.collect_vars(idx):
+                    if v in var_name:
+                        names.add(var_name[v])
+        return names
 
     def _has_branch(self, op: ComputeOp) -> bool:
         found = False
@@ -313,7 +338,54 @@ def _generate_main_sketch(task: SearchTask, use_rfactor: bool = False,
             analysis.is_strictly_inlineable.get(uid)
             and not analysis.is_output.get(uid)
         ):
+            # RuleSpecialComputeLocationGPU (sketch_policy_rules.cc:425):
+            # a to-be-inlined producer of a const-simplified consumer is
+            # computed_at just before the consumer's unrolled region
+            has_producers = isinstance(op, ComputeOp) and bool(
+                E.collect_reads(op.body)
+            )
+            if is_gpu and has_producers:
+                cons = analysis.consumers(st, stage_id)
+                if len(cons) == 1 and analysis.const_tensor_indices.get(
+                    st.stages[cons[0]].op.uid
+                ):
+                    tgt = st.stages[cons[0]]
+                    placed = False
+                    for i, it in enumerate(tgt.iters):
+                        if it.annotation == 1 and i > 0:  # first unroll
+                            st.compute_at(stage_id, cons[0], i - 1)
+                            placed = True
+                            break
+                    if placed:
+                        stage_id -= 1
+                        continue
             st.compute_inline(stage_id)
+            stage_id -= 1
+            continue
+        cti = analysis.const_tensor_indices.get(uid)
+        if cti:
+            # RuleSimplifyComputeWithConstTensor (:293-328): unroll the
+            # const-tensor indices, 2-level-tile the other space iters,
+            # reorder [outer..., inner..., unrolled...]
+            it_infos = [(it.name, it.kind) for it in stage.iters]
+            pos = 0
+            outer_groups = []
+            unrolled = []
+            for name, kind in it_infos:
+                if name in cti:
+                    st.unroll(stage_id, pos)
+                    unrolled.append(pos)
+                    pos += 1
+                elif kind == KIND_SPATIAL:
+                    st.split(stage_id, pos, [None])
+                    outer_groups.append([pos, pos + 1])
+                    pos += 2
+                else:
+                    unrolled.append(pos)  # stray reduce: keep innermost
+                    pos += 1
+            order = [g[0] for g in outer_groups] + \
+                [g[1] for g in outer_groups] + unrolled
+            st.reorder(stage_id, order)
             stage_id -= 1
             continue
         if not analysis.needs_multi_level_tiling.get(uid):
@@ -476,8 +548,11 @@ def init_thread_bind(state: State, task: SearchTask,
             continue
         name = stage.op.name
         if stage.compute_at == AT_ROOT:
-            has_levels = any(it.name.endswith(".0") for it in stage.iters)
-            if has_levels:
+            # multi-level-tiled roots carry >= 3 space levels; two-level
+            # stages (e.g. const-simplified winograd data_pack) take the
+            # FuseAllOuterSpaceIterators path instead
+            is_mlt_root = any(it.name.endswith(".2") for it in stage.iters)
+            if is_mlt_root:
                 n_axes = sum(
                     1 for it in stage.iters if it.name.endswith(".0")
                 )
@@ -489,11 +564,13 @@ def init_thread_bind(state: State, task: SearchTask,
                 lv2 = state.fuse(sid, list(range(2, 2 + n_axes)))
                 state.bind(sid, lv2, "threadIdx.x")
             else:
-                # simple output stage: fuse all spatial, block + thread
-                space = [
-                    i for i, it in enumerate(stage.iters)
-                    if it.kind == KIND_SPATIAL and it.annotation == 0
-                ]
+                # FuseAllOuterSpaceIterators: the leading unannotated
+                # space prefix -> blockIdx (+ threadIdx by warp size)
+                space = []
+                for i, it in enumerate(stage.iters):
+                    if it.kind != KIND_SPATIAL or it.annotation != 0:
+                        break
+                    space.append(i)
                 if not space:
                     continue
                 fused = state.fuse(sid, space)
