@@ -23,6 +23,7 @@ simulator") offline arm. We provide:
 from __future__ import annotations
 
 import math
+import os
 import time
 from typing import Callable, Dict, List, Optional, Sequence
 
@@ -160,6 +161,62 @@ class AnalyticRunner(Runner):
             except Exception:
                 out.append(MeasureResult([MAX_FLOAT], ERROR_RUNTIME_DEVICE,
                                          0.0, now))
+        return out
+
+
+class CommandRunner(Runner):
+    """External measurement adapter: the concrete bridge to real hardware
+    timing (reference LocalRunner/RPCRunner, measure.py:375-611 — TPU
+    hosts do not execute candidate CUDA/LLVM kernels, so real timing runs
+    out-of-process).
+
+    The batch is written as a record log (costs all zero) to a temp file;
+    ``command`` is invoked as `command <in.json> <out.json>` and must
+    write one float cost (seconds) or the string "error" per line of
+    <out.json>, in input order. Timeouts / bad lines map to error
+    records.
+    """
+
+    def __init__(self, command: str, timeout: float = 600.0):
+        self.command = command
+        self.timeout = timeout
+
+    def run(self, task, states):
+        import subprocess
+        import tempfile
+
+        from ..records.serde import MeasureInput, MeasureRecord, save_records
+
+        now = time.time()
+        recs = [
+            MeasureRecord(
+                MeasureInput(task, [s.to_record() for s in st.transform_steps]),
+                MeasureResult([0.0], 0, 0.0, now),
+            )
+            for st in states
+        ]
+        with tempfile.TemporaryDirectory() as td:
+            inp = os.path.join(td, "in.json")
+            outp = os.path.join(td, "out.json")
+            save_records(inp, recs, mode="w")
+            try:
+                subprocess.run(
+                    [*self.command.split(), inp, outp],
+                    timeout=self.timeout, check=True,
+                    capture_output=True,
+                )
+                lines = open(outp).read().splitlines()
+            except Exception:
+                lines = []
+            out = []
+            for i in range(len(states)):
+                try:
+                    cost = float(lines[i])
+                    out.append(MeasureResult([cost], 0, cost, time.time()))
+                except (IndexError, ValueError):
+                    out.append(MeasureResult([MAX_FLOAT],
+                                             ERROR_RUNTIME_DEVICE, 0.0,
+                                             time.time()))
         return out
 
 
