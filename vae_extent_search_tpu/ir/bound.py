@@ -140,10 +140,21 @@ def _root_extent_map(stage: Stage) -> Dict[int, int]:
 
 _RELAXABLE_THREADS = frozenset(
     {4, 6, 8, 10}  # vthread + threadIdx.x/y/z; blockIdx never relaxes.
-    # Known divergence: the reference propagates relaxed thread vars
-    # symbolically through the attach chain (cache demands under a
-    # doubly-attached accumulator can differ; ~5% of GPU shared-cache
-    # extents on the ci_log corpora — tools/check_extent_fidelity.py).
+    # Known divergence (~5% of GPU shared-cache extents on the ci_log
+    # corpora — tools/check_extent_fidelity.py): te's InferRootBound
+    # (src/te/schedule/bound.cc:120-175) walks the consumer's leaf nest
+    # AND its whole attach path, pinning outer loops to SYMBOLIC points
+    # (up_state SinglePoint(iv->var)) and relaxing thread-tagged vars by
+    # storage-rank comparison (NeedRelax, bound.cc:54); the demanded
+    # region is then EvalSet over those symbolic expressions, so thread
+    # relaxation composes exactly through arbitrary attach chains and
+    # interacts with the symbolic range mins of demand-clipped stages.
+    # We propagate numeric intervals per attach level instead, which
+    # loses the cross-level offset structure for shared caches under a
+    # doubly-attached accumulator. A faithful fix needs a symbolic
+    # interval engine keyed on the attach-path variables (two numeric
+    # approximations were tried and both regressed aggregate fidelity —
+    # see the round-1 history).
 )
 
 
