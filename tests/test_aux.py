@@ -97,3 +97,14 @@ def test_few_shot_maml_mode():
     for t in ("a", "b"):
         p = models[t].predict_on_features(fbt[t][:4])
         assert p.shape == (4,) and np.isfinite(p).all()
+
+
+def test_all_modules_import():
+    """Every package module imports cleanly (catches lazy-import rot)."""
+    import importlib
+    import pkgutil
+
+    import vae_extent_search_tpu as pkg
+
+    for m in pkgutil.walk_packages(pkg.__path__, pkg.__name__ + "."):
+        importlib.import_module(m.name)
