@@ -253,3 +253,26 @@ def test_learned_model_search_quality():
     best_rand = min(r.mean_cost for r in rand_results if r.error_no == 0)
     # the guided search should do at least ~as well as random sampling
     assert best_tuned <= best_rand * 1.10, (best_tuned, best_rand)
+
+
+def test_active_search_on_device_mesh():
+    """The active-learning search runs sharded over a (data, model) mesh
+    (candidates over ICI data axis, hidden features over model axis) and
+    still finds the optimum on a replay corpus."""
+    import numpy as np
+
+    from vae_extent_search_tpu.parallel.mesh import make_mesh
+    from vae_extent_search_tpu.search.active_loop import run_active_search
+
+    rng = np.random.default_rng(0)
+    n, d = 512, 16
+    feats = rng.integers(1, 64, (n, d)).astype(np.float32)
+    w = rng.normal(size=d).astype(np.float32)
+    labels = (feats @ w / d).astype(np.float32)
+
+    mesh = make_mesh()  # (data, model) over the 8 virtual devices
+    res = run_active_search(
+        feats, labels, measure_size=48, max_phases=8, vae_epochs=40,
+        reg_epochs=60, sampling_seed=3, mesh=mesh,
+    )
+    assert res.found, (res.phase, res.train_size)
