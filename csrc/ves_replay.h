@@ -896,9 +896,13 @@ inline bool decode_steps(const int32_t* toks, int64_t begin, int64_t end,
                   std::vector<Step>& steps) {
   int64_t i = begin;
   while (i < end) {
+    if (i + 2 > end) return false;  // truncated header
     Step s;
     s.kind = toks[i];
     int n = toks[i + 1];
+    if (s.kind < 0 || s.kind > S_RF || n < 0 || i + 2 + n > end) {
+      return false;  // corrupt stream
+    }
     i += 2;
     std::vector<long> args;         // scalar args in order
     std::vector<std::vector<int>> lists;
@@ -915,6 +919,7 @@ inline bool decode_steps(const int32_t* toks, int64_t begin, int64_t end,
         ++j;
       } else if (v < 0) {
         int ln = -v - 1;
+        if (j + 1 + ln > i + n) return false;  // list overruns the step
         std::vector<int> lst(toks + j + 1, toks + j + 1 + ln);
         lists.push_back(std::move(lst));
         list_pos.push_back(argpos);
@@ -927,15 +932,19 @@ inline bool decode_steps(const int32_t* toks, int64_t begin, int64_t end,
     }
     i += n;
 
+    auto need = [&](size_t k) { return args.size() >= k; };
     switch (s.kind) {
       case S_AN:  // [stage, iter, annotation]
+        if (!need(3)) return false;
         s.stage_id = args[0]; s.iter_id = args[1]; s.level = args[2];
         break;
       case S_FU:  // [stage, [ids]]
+        if (!need(1)) return false;
         s.stage_id = args[0];
         s.ids = lists.empty() ? std::vector<int>{} : lists[0];
         break;
       case S_PR: {  // [stage, iter, "pragma"]
+        if (!need(2)) return false;
         s.stage_id = args[0]; s.iter_id = args[1];
         s.pragma_value = -1;
         if (!str_ids.empty()) {
@@ -951,36 +960,44 @@ inline bool decode_steps(const int32_t* toks, int64_t begin, int64_t end,
         break;
       }
       case S_RE:
+        if (!need(1)) return false;
         s.stage_id = args[0];
         s.ids = lists.empty() ? std::vector<int>{} : lists[0];
         break;
       case S_SP: {  // [stage, iter, extent, [lengths], inner_to_outer]
+        if (!need(4) || lists.empty()) return false;
         s.stage_id = args[0]; s.iter_id = args[1]; s.extent = args[2];
         for (int x : lists[0]) s.lengths.push_back(x);
         s.inner_to_outer = args[3] != 0;
         break;
       }
       case S_FSP:  // [stage, iter, src_step, n_split]
+        if (!need(4)) return false;
         s.stage_id = args[0]; s.iter_id = args[1];
         s.src_step_id = args[2]; s.n_split = args[3];
         break;
       case S_FFSP:  // [stage, iter, [src_ids], level, factor_or_nparts]
+        if (!need(4) || lists.empty()) return false;
         s.stage_id = args[0]; s.iter_id = args[1];
         s.ids = lists[0]; s.level = args[2];
         s.inner_to_outer = args[3] != 0;
         break;
       case S_SA:  // [stage, iter, factor, offset]
+        if (!need(1)) return false;
         s.stage_id = args[0];
         break;
       case S_CA:  // [stage, target_stage, target_iter]
+        if (!need(3)) return false;
         s.stage_id = args[0]; s.target_stage_id = args[1];
         s.target_iter_id = args[2];
         break;
       case S_CI:
       case S_CR:
+        if (!need(1)) return false;
         s.stage_id = args[0];
         break;
       case S_CHR: {  // [stage, "scope", [reader_ids]]
+        if (!need(1)) return false;
         s.stage_id = args[0];
         s.ids = lists.empty() ? std::vector<int>{} : lists[0];
         if (!str_ids.empty()) {
@@ -990,9 +1007,11 @@ inline bool decode_steps(const int32_t* toks, int64_t begin, int64_t end,
         break;
       }
       case S_CHW:  // [stage, "scope"]
+        if (!need(1)) return false;
         s.stage_id = args[0];
         break;
       case S_RF:
+        if (!need(1)) return false;
         s.stage_id = args[0];
         s.iter_id = args.size() > 1 ? args[1] : 0;
         s.level = args.size() > 2 ? args[2] : 0;  // factor_iter_id

@@ -270,3 +270,39 @@ def test_tenset_hash_tasks_search_and_featurize():
         for i, (a, b) in enumerate(zip(A, B)):
             assert a.shape == b.shape and np.allclose(a, b, atol=1e-4), \
                 (wk[:40], i)
+
+
+def test_native_survives_corrupt_streams():
+    """Garbage/truncated step-token streams yield error statuses, never
+    crashes (record logs come from disk; decode_steps bounds-checks every
+    header, list marker and argument count)."""
+    import ctypes
+
+    from vae_extent_search_tpu.records.fast_parser import (
+        _load_fx,
+        _load_lib,
+        _load_ps,
+        _string_pool_arrays,
+        _TaskDescCache,
+    )
+
+    task = SearchTask(make_workload_key("matmul_add", (32, 32, 32)),
+                      "llvm")
+    lib = _load_ps(_load_fx(_load_lib()))
+    desc, edesc = _TaskDescCache.get(task)
+    pool, offs = _string_pool_arrays(["x"])
+    rng = np.random.default_rng(0)
+    for _ in range(30):
+        n_tok = int(rng.integers(1, 40))
+        toks = rng.integers(-5, 20, n_tok).astype(np.int32)
+        begin = np.zeros(1, np.int64)
+        end = np.asarray([n_tok], np.int64)
+        h = lib.ves_featurize_perstore(
+            desc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            edesc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            toks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            begin.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            end.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            1, pool, offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            0, 64, 1)
+        lib.ves_ps_free(h)
