@@ -369,6 +369,58 @@ def _string_pool_arrays(strings):
     return pool, offs
 
 
+def _perstore_call(lib, task, tok_arr, begin, end, pool, offs,
+                   n_threads):
+    """One native per-store batch call for a single task's records.
+
+    Returns (rows [total,164], ps_offs [n+1], ps_status [n], keys [n]) or
+    None when the task's descriptors cannot be built (caller falls back
+    to python for the whole group)."""
+    from ..features.per_store import FEATURE_VEC_LEN
+
+    try:
+        # cached per task: affine descriptor (None for non-affine DAGs —
+        # the native side then derives the op table from the expression
+        # descriptor and runs demand over full expression trees) + the
+        # full-expression descriptor
+        desc, edesc = _TaskDescCache.get(task)
+    except Exception:
+        return None
+    desc_ptr = (desc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+                if desc is not None else None)
+    n = len(begin)
+    h = lib.ves_featurize_perstore(
+        desc_ptr,
+        edesc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        tok_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        begin.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        end.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n,
+        pool,
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        int(task.is_gpu),
+        int(task.hardware_params.cache_line_bytes),
+        n_threads,
+    )
+    try:
+        total = lib.ves_ps_num_rows(h)
+        if total > 0:
+            rows = np.ctypeslib.as_array(
+                lib.ves_ps_features(h), (total * FEATURE_VEC_LEN,)
+            ).reshape(-1, FEATURE_VEC_LEN).copy()
+        else:
+            rows = np.zeros((0, FEATURE_VEC_LEN), np.float32)
+        ps_offs = np.ctypeslib.as_array(
+            lib.ves_ps_offsets(h), (n + 1,)).copy()
+        ps_status = np.ctypeslib.as_array(
+            lib.ves_ps_status(h), (max(n, 1),))[:n].copy()
+        keys = np.ctypeslib.as_array(
+            lib.ves_ps_keys(h), (max(n, 1),))[:n].copy()
+    finally:
+        lib.ves_ps_free(h)
+    return rows, ps_offs, ps_status, keys
+
+
 def featurize_perstore_native(path: str, n_threads: int = 1,
                               python_fallback: bool = True,
                               max_lines: int = -1):
@@ -380,15 +432,9 @@ def featurize_perstore_native(path: str, n_threads: int = 1,
     DAG has non-affine accesses are shipped via the full-expression
     descriptor, so winograd et al. still run natively.
     """
-    from ..features.per_store import (
-        FEATURE_VEC_LEN,
-        get_per_store_features_from_state,
-    )
-    from .expr_desc import build_expr_desc
+    from ..features.per_store import get_per_store_features_from_state
     from .serde import MeasureInput
     from .task import SearchTask
-    from .task_desc import NonAffineError, build_task_desc
-    from .workload import workload_key_to_dag
 
     lib = _load_ps(_load_fx(_load_lib()))
     raw = load_raw(path, max_lines)
@@ -407,49 +453,15 @@ def featurize_perstore_native(path: str, n_threads: int = 1,
         idx = np.nonzero(raw.task_id == tid)[0]
         if len(idx) == 0:
             continue
-        task = tasks[tid]
-        try:
-            dag = workload_key_to_dag(task.workload_key)
-            edesc = np.ascontiguousarray(build_expr_desc(dag))
-        except Exception:
-            continue  # python fallback for the whole task
-        try:
-            desc = build_task_desc(dag)
-            desc_ptr = desc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
-        except NonAffineError:
-            # non-affine DAG (winograd et al.): the native side derives
-            # the op table from the expression descriptor and runs demand
-            # propagation over full expression trees
-            desc_ptr = None
-        begin = np.ascontiguousarray(raw.step_begin[idx])
-        end = np.ascontiguousarray(raw.step_end[idx])
-        h = lib.ves_featurize_perstore(
-            desc_ptr,
-            edesc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            step_tokens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            begin.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            end.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            len(idx),
-            pool,
-            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            int(task.is_gpu),
-            int(task.hardware_params.cache_line_bytes),
-            n_threads,
+        res = _perstore_call(
+            lib, tasks[tid], step_tokens,
+            np.ascontiguousarray(raw.step_begin[idx]),
+            np.ascontiguousarray(raw.step_end[idx]),
+            pool, offs, n_threads,
         )
-        try:
-            total = lib.ves_ps_num_rows(h)
-            if total > 0:
-                rows = np.ctypeslib.as_array(
-                    lib.ves_ps_features(h), (total * FEATURE_VEC_LEN,)
-                ).reshape(-1, FEATURE_VEC_LEN).copy()
-            else:
-                rows = np.zeros((0, FEATURE_VEC_LEN), np.float32)
-            ps_offs = np.ctypeslib.as_array(
-                lib.ves_ps_offsets(h), (len(idx) + 1,)).copy()
-            ps_status = np.ctypeslib.as_array(
-                lib.ves_ps_status(h), (max(len(idx), 1),))[:len(idx)].copy()
-        finally:
-            lib.ves_ps_free(h)
+        if res is None:
+            continue  # python fallback for the whole task
+        rows, ps_offs, ps_status, _ = res
         for k, rec in enumerate(idx):
             if ps_status[k] == 0:
                 feats[rec] = rows[ps_offs[k]:ps_offs[k + 1]]
@@ -562,23 +574,13 @@ def featurize_perstore_states_native(task, states, n_threads: int = 1,
         FEATURE_VEC_LEN,
         get_per_store_features_from_state,
     )
-    from .expr_desc import build_expr_desc
-    from .task_desc import NonAffineError, build_task_desc
-    from .workload import workload_key_to_dag
 
     lib = _load_ps(_load_fx(_load_lib()))
     n = len(states)
     feats = [None] * n
     statuses = np.full(max(n, 1), 1, np.int32)[:n]
-    native_ready = False
+    res = None
     try:
-        dag = workload_key_to_dag(task.workload_key)
-        edesc = np.ascontiguousarray(build_expr_desc(dag))
-        try:
-            desc = build_task_desc(dag)
-            desc_ptr = desc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
-        except NonAffineError:
-            desc_ptr = None
         toks: List[int] = []
         begin = np.zeros(n, np.int64)
         end = np.zeros(n, np.int64)
@@ -591,38 +593,13 @@ def featurize_perstore_states_native(task, states, n_threads: int = 1,
             end[i] = len(toks)
         tok_arr = np.asarray(toks if toks else [0], np.int32)
         pool, offs = _string_pool_arrays(strings)
-        native_ready = True
+        res = _perstore_call(lib, task, tok_arr, begin, end, pool, offs,
+                             n_threads)
     except Exception:
-        pass
+        res = None
 
-    if native_ready:
-        h = lib.ves_featurize_perstore(
-            desc_ptr,
-            edesc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            tok_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            begin.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            end.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            n,
-            pool,
-            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            int(task.is_gpu),
-            int(task.hardware_params.cache_line_bytes),
-            n_threads,
-        )
-        try:
-            total = lib.ves_ps_num_rows(h)
-            if total > 0:
-                rows = np.ctypeslib.as_array(
-                    lib.ves_ps_features(h), (total * FEATURE_VEC_LEN,)
-                ).reshape(-1, FEATURE_VEC_LEN).copy()
-            else:
-                rows = np.zeros((0, FEATURE_VEC_LEN), np.float32)
-            ps_offs = np.ctypeslib.as_array(
-                lib.ves_ps_offsets(h), (n + 1,)).copy()
-            ps_status = np.ctypeslib.as_array(
-                lib.ves_ps_status(h), (max(n, 1),))[:n].copy()
-        finally:
-            lib.ves_ps_free(h)
+    if res is not None:
+        rows, ps_offs, ps_status, _ = res
         for i in range(n):
             if ps_status[i] == 0 and ps_offs[i + 1] > ps_offs[i]:
                 feats[i] = rows[ps_offs[i]:ps_offs[i + 1]]
@@ -652,11 +629,6 @@ def featurize_perstore_inputs_native(inputs, n_threads: int = 1):
     path). Returns a list parallel to ``inputs``; entries are None where
     the native path could not handle the record (caller falls back to
     python per record)."""
-    from ..features.per_store import FEATURE_VEC_LEN
-    from .expr_desc import build_expr_desc
-    from .task_desc import NonAffineError, build_task_desc
-    from .workload import workload_key_to_dag
-
     lib = _load_ps(_load_fx(_load_lib()))
     n = len(inputs)
     feats = [None] * n
@@ -668,17 +640,6 @@ def featurize_perstore_inputs_native(inputs, n_threads: int = 1):
         ).append(i)
 
     for (wk, _tgt), idx in groups.items():
-        task = inputs[idx[0]].task
-        try:
-            dag = workload_key_to_dag(wk)
-            edesc = np.ascontiguousarray(build_expr_desc(dag))
-        except Exception:
-            continue
-        try:
-            desc = build_task_desc(dag)
-            desc_ptr = desc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
-        except NonAffineError:
-            desc_ptr = None
         try:
             toks: List[int] = []
             begin = np.zeros(len(idx), np.int64)
@@ -694,33 +655,11 @@ def featurize_perstore_inputs_native(inputs, n_threads: int = 1):
             continue
         tok_arr = np.asarray(toks if toks else [0], np.int32)
         pool, offs = _string_pool_arrays(strings)
-        h = lib.ves_featurize_perstore(
-            desc_ptr,
-            edesc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            tok_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            begin.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            end.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            len(idx),
-            pool,
-            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            int(task.is_gpu),
-            int(task.hardware_params.cache_line_bytes),
-            n_threads,
-        )
-        try:
-            total = lib.ves_ps_num_rows(h)
-            if total > 0:
-                rows = np.ctypeslib.as_array(
-                    lib.ves_ps_features(h), (total * FEATURE_VEC_LEN,)
-                ).reshape(-1, FEATURE_VEC_LEN).copy()
-            else:
-                rows = np.zeros((0, FEATURE_VEC_LEN), np.float32)
-            ps_offs = np.ctypeslib.as_array(
-                lib.ves_ps_offsets(h), (len(idx) + 1,)).copy()
-            ps_status = np.ctypeslib.as_array(
-                lib.ves_ps_status(h), (max(len(idx), 1),))[:len(idx)].copy()
-        finally:
-            lib.ves_ps_free(h)
+        res = _perstore_call(lib, inputs[idx[0]].task, tok_arr, begin,
+                             end, pool, offs, n_threads)
+        if res is None:
+            continue
+        rows, ps_offs, ps_status, _ = res
         for k, i in enumerate(idx):
             if ps_status[k] == 0 and ps_offs[k + 1] > ps_offs[k]:
                 feats[i] = rows[ps_offs[k]:ps_offs[k + 1]]
@@ -759,8 +698,6 @@ def featurize_perstore_records_native(task, record_lists,
     (features list, keys uint64 [n], statuses int32 [n]); entries with
     status != 0 have features None and key 0 — the caller decides whether
     to python-fallback (rfactor) or discard (invalid child)."""
-    from ..features.per_store import FEATURE_VEC_LEN
-
     lib = _load_ps(_load_fx(_load_lib()))
     n = len(record_lists)
     feats = [None] * n
@@ -769,9 +706,6 @@ def featurize_perstore_records_native(task, record_lists,
     if n == 0:
         return feats, keys, statuses
 
-    desc, edesc = _TaskDescCache.get(task)
-    desc_ptr = (desc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
-                if desc is not None else None)
     toks: List[int] = []
     begin = np.zeros(n, np.int64)
     end = np.zeros(n, np.int64)
@@ -784,35 +718,11 @@ def featurize_perstore_records_native(task, record_lists,
     tok_arr = np.asarray(toks if toks else [0], np.int32)
     pool, offs = _string_pool_arrays(strings)
 
-    h = lib.ves_featurize_perstore(
-        desc_ptr,
-        edesc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        tok_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        begin.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        end.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        n,
-        pool,
-        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        int(task.is_gpu),
-        int(task.hardware_params.cache_line_bytes),
-        n_threads,
-    )
-    try:
-        total = lib.ves_ps_num_rows(h)
-        if total > 0:
-            rows = np.ctypeslib.as_array(
-                lib.ves_ps_features(h), (total * FEATURE_VEC_LEN,)
-            ).reshape(-1, FEATURE_VEC_LEN).copy()
-        else:
-            rows = np.zeros((0, FEATURE_VEC_LEN), np.float32)
-        ps_offs = np.ctypeslib.as_array(
-            lib.ves_ps_offsets(h), (n + 1,)).copy()
-        ps_status = np.ctypeslib.as_array(
-            lib.ves_ps_status(h), (max(n, 1),))[:n].copy()
-        ps_keys = np.ctypeslib.as_array(
-            lib.ves_ps_keys(h), (max(n, 1),))[:n].copy()
-    finally:
-        lib.ves_ps_free(h)
+    res = _perstore_call(lib, task, tok_arr, begin, end, pool, offs,
+                         n_threads)
+    if res is None:
+        return feats, keys, statuses
+    rows, ps_offs, ps_status, ps_keys = res
     for i in range(n):
         statuses[i] = ps_status[i]
         keys[i] = ps_keys[i]
