@@ -40,9 +40,11 @@ def main():
     from vae_extent_search_tpu.models import init_predictor_params
     from vae_extent_search_tpu.search import SelectionConfig, select_programs
 
-    # Pool sized like a full TenSet per-task candidate set; dims match the
-    # reference experiment defaults (extent dim ~24, latent 64, hidden 256).
-    N, D = 65536, 24
+    # Pool sized like a batched multi-task TenSet candidate set (64 tasks
+    # x 4,096 states); dims match the reference experiment defaults
+    # (extent dim ~24, latent 64, hidden 256). Larger pools amortize
+    # per-dispatch latency; throughput is the steady-state rate.
+    N, D = 262144, 24
     HIDDEN, LATENT = 256, 64
     cfg = SelectionConfig(num_select=64, T_mc=10, topk_factor=5, grad_num=2,
                           rand_num=0)
