@@ -108,3 +108,37 @@ def test_all_modules_import():
 
     for m in pkgutil.walk_packages(pkg.__path__, pkg.__name__ + "."):
         importlib.import_module(m.name)
+
+
+def test_command_runner_external_adapter(tmp_path):
+    """CommandRunner pipes a batch to an external command and reads costs
+    back; missing/garbage lines map to error records."""
+    import os
+    import stat
+
+    from vae_extent_search_tpu.search.measure import (
+        CommandRunner,
+        ProgramMeasurer,
+    )
+
+    sh = tmp_path / "measure.sh"
+    sh.write_text(
+        "#!/bin/bash\n"
+        "n=$(wc -l < \"$1\")\n"
+        ": > \"$2\"\n"
+        "for i in $(seq 1 $n); do\n"
+        "  if [ $i -eq 2 ]; then echo error >> \"$2\";"
+        " else echo \"0.00$i\" >> \"$2\"; fi\n"
+        "done\n"
+    )
+    os.chmod(sh, stat.S_IRWXU)
+
+    task = SearchTask(make_workload_key("matmul_add", (64, 64, 64)),
+                      "llvm")
+    states = make_states(task, 3, evo_population=8, min_population=3,
+                         seed=1)
+    m = ProgramMeasurer(EmptyBuilder(), CommandRunner(str(sh)))
+    results = m.measure(task, states)
+    assert len(results) == len(states)
+    assert results[0].error_no == 0 and results[0].mean_cost > 0
+    assert results[1].error_no != 0  # the "error" line
