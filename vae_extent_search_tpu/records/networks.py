@@ -47,6 +47,20 @@ _RESNET18_CONVS = [
     (7, 7, 512, 512, 3, 3, 1, 1, 3),
 ]
 
+# depthwise layers: (H, W, C, KH, KW, stride, pad, weight)
+_MOBILENET_V2_DEPTHWISE = [
+    (112, 112, 32, 3, 3, 1, 1, 1),
+    (112, 112, 96, 3, 3, 2, 1, 1),
+    (56, 56, 144, 3, 3, 1, 1, 1),
+    (56, 56, 144, 3, 3, 2, 1, 1),
+    (28, 28, 192, 3, 3, 1, 1, 2),
+    (28, 28, 192, 3, 3, 2, 1, 1),
+    (14, 14, 384, 3, 3, 1, 1, 3),
+    (14, 14, 576, 3, 3, 1, 1, 2),
+    (14, 14, 576, 3, 3, 2, 1, 1),
+    (7, 7, 960, 3, 3, 1, 1, 2),
+]
+
 _MOBILENET_V2_CONVS = [
     (224, 224, 32, 3, 3, 3, 2, 1, 1),
     (112, 112, 16, 32, 1, 1, 1, 0, 1),
@@ -227,4 +241,15 @@ def get_network_tasks(name: str, batch_size: int = 1, image_size: int = 224,
         )
         tasks.append(SearchTask(key, target))
         weights.append(float(wt))
+    if name == "mobilenet_v2":
+        scale = image_size / 224.0
+        for (h, w, c, kh, kw, s, p, wt) in _MOBILENET_V2_DEPTHWISE:
+            h2 = max(1, int(round(h * scale)))
+            w2 = max(1, int(round(w * scale)))
+            key = make_workload_key(
+                "depthwise_conv2d_layer",
+                (batch_size, h2, w2, c, kh, kw, [s, s], [p, p]),
+            )
+            tasks.append(SearchTask(key, target))
+            weights.append(float(wt))
     return tasks, weights

@@ -338,3 +338,42 @@ def conv3d_layer(N, D, H, W, CO, CI, KD, KH, KW, stride, padding):
         "T_relu",
     )
     return [data, kernel, bias, out]
+
+
+@register_workload
+def depthwise_conv2d_layer(N, H, W, C, KH, KW, stride, padding):
+    """Depthwise convolution + bias + relu (NCHW, channel-multiplier 1 —
+    the mobilenet-family layers of the reference network grid; topi
+    depthwise_conv2d_nchw semantics)."""
+    data = placeholder((N, C, H, W), name="data")
+    kernel = placeholder((C, 1, KH, KW), name="kernel")
+    bias = placeholder((1, C, 1, 1), name="bias")
+    s = stride if isinstance(stride, int) else stride[0]
+    p = padding if isinstance(padding, int) else padding[0]
+    OH = (H + 2 * p - KH) // s + 1
+    OW = (W + 2 * p - KW) // s + 1
+    pad = _pad_nchw(data, p)
+    ry = reduce_axis(KH, "ry")
+    rx = reduce_axis(KW, "rx")
+
+    def fconv(nn, cc, yy, xx):
+        return sum_reduce(
+            pad[nn.var, cc.var, yy.var * s + ry.var, xx.var * s + rx.var]
+            * kernel[cc.var, 0, ry.var, rx.var],
+            [ry, rx],
+        )
+
+    conv = compute((N, C, OH, OW), fconv, "DepthwiseConv2d")
+    add = compute(
+        conv.shape,
+        lambda n, c, h, w: conv[n.var, c.var, h.var, w.var]
+        + bias[0, c.var, 0, 0],
+        "T_add",
+    )
+    out = compute(
+        add.shape,
+        lambda n, c, h, w: E.Max(add[n.var, c.var, h.var, w.var],
+                                 E.FloatImm(0.0)),
+        "T_relu",
+    )
+    return [data, kernel, bias, out]
