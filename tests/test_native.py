@@ -306,3 +306,27 @@ def test_native_survives_corrupt_streams():
             1, pool, offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             0, 64, 1)
         lib.ves_ps_free(h)
+
+
+@pytest.mark.parametrize("wk,args", [
+    ("max_pool2d_auto_scheduler_test", (1, 14, 14, 64, 1)),
+    ("min_nm_auto_scheduler_test", (32, 512)),
+    ("softmax_abcd_auto_scheduler_test", (1, 4, 64, 64)),
+    ("depthwise_conv2d_layer", (1, 14, 14, 96, 3, 3, [1, 1], [1, 1])),
+])
+@pytest.mark.parametrize("target", ["llvm -mcpu=skylake-avx512", "cuda"])
+def test_native_workload_families_golden(wk, args, target):
+    """Every workload family (pool/min/softmax/depthwise) featurizes
+    natively golden-equal to python on both targets."""
+    from vae_extent_search_tpu.features.per_store import (
+        get_per_store_features_from_states,
+    )
+
+    task = SearchTask(make_workload_key(wk, args), target)
+    states = make_states(task, 6, evo_population=10, min_population=4,
+                         seed=2)
+    assert states
+    A = get_per_store_features_from_states(states, task, use_native=True)
+    B = get_per_store_features_from_states(states, task, use_native=False)
+    for i, (a, b) in enumerate(zip(A, B)):
+        assert a.shape == b.shape and np.allclose(a, b, atol=1e-4), i
