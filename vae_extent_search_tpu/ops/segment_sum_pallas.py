@@ -12,11 +12,16 @@ DMAs the 8 segments' contiguous row span HBM->VMEM via scalar-prefetched
 offsets (PrefetchScalarGridSpec), then computes the 8 masked row-sums as
 one one-hot [8, span] x [span, H] MXU matmul.
 
-Measured on v5e-1: ~28us for [32k, 256] (vs XLA's ~26us) — both at HBM
-bandwidth — with exact fp32 results; odd feature widths (the raw 164-dim
-vectors) are column-padded to the 128-lane tile inside the wrapper. Kept
-as the explicit-kernel path (and the template for fused variants); the
-default model code uses jax.ops.segment_sum.
+Measured on v5e-1: ~20-28us for [32k, 256] (vs XLA's ~26us) — both at
+HBM bandwidth — with exact fp32 results. Odd feature widths (the raw
+164-dim vectors) are column-padded to the 128-lane tile inside the
+wrapper: exact, but on v5e the kernel's HBM DMA degrades ~1000x when its
+operand derives from a non-tile-aligned array inside the same program
+(layout propagation; optimization_barrier does not isolate it) — for
+full throughput at odd widths, pre-pad columns host-side so the kernel
+sees a naturally aligned array. Kept as the explicit-kernel path (and
+the template for fused variants); the default model code uses
+jax.ops.segment_sum.
 """
 
 from __future__ import annotations
@@ -78,9 +83,14 @@ def segment_sum_pallas(features: jnp.ndarray, offsets: jnp.ndarray,
     # aligned; zero-pad odd feature widths (e.g. the raw 164-dim
     # per-store vectors) and slice the result back
     Hp = -(-H // 128) * 128
-    feats = features if Hp == H else jnp.pad(
-        features, ((0, 0), (0, Hp - H))
-    )
+    if Hp == H:
+        feats = features
+    else:
+        # the barrier keeps XLA from fusing the pad into the kernel's
+        # operand path, which degrades the DMA grid ~1000x on v5e
+        feats = jax.lax.optimization_barrier(
+            jnp.pad(features, ((0, 0), (0, Hp - H)))
+        )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_seg // SEG_TILE,),
@@ -98,7 +108,11 @@ def segment_sum_pallas(features: jnp.ndarray, offsets: jnp.ndarray,
         grid_spec=grid_spec,
         interpret=interpret,
     )(offsets.astype(jnp.int32), feats)
-    return out[:, :H] if Hp != H else out
+    if Hp != H:
+        # barrier on both sides: fusing the pad or the slice into the
+        # kernel's operand/result path degrades the DMA grid ~1000x
+        out = jax.lax.optimization_barrier(out)[:, :H]
+    return out
 
 
 def segment_ids_to_offsets(segment_ids: np.ndarray, n_seg: int) -> np.ndarray:
