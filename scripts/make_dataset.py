@@ -21,6 +21,8 @@ def main():
                    help="record log files (globs ok)")
     p.add_argument("--out-file", type=str, default="dataset.pkl")
     p.add_argument("--min-sample-size", type=int, default=48)
+    p.add_argument("--n-threads", type=int, default=1,
+                   help="native featurizer threads (collection boxes)")
     p.add_argument("--n-task", type=int, default=None,
                    help="cap the number of record files used")
     args = p.parse_args()
@@ -30,7 +32,8 @@ def main():
         files.extend(sorted(glob.glob(pat)))
     if args.n_task:
         files = files[: args.n_task]
-    make_dataset_from_log_file(files, args.out_file, args.min_sample_size)
+    make_dataset_from_log_file(files, args.out_file, args.min_sample_size,
+                               n_threads=args.n_threads)
 
 
 if __name__ == "__main__":

@@ -132,7 +132,7 @@ class Dataset:
 
 def make_dataset_from_log_file(log_files, out_file: str,
                                min_sample_size: int = 48,
-                               verbose: int = 1):
+                               verbose: int = 1, n_threads: int = 1):
     """Featurize measure-record logs into a Dataset pickle, with per-file
     feature caches (reference dataset.py:214-287)."""
     from ..features.per_store import get_per_store_features_from_file
@@ -155,9 +155,14 @@ def make_dataset_from_log_file(log_files, out_file: str,
         else:
             if verbose:
                 print(f"Featurize {filename}")
-            from ..records.serde import load_records
+            try:  # native record parsing when the library is built
+                from ..records.fast_parser import load_records_fast
 
-            records = load_records(filename)
+                records = load_records_fast(filename)
+            except Exception:
+                from ..records.serde import load_records
+
+                records = load_records(filename)
             inputs = [r.inp for r in records]
             results = [r.res for r in records]
             from ..features.per_store import (
@@ -165,7 +170,9 @@ def make_dataset_from_log_file(log_files, out_file: str,
             )
 
             features, throughputs, task_ids, min_costs = (
-                get_per_store_features_from_measure_pairs(inputs, results)
+                get_per_store_features_from_measure_pairs(
+                    inputs, results, n_threads=n_threads
+                )
             )
             # recover the ordered unique task list
             task_keys = []

@@ -887,7 +887,8 @@ def get_per_store_features_from_states(states, task,
 def get_per_store_features_from_measure_pairs(inputs, results,
                                               skip_first_n_feature=0,
                                               max_n_bufs=DEFAULT_MAX_N_BUFS,
-                                              use_native=True):
+                                              use_native=True,
+                                              n_threads=1):
     """(features, normalized_throughputs, task_ids, min_costs) — throughput
     normalized per task: min_cost / cost (feature.cc:1457-1535). Prefers
     the native batch featurizer; python per-record fallback."""
@@ -898,7 +899,9 @@ def get_per_store_features_from_measure_pairs(inputs, results,
                 featurize_perstore_inputs_native,
             )
 
-            native_feats = featurize_perstore_inputs_native(inputs)
+            native_feats = featurize_perstore_inputs_native(
+                inputs, n_threads=n_threads
+            )
         except Exception:
             native_feats = None
     features = []
@@ -944,16 +947,18 @@ def get_per_store_features_from_measure_pairs(inputs, results,
 
 def get_per_store_features_from_file(filename, max_lines=None,
                                      max_n_bufs=DEFAULT_MAX_N_BUFS,
-                                     use_native=True):
+                                     use_native=True, n_threads=1):
     """Prefers the native (C++) batch featurizer when the library is built
     (csrc/per_store_featurizer.cpp, ~40x the python path per core); python
-    is the behavioral reference and the per-record fallback."""
+    is the behavioral reference and the per-record fallback. ``n_threads``
+    parallelizes the native batch (reference support::parallel_for)."""
     if use_native and max_n_bufs == DEFAULT_MAX_N_BUFS:
         try:
             from ..records.fast_parser import perstore_dataset_native
 
             return perstore_dataset_native(
-                filename, -1 if max_lines is None else max_lines)
+                filename, -1 if max_lines is None else max_lines,
+                n_threads=n_threads)
         except Exception:
             pass
     from ..records.serde import load_records
