@@ -172,3 +172,40 @@ def test_pallas_segment_sum_interpret():
     out = segment_sum_pallas(jnp.asarray(fp), jnp.asarray(fo), S2, MAXR,
                              interpret=True)[:S]
     assert np.allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_vae_hyperparameter_search():
+    """KL/dim-targeted VAE hyperparameter search (reference
+    VAE_Trainer.hyperparameter_search): trains each config, scores
+    recon R^2 with a penalty outside the target KL/dim band, returns the
+    best config + sorted results."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vae_extent_search_tpu.models.segment import (
+        search_segment_vae_hyperparams,
+    )
+
+    rng = np.random.default_rng(0)
+    n_seg = 128
+    seg_ids = np.repeat(np.arange(n_seg), 4).astype(np.int32)
+    # low-rank structured features so the VAE can reconstruct
+    z = rng.normal(size=(len(seg_ids), 8)).astype(np.float32)
+    w = rng.normal(size=(8, 164)).astype(np.float32)
+    feats = (z @ w).astype(np.float32)
+    valid = np.ones(n_seg, bool)
+    best_params, best_cfg, results = search_segment_vae_hyperparams(
+        jnp.asarray(feats), jnp.asarray(seg_ids), jnp.asarray(valid),
+        n_seg, 164,
+        configs=[
+            {"hidden_dim": 128, "latent_dim": 32, "beta": 1e-4,
+             "lr": 1e-3},
+            {"hidden_dim": 128, "latent_dim": 32, "beta": 1e-3,
+             "lr": 1e-3},
+        ],
+        epochs=80,
+    )
+    assert len(results) == 2
+    assert results[0]["score"] >= results[1]["score"]
+    assert "kl_per_dim" in best_cfg and "recon_r2" in best_cfg
+    assert best_params is not None

@@ -588,6 +588,86 @@ def fit_segment_vae(params, features, segment_ids, valid, key, n_seg: int,
     return params, losses
 
 
+def eval_segment_vae(params, features, segment_ids, valid, n_seg: int):
+    """(reconstruction R^2, KL per latent dim) on the mean latent."""
+    mu, logvar, target = segment_vae_encode(
+        params, features, segment_ids, n_seg
+    )
+    recon = mlp_apply(params["decoder"], mu, final_activation=False)
+    v = valid[:, None]
+    denom = jnp.maximum(valid.sum(), 1)
+    err = jnp.sum(jnp.where(v, (recon - target) ** 2, 0.0))
+    mean_t = jnp.sum(jnp.where(v, target, 0.0)) / (
+        denom * target.shape[-1]
+    )
+    var_t = jnp.sum(jnp.where(v, (target - mean_t) ** 2, 0.0))
+    r2 = 1.0 - err / jnp.maximum(var_t, 1e-8)
+    kl_terms = -0.5 * (1.0 + logvar - mu**2 - jnp.exp(logvar))
+    kl_per_dim = jnp.sum(jnp.where(v, kl_terms, 0.0)) / (
+        denom * mu.shape[-1]
+    )
+    return float(r2), float(kl_per_dim)
+
+
+DEFAULT_VAE_SEARCH_CONFIGS = [
+    # reference trainer.py:148-156 (hand-picked subset of the full grid)
+    {"hidden_dim": 256, "latent_dim": 64, "beta": 1e-4, "lr": 1e-3},
+    {"hidden_dim": 256, "latent_dim": 64, "beta": 1e-4, "lr": 2e-4},
+    {"hidden_dim": 256, "latent_dim": 64, "beta": 2e-4, "lr": 1e-3},
+    {"hidden_dim": 256, "latent_dim": 128, "beta": 5e-5, "lr": 1e-3},
+    {"hidden_dim": 256, "latent_dim": 128, "beta": 5e-5, "lr": 5e-4},
+    {"hidden_dim": 256, "latent_dim": 128, "beta": 5e-5, "lr": 2e-4},
+    {"hidden_dim": 256, "latent_dim": 128, "beta": 1e-4, "lr": 2e-4},
+    {"hidden_dim": 256, "latent_dim": 128, "beta": 1e-3, "lr": 2e-4},
+]
+
+
+def search_segment_vae_hyperparams(features, segment_ids, valid, n_seg: int,
+                                   in_dim: int, configs=None,
+                                   target_kl_range=(0.05, 0.2),
+                                   epochs: int = 200, seed: int = 0,
+                                   verbose: bool = False):
+    """VAE hyperparameter search targeting a healthy KL/dim band
+    (reference VAE_Trainer.hyperparameter_search, trainer.py:124-267):
+    per config train + evaluate (recon R^2, KL/dim); score = R^2 with up
+    to a 10% penalty proportional to the KL/dim distance outside
+    ``target_kl_range`` (avoids posterior collapse / blown-up codes).
+    Returns (best_params, best_config, results sorted by score)."""
+    configs = configs or DEFAULT_VAE_SEARCH_CONFIGS
+    kl_min, kl_max = target_kl_range
+    results = []
+    best = None
+    for ci, cfg in enumerate(configs):
+        key = jax.random.PRNGKey(seed + ci)
+        params = init_segment_vae_params(
+            key, in_dim, hidden_dim=cfg["hidden_dim"],
+            latent_dim=cfg["latent_dim"],
+        )
+        params, _ = fit_segment_vae(
+            params, features, segment_ids, valid, key, n_seg,
+            epochs=epochs, lr=cfg["lr"], beta=cfg["beta"],
+        )
+        r2, kl_per_dim = eval_segment_vae(
+            params, features, segment_ids, valid, n_seg
+        )
+        if kl_min <= kl_per_dim <= kl_max:
+            score = r2
+        elif kl_per_dim < kl_min:
+            score = r2 - 0.1 * (kl_min - kl_per_dim) / kl_min
+        else:
+            score = r2 - 0.1 * (kl_per_dim - kl_max) / kl_max
+        row = dict(cfg, recon_r2=r2, kl_per_dim=kl_per_dim, score=score,
+                   in_kl_range=kl_min <= kl_per_dim <= kl_max)
+        results.append((row, params))
+        if verbose:
+            print(f"[{ci + 1}/{len(configs)}] {cfg} -> R2={r2:.4f} "
+                  f"KL/dim={kl_per_dim:.4f} score={score:.4f}")
+        if best is None or score > best[0]["score"]:
+            best = (row, params)
+    results.sort(key=lambda rp: -rp[0]["score"])
+    return best[1], best[0], [r for r, _ in results]
+
+
 def few_shot_fit(base_cls, features_by_task, labels_by_task,
                  mode: str = "base_only", in_dim: int = 164,
                  fine_tune_epochs: int = 30, **model_kw):
