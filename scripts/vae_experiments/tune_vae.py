@@ -64,7 +64,7 @@ def flatten_features(features_list, fea_norm_vec=None):
 def run_tuning(task: SearchTask, n_candidates=2000, measure_size=64,
                n_phases=10, vae_epochs=200, reg_epochs=300,
                runner=None, log_file="tune_vae.json", select="random",
-               seed=2023, verbose=True):
+               seed=2023, verbose=True, tune_vae_hparams=False):
     t0 = time.time()
     print(f"generating {n_candidates} candidate states ...")
     states = make_states(task, n_candidates, seed=seed)
@@ -80,13 +80,35 @@ def run_tuning(task: SearchTask, n_candidates=2000, measure_size=64,
 
     # ---- SegmentVAE pretraining ----
     k_vae, key = jax.random.split(key)
-    vae_params = init_segment_vae_params(k_vae, in_dim)
-    vae_params, vae_losses = fit_segment_vae(
-        vae_params, rows, seg_ids, valid_all, k_vae, n_seg, vae_epochs
-    )
-    if verbose:
-        losses = np.asarray(vae_losses)
-        print(f"vae pretrain: loss {losses[0]:.4f} -> {losses[-1]:.4f}")
+    if tune_vae_hparams:
+        # KL/dim-targeted config search (reference
+        # VAE_Trainer.hyperparameter_search)
+        from vae_extent_search_tpu.models.segment import (
+            search_segment_vae_hyperparams,
+        )
+
+        vae_params, best_cfg, _ = search_segment_vae_hyperparams(
+            rows, seg_ids, valid_all, n_seg, in_dim,
+            epochs=vae_epochs, seed=seed, verbose=verbose,
+        )
+        vae_dims = {"hidden_dim": best_cfg["hidden_dim"],
+                    "latent_dim": best_cfg["latent_dim"]}
+        if verbose:
+            print(f"vae hparam search best: "
+                  f"beta={best_cfg['beta']:g} lr={best_cfg['lr']:g} "
+                  f"latent={best_cfg['latent_dim']} "
+                  f"KL/dim={best_cfg['kl_per_dim']:.4f} "
+                  f"R2={best_cfg['recon_r2']:.4f}")
+    else:
+        vae_dims = {}
+        vae_params = init_segment_vae_params(k_vae, in_dim)
+        vae_params, vae_losses = fit_segment_vae(
+            vae_params, rows, seg_ids, valid_all, k_vae, n_seg, vae_epochs
+        )
+        if verbose:
+            losses = np.asarray(vae_losses)
+            print(f"vae pretrain: loss {losses[0]:.4f} -> "
+                  f"{losses[-1]:.4f}")
 
     measurer = ProgramMeasurer(
         EmptyBuilder(), runner or AnalyticRunner(noise=0.2),
@@ -123,7 +145,8 @@ def run_tuning(task: SearchTask, n_candidates=2000, measure_size=64,
 
         # ---- retrain regression on all measured ----
         k_init, k_fit, key = jax.random.split(key, 3)
-        pred_params = init_segment_predictor_params(k_init, in_dim)
+        pred_params = init_segment_predictor_params(k_init, in_dim,
+                                                    **vae_dims)
         pred_params = load_pretrained_segment_encoder(pred_params, vae_params)
         pred_params, info = fit_segment_predictor(
             pred_params, rows, seg_ids, jnp.asarray(labels),
@@ -151,6 +174,9 @@ def main():
                    choices=["random", "model"])
     p.add_argument("--log-file", type=str, default="tune_vae.json")
     p.add_argument("--seed", type=int, default=2023)
+    p.add_argument("--tune-vae-hparams", action="store_true",
+                   help="KL/dim-targeted VAE config search before the "
+                        "phase loop (reference hyperparameter_search)")
     args = p.parse_args()
 
     wk = args.workload_key or make_workload_key(
@@ -160,6 +186,7 @@ def main():
     best, wall = run_tuning(
         task, args.n_candidates, args.measure_size, args.n_phases,
         select=args.select, log_file=args.log_file, seed=args.seed,
+        tune_vae_hparams=args.tune_vae_hparams,
     )
     print(f"best cost: {best:.6g}  wall: {wall:.1f}s")
 
