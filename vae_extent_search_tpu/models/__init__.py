@@ -12,6 +12,10 @@ from .predictor import (
     predict_cost,
     train_predictor,
 )
+from .segment import (
+    eval_segment_vae,
+    search_segment_vae_hyperparams,
+)
 from .vae import (
     init_vae_params,
     kld_loss,
