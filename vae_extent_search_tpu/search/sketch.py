@@ -1229,11 +1229,12 @@ class SketchPolicy:
         generation batches (replay + dedup keys + 164-dim features) run in
         C++ — the counterpart of the reference running its whole GA inside
         sketch_policy.cc."""
-        if init_population:
-            native = self._evolutionary_search_native(init_population,
-                                                      out_size)
-            if native is not None:
-                return native
+        if not init_population:
+            return []
+        native = self._evolutionary_search_native(init_population,
+                                                  out_size)
+        if native is not None:
+            return native
         population = self.params["evolutionary_search_population"]
         iters = self.params["evolutionary_search_num_iters"]
         mut_prob = self.params["evolutionary_search_mutation_prob"]
