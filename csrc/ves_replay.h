@@ -115,6 +115,7 @@ struct Stage {
   std::vector<int8_t> root_is_reduce;
   long auto_unroll = 0;
   bool is_shared = false;  // shared-scope cache stage
+  int8_t scope = -1;  // storage rank: -1 infer, 0 global, 1 shared, 3 local
 };
 
 // one parsed step
@@ -131,6 +132,7 @@ struct Step {
   long pragma_value = -1;  // auto_unroll value; -1 = other pragma
   bool pragma_skip = false;
   bool scope_is_shared = false;
+  int8_t scope = -1;  // cache scope rank: 0 global, 1 shared, 3 local
 };
 
 enum StepKind {
@@ -325,6 +327,7 @@ inline void apply_cache_read(State& st, const Step& step) {
     s.root_is_reduce.push_back(0);
   }
   s.is_shared = step.scope_is_shared;
+  s.scope = step.scope;
   int added = src_stage + 1;
   st.stages.insert(st.stages.begin() + added, s);
   st.attach_tgt.insert(st.attach_tgt.begin() + added, -1);
@@ -378,6 +381,8 @@ inline void apply_cache_write(State& st, const Step& step) {
     cs.roots.emplace_back(u, st.ops[cache_op].reduce[d]);
     cs.root_is_reduce.push_back(1);
   }
+
+  cs.scope = step.scope;
 
   Stage ns;
   ns.op = copy_op;
@@ -724,167 +729,464 @@ struct StageBounds {
     }
   }
 
-  void pass_up_local(const Stage& stage, const std::vector<long>& full,
-                     std::vector<long>& local) const {
-    for (auto r = stage.rels.rbegin(); r != stage.rels.rend(); ++r) {
-      if (r->kind == 0) {
-        long o = local[r->outer], i = local[r->inner];
-        if (o < 0 || i < 0) continue;
-        long p_full = full[r->parent];
-        long stride = full[r->inner] >= 0 ? full[r->inner]
-                                          : (r->factor >= 0 ? r->factor : 1);
-        long p_local = o >= 1 ? (o - 1) * stride + i : i;
-        if (p_full >= 0) {
-          if (o == full[r->outer] && i == full[r->inner]) p_local = p_full;
-          p_local = std::min(p_local, p_full);
-        }
-        local[r->parent] = p_local;
-      } else {
-        long fl = local[r->fused];
-        if (fl < 0) continue;
-        if (r->inner < 0) {
-          local[r->outer] = fl;
-          continue;
-        }
-        long f_full = full[r->fused];
-        long i_full = full[r->inner] >= 0 ? full[r->inner] : 1;
-        if (f_full >= 0 && fl == f_full) {
-          local[r->outer] = full[r->outer] >= 0 ? full[r->outer] : fl;
-          local[r->inner] = i_full;
-        } else {
-          local[r->inner] = i_full > 0 ? std::min(fl, i_full) : fl;
-          local[r->outer] = i_full > 0 ? ceil_div(fl, i_full) : 1;
-        }
-      }
-    }
-  }
 };
 
 struct Interval {
   long lo, hi;
 };
 
-// optional full-expression read evaluator: (consumer op idx, dim
-// intervals, demand accumulator) -> false on evaluation failure. When
-// set it replaces the affine read tables for demand propagation (the
-// python reference, ir/bound.py, always evaluates full expressions).
-using ReadEvalHook = std::function<bool(
-    int, const std::vector<struct Interval>&,
-    std::vector<std::vector<struct Interval>>&)>;
+// ---------------------------------------------------------------------
+// Symbolic integer sets (mirror of ir/intset.py)
+//
+// te's InferRootBound pins loops outside a producer's attach point to
+// symbolic points, composes them through split/fuse relations with range
+// mins added back, relaxes thread-bound vars over their ranges, and
+// recovers extents as symbolic differences where the pinned vars cancel.
+// Linear forms over interned atoms give O(1) structural equality.
+// ---------------------------------------------------------------------
 
-struct InferCtx {
-  const State* st;
-  ReadEvalHook read_hook;
-  bool fail = false;
-  std::vector<StageBounds> sb;
-  std::vector<std::vector<long>> full;     // per stage: uid -> extent
-  std::vector<std::vector<long>> relaxed;  // thread-relaxed variant
-  int max_uid;
+constexpr long SYM_INF = (1L << 60);
 
-  // demanded interval per op dim, filled during demand propagation
-  // (op -> dim -> interval); -1 lo means unset
-  std::vector<std::vector<Interval>> demand;
+struct SAtom {
+  int8_t kind;       // 0 var, 1 floordiv, 2 floormod, 3 min, 4 max
+  long var_key = 0;  // kind 0: unique per (stage, iter uid)
+  int f1 = -1;       // kind 1/2: inner LF; kind 3/4: a
+  int f2 = -1;       // kind 3/4: b
+  long c = 0;        // divisor
+  long nlo = 0, nhi = 0;
+};
 
-  void eval_read_intervals(const OpDesc& consumer,
-                           const std::vector<Interval>& dim_iv,
-                           int skip_op /*-1*/) {
-    for (auto& rd : consumer.reads) {
-      const OpDesc& src = st->ops[rd.src_op];
-      std::vector<Interval>& dst = demand[rd.src_op];
-      if (dst.empty()) {
-        dst.assign(rd.idx.size(), {0, -1});
-      }
-      for (size_t d = 0; d < rd.idx.size(); ++d) {
-        long lo = rd.idx[d].cst, hi = rd.idx[d].cst;
-        for (auto& t : rd.idx[d].terms) {
-          const Interval& iv = dim_iv[t.first];
-          if (t.second >= 0) {
-            lo += t.second * iv.lo;
-            hi += t.second * iv.hi;
-          } else {
-            lo += t.second * iv.hi;
-            hi += t.second * iv.lo;
-          }
-        }
-        long cap = d < src.dims.size() ? src.dims[d] - 1
-                                       : (1L << 40);
-        lo = std::max(0L, lo);
-        hi = std::min(cap, hi);
-        if (hi < lo) { lo = 0; hi = 0; }
-        if (dst[d].hi < dst[d].lo) {
-          dst[d] = {lo, hi};
-        } else {
-          dst[d].lo = std::min(dst[d].lo, lo);
-          dst[d].hi = std::max(dst[d].hi, hi);
-        }
-      }
-    }
+struct SLF {
+  long cst = 0;
+  std::vector<std::pair<int, long>> terms;  // (atom id, coeff), sorted
+  long nlo = 0, nhi = 0;                    // cached numeric bounds
+};
+
+struct SymCtx {
+  std::vector<SAtom> atoms;
+  std::vector<SLF> lfs;
+  std::unordered_map<uint64_t, std::vector<int>> atom_idx, lf_idx;
+  int zero;
+
+  SymCtx() { zero = intern_lf(SLF{}); }
+
+  static uint64_t mix(uint64_t h, uint64_t v) {
+    h ^= v + 0x9e3779b97f4a7c15ULL + (h << 6) + (h >> 2);
+    return h;
   }
 
-  // demand for everything read inside (consumer stage, attach_pos);
-  // relax_threads mirrors te NeedRelax for shared-scope producers
-  // (thread-bound loops outside the attach point span their full range)
-  void demanded_region(int consumer_id, int attach_pos,
-                       bool relax_threads) {
-    for (auto& d : demand) d.clear();
-    const Stage& stage = st->stages[consumer_id];
-    const std::vector<long>& f =
-        relax_threads ? relaxed[consumer_id] : full[consumer_id];
-
-    std::vector<long> local = f;
-    for (size_t pos = 0; pos < stage.iters.size(); ++pos) {
-      long e = f[stage.iters[pos].uid];
-      if (e < 0) e = stage.iters[pos].extent >= 0 ? stage.iters[pos].extent : 1;
-      int ann = stage.iters[pos].annotation;
-      bool pinned = static_cast<int>(pos) <= attach_pos;
-      // vthread / threadIdx.* relax; blockIdx never does
-      if (pinned && relax_threads &&
-          (ann == ANN_VTHREAD || ann == ANN_THREAD_X ||
-           ann == ANN_THREAD_Y || ann == ANN_THREAD_Z)) {
-        pinned = false;
+  int intern_atom(SAtom a) {
+    uint64_t h = mix(mix(mix(mix(a.kind, a.var_key), a.f1), a.f2), a.c);
+    auto& bucket = atom_idx[h];
+    for (int id : bucket) {
+      const SAtom& b = atoms[id];
+      if (b.kind == a.kind && b.var_key == a.var_key && b.f1 == a.f1 &&
+          b.f2 == a.f2 && b.c == a.c) {
+        return id;
       }
-      local[stage.iters[pos].uid] = pinned ? 1 : e;
     }
-    sb[consumer_id].pass_up_local(stage, f, local);
+    atoms.push_back(a);
+    bucket.push_back(static_cast<int>(atoms.size()) - 1);
+    return static_cast<int>(atoms.size()) - 1;
+  }
 
-    // dim intervals of the consumer's op
-    const OpDesc& op = st->ops[stage.op];
-    size_t ndim = op.dims.size() + op.reduce.size();
-    std::vector<Interval> dim_iv(ndim, {0, 0});
-    for (size_t i = 0; i < stage.roots.size() && i < ndim; ++i) {
-      long le = local[stage.roots[i].first];
-      if (le < 0) le = stage.roots[i].second;
-      dim_iv[i] = {0, std::max(0L, le - 1)};
+  int intern_lf(SLF f) {
+    uint64_t h = mix(0, f.cst);
+    for (auto& t : f.terms) h = mix(mix(h, t.first), t.second);
+    auto& bucket = lf_idx[h];
+    for (int id : bucket) {
+      const SLF& b = lfs[id];
+      if (b.cst == f.cst && b.terms == f.terms) return id;
     }
-    if (read_hook) {
-      if (!read_hook(stage.op, dim_iv, demand)) fail = true;
-    } else {
-      eval_read_intervals(op, dim_iv, -1);
-    }
-
-    // propagate through inlined stages (reverse stage order)
-    for (int sid = static_cast<int>(st->stages.size()) - 1; sid >= 0; --sid) {
-      const Stage& s2 = st->stages[sid];
-      if (s2.compute_at != AT_INLINED) continue;
-      const OpDesc& op2 = st->ops[s2.op];
-      std::vector<Interval>& dem = demand[s2.op];
-      if (dem.empty()) continue;
-      size_t nd2 = op2.dims.size() + op2.reduce.size();
-      std::vector<Interval> iv2(nd2, {0, 0});
-      for (size_t d = 0; d < op2.dims.size() && d < dem.size(); ++d) {
-        iv2[d] = dem[d].hi >= dem[d].lo ? dem[d] : Interval{0, 0};
-      }
-      for (size_t d = 0; d < op2.reduce.size(); ++d) {
-        iv2[op2.dims.size() + d] = {0, op2.reduce[d] - 1};
-      }
-      if (read_hook) {
-        if (!read_hook(s2.op, iv2, demand)) fail = true;
+    // numeric bounds
+    f.nlo = f.nhi = f.cst;
+    for (auto& t : f.terms) {
+      const SAtom& a = atoms[t.first];
+      if (t.second >= 0) {
+        f.nlo += t.second * a.nlo;
+        f.nhi += t.second * a.nhi;
       } else {
-        eval_read_intervals(op2, iv2, -1);
+        f.nlo += t.second * a.nhi;
+        f.nhi += t.second * a.nlo;
       }
     }
+    lfs.push_back(std::move(f));
+    bucket.push_back(static_cast<int>(lfs.size()) - 1);
+    return static_cast<int>(lfs.size()) - 1;
+  }
+
+  int lf_const(long c) {
+    SLF f;
+    f.cst = c;
+    return intern_lf(std::move(f));
+  }
+
+  int lf_atom(int atom_id, long coeff = 1, long cst = 0) {
+    SLF f;
+    f.cst = cst;
+    if (coeff != 0) f.terms.emplace_back(atom_id, coeff);
+    return intern_lf(std::move(f));
+  }
+
+  int var_atom(long key, long nlo, long nhi) {
+    SAtom a;
+    a.kind = 0;
+    a.var_key = key;
+    a.nlo = nlo;
+    a.nhi = nhi;
+    return intern_atom(a);
   }
 };
+
+inline long sfdiv(long a, long b) {
+  long q = a / b;
+  if ((a % b != 0) && ((a < 0) != (b < 0))) q -= 1;
+  return q;
+}
+inline long sfmod(long a, long b) { return a - sfdiv(a, b) * b; }
+
+inline int lf_add(SymCtx& sc, int a, int b) {
+  const SLF& fa = sc.lfs[a];
+  const SLF& fb = sc.lfs[b];
+  SLF out;
+  out.cst = fa.cst + fb.cst;
+  size_t i = 0, j = 0;
+  while (i < fa.terms.size() || j < fb.terms.size()) {
+    if (j >= fb.terms.size() ||
+        (i < fa.terms.size() && fa.terms[i].first < fb.terms[j].first)) {
+      out.terms.push_back(fa.terms[i++]);
+    } else if (i >= fa.terms.size() ||
+               fb.terms[j].first < fa.terms[i].first) {
+      out.terms.push_back(fb.terms[j++]);
+    } else {
+      long c = fa.terms[i].second + fb.terms[j].second;
+      if (c != 0) out.terms.emplace_back(fa.terms[i].first, c);
+      ++i;
+      ++j;
+    }
+  }
+  return sc.intern_lf(std::move(out));
+}
+
+inline int lf_scale(SymCtx& sc, int a, long k) {
+  if (k == 1) return a;
+  if (k == 0) return sc.zero;
+  const SLF& fa = sc.lfs[a];
+  SLF out;
+  out.cst = fa.cst * k;
+  for (auto& t : fa.terms) out.terms.emplace_back(t.first, t.second * k);
+  return sc.intern_lf(std::move(out));
+}
+
+inline int lf_neg(SymCtx& sc, int a) { return lf_scale(sc, a, -1); }
+
+inline int lf_sub(SymCtx& sc, int a, int b) {
+  return lf_add(sc, a, lf_neg(sc, b));
+}
+
+inline int lf_addc(SymCtx& sc, int a, long c) {
+  if (c == 0) return a;
+  SLF out = sc.lfs[a];
+  out.cst += c;
+  out.nlo = out.nhi = 0;
+  return sc.intern_lf(std::move(out));
+}
+
+inline bool lf_is_const(const SymCtx& sc, int a, long* v = nullptr) {
+  if (!sc.lfs[a].terms.empty()) return false;
+  if (v) *v = sc.lfs[a].cst;
+  return true;
+}
+
+// exact: floordiv(D*c + R, c) = D + floordiv(R, c)
+inline int lf_floordiv(SymCtx& sc, int f, long c) {
+  SLF div_part;
+  SLF rest;
+  {
+    const SLF& ff = sc.lfs[f];
+    rest.cst = ff.cst;
+    for (auto& t : ff.terms) {
+      if (t.second % c == 0) {
+        div_part.terms.emplace_back(t.first, t.second / c);
+      } else {
+        rest.terms.emplace_back(t.first, t.second);
+      }
+    }
+  }
+  int out = sc.intern_lf(std::move(div_part));
+  int rest_id = sc.intern_lf(std::move(rest));
+  const SLF& r = sc.lfs[rest_id];
+  if (r.terms.empty()) return lf_addc(sc, out, sfdiv(r.cst, c));
+  long qlo = sfdiv(r.nlo, c), qhi = sfdiv(r.nhi, c);
+  if (qlo == qhi) return lf_addc(sc, out, qlo);
+  SAtom a;
+  a.kind = 1;
+  a.f1 = rest_id;
+  a.c = c;
+  a.nlo = qlo;
+  a.nhi = qhi;
+  return lf_add(sc, out, sc.lf_atom(sc.intern_atom(a)));
+}
+
+// exact: floormod(sum ci*xi + k, c) = floormod(sum (ci mod c)*xi + k mod c, c)
+inline int lf_floormod(SymCtx& sc, int f, long c) {
+  SLF rest;
+  {
+    const SLF& ff = sc.lfs[f];
+    rest.cst = sfmod(ff.cst, c);
+    for (auto& t : ff.terms) {
+      long co = sfmod(t.second, c);
+      if (co != 0) rest.terms.emplace_back(t.first, co);
+    }
+  }
+  int rest_id = sc.intern_lf(std::move(rest));
+  const SLF& r = sc.lfs[rest_id];
+  if (r.terms.empty()) return sc.lf_const(sfmod(r.cst, c));
+  long q = sfdiv(r.nlo, c);
+  if (q == sfdiv(r.nhi, c)) return lf_addc(sc, rest_id, -q * c);
+  SAtom a;
+  a.kind = 2;
+  a.f1 = rest_id;
+  a.c = c;
+  a.nlo = 0;
+  a.nhi = c - 1;
+  return sc.lf_atom(sc.intern_atom(a));
+}
+
+inline int lf_min(SymCtx& sc, int a, int b) {
+  if (a == b) return a;
+  int d = lf_sub(sc, a, b);
+  if (sc.lfs[d].nhi <= 0) return a;
+  if (sc.lfs[d].nlo >= 0) return b;
+  SAtom at;
+  at.kind = 3;
+  at.f1 = std::min(a, b);
+  at.f2 = std::max(a, b);
+  at.nlo = std::min(sc.lfs[a].nlo, sc.lfs[b].nlo);
+  at.nhi = std::min(sc.lfs[a].nhi, sc.lfs[b].nhi);
+  return sc.lf_atom(sc.intern_atom(at));
+}
+
+inline int lf_max(SymCtx& sc, int a, int b) {
+  if (a == b) return a;
+  int d = lf_sub(sc, a, b);
+  if (sc.lfs[d].nlo >= 0) return a;
+  if (sc.lfs[d].nhi <= 0) return b;
+  SAtom at;
+  at.kind = 4;
+  at.f1 = std::min(a, b);
+  at.f2 = std::max(a, b);
+  at.nlo = std::max(sc.lfs[a].nlo, sc.lfs[b].nlo);
+  at.nhi = std::max(sc.lfs[a].nhi, sc.lfs[b].nhi);
+  return sc.lf_atom(sc.intern_atom(at));
+}
+
+// symbolic interval [lo, hi]; lo/hi = LF ids; everything = unbounded
+struct SSI {
+  int lo = -1, hi = -1;
+  bool everything = false;
+
+  static SSI every() {
+    SSI s;
+    s.everything = true;
+    return s;
+  }
+  bool is_point() const { return !everything && lo == hi; }
+};
+
+inline SSI si_point(int f) { return SSI{f, f, false}; }
+inline SSI si_const(SymCtx& sc, long v) {
+  int f = sc.lf_const(v);
+  return SSI{f, f, false};
+}
+inline SSI si_range(SymCtx& sc, long lo, long hi) {
+  return SSI{sc.lf_const(lo), sc.lf_const(hi), false};
+}
+
+inline SSI si_add(SymCtx& sc, const SSI& a, const SSI& b) {
+  if (a.everything || b.everything) return SSI::every();
+  return SSI{lf_add(sc, a.lo, b.lo), lf_add(sc, a.hi, b.hi), false};
+}
+
+inline SSI si_addf(SymCtx& sc, const SSI& a, int f) {
+  if (a.everything) return a;
+  return SSI{lf_add(sc, a.lo, f), lf_add(sc, a.hi, f), false};
+}
+
+inline SSI si_sub(SymCtx& sc, const SSI& a, const SSI& b) {
+  if (a.everything || b.everything) return SSI::every();
+  return SSI{lf_sub(sc, a.lo, b.hi), lf_sub(sc, a.hi, b.lo), false};
+}
+
+inline SSI si_scale(SymCtx& sc, const SSI& a, long k) {
+  if (a.everything) return a;
+  if (k >= 0) return SSI{lf_scale(sc, a.lo, k), lf_scale(sc, a.hi, k), false};
+  return SSI{lf_scale(sc, a.hi, k), lf_scale(sc, a.lo, k), false};
+}
+
+inline SSI si_mul(SymCtx& sc, const SSI& a, const SSI& b) {
+  if (a.everything || b.everything) return SSI::every();
+  long v;
+  if (b.is_point() && lf_is_const(sc, b.lo, &v)) return si_scale(sc, a, v);
+  if (a.is_point() && lf_is_const(sc, a.lo, &v)) return si_scale(sc, b, v);
+  // non-affine product: numeric fallback
+  long alo = sc.lfs[a.lo].nlo, ahi = sc.lfs[a.hi].nhi;
+  long blo = sc.lfs[b.lo].nlo, bhi = sc.lfs[b.hi].nhi;
+  long c1 = alo * blo, c2 = alo * bhi, c3 = ahi * blo, c4 = ahi * bhi;
+  return si_range(sc, std::min(std::min(c1, c2), std::min(c3, c4)),
+                  std::max(std::max(c1, c2), std::max(c3, c4)));
+}
+
+inline SSI si_floordiv_const(SymCtx& sc, const SSI& a, long c) {
+  if (a.everything) return SSI::every();
+  if (c == 1) return a;
+  if (c > 0) {
+    return SSI{lf_floordiv(sc, a.lo, c), lf_floordiv(sc, a.hi, c), false};
+  }
+  long lo = sc.lfs[a.lo].nlo, hi = sc.lfs[a.hi].nhi;
+  long q1 = sfdiv(lo, c), q2 = sfdiv(hi, c);
+  return si_range(sc, std::min(q1, q2), std::max(q1, q2));
+}
+
+inline SSI si_floormod_const(SymCtx& sc, const SSI& a, long c) {
+  if (c <= 0) {
+    long m = c == 0 ? 1 : -c;
+    return si_range(sc, -(m - 1), m - 1);
+  }
+  if (a.everything) return si_range(sc, 0, c - 1);
+  if (a.is_point()) return si_point(lf_floormod(sc, a.lo, c));
+  int q1 = lf_floordiv(sc, a.lo, c);
+  int q2 = lf_floordiv(sc, a.hi, c);
+  if (q1 == q2) {
+    int qc = lf_scale(sc, q1, c);
+    return SSI{lf_sub(sc, a.lo, qc), lf_sub(sc, a.hi, qc), false};
+  }
+  return si_range(sc, 0, c - 1);
+}
+
+inline SSI si_floordiv(SymCtx& sc, const SSI& a, const SSI& b) {
+  long v;
+  if (b.is_point() && lf_is_const(sc, b.lo, &v) && v != 0) {
+    return si_floordiv_const(sc, a, v);
+  }
+  return SSI::every();
+}
+
+inline SSI si_floormod(SymCtx& sc, const SSI& a, const SSI& b) {
+  long v;
+  if (b.is_point() && lf_is_const(sc, b.lo, &v) && v != 0) {
+    return si_floormod_const(sc, a, v);
+  }
+  return SSI::every();
+}
+
+inline SSI si_min(SymCtx& sc, const SSI& a, const SSI& b) {
+  if (a.everything || b.everything) return SSI::every();
+  return SSI{lf_min(sc, a.lo, b.lo), lf_min(sc, a.hi, b.hi), false};
+}
+
+inline SSI si_max(SymCtx& sc, const SSI& a, const SSI& b) {
+  if (a.everything || b.everything) return SSI::every();
+  return SSI{lf_max(sc, a.lo, b.lo), lf_max(sc, a.hi, b.hi), false};
+}
+
+inline SSI si_union(SymCtx& sc, const SSI& a, const SSI& b) {
+  if (a.everything || b.everything) return SSI::every();
+  return SSI{lf_min(sc, a.lo, b.lo), lf_max(sc, a.hi, b.hi), false};
+}
+
+// substitution / relaxation: env maps var_key -> numeric [lo, hi]
+using RelaxEnv = std::unordered_map<long, std::pair<long, long>>;
+
+inline SSI lf_subst(SymCtx& sc, int f, const RelaxEnv& env);
+
+inline SSI atom_subst(SymCtx& sc, int atom_id, const RelaxEnv& env) {
+  const SAtom a = sc.atoms[atom_id];  // by value: sc may grow
+  switch (a.kind) {
+    case 0: {
+      auto it = env.find(a.var_key);
+      if (it != env.end()) {
+        return si_range(sc, it->second.first, it->second.second);
+      }
+      int lf = sc.lf_atom(atom_id);
+      return si_point(lf);
+    }
+    case 1:
+      return si_floordiv_const(sc, lf_subst(sc, a.f1, env), a.c);
+    case 2:
+      return si_floormod_const(sc, lf_subst(sc, a.f1, env), a.c);
+    case 3:
+      return si_min(sc, lf_subst(sc, a.f1, env), lf_subst(sc, a.f2, env));
+    default:
+      return si_max(sc, lf_subst(sc, a.f1, env), lf_subst(sc, a.f2, env));
+  }
+}
+
+inline SSI lf_subst(SymCtx& sc, int f, const RelaxEnv& env) {
+  const SLF lf = sc.lfs[f];  // by value: sc may grow
+  SSI out = si_const(sc, lf.cst);
+  for (auto& t : lf.terms) {
+    SSI si = atom_subst(sc, t.first, env);
+    out = si_add(sc, out, si_scale(sc, si, t.second));
+  }
+  return out;
+}
+
+inline SSI si_subst(SymCtx& sc, const SSI& s, const RelaxEnv& env) {
+  if (s.everything) return s;
+  return SSI{lf_subst(sc, s.lo, env).lo, lf_subst(sc, s.hi, env).hi, false};
+}
+
+// read evaluator: union the demanded region of every read of `target_op`
+// inside `reader_op`'s body under `env` (one SSI per reader dim, spatial
+// then reduce) into `acc` (per target dim). `clip` applies te's
+// PropBoundToInputs pairs-rule shape clipping. `found` reports whether any
+// read of the target exists. Returns false only on evaluation failure.
+using SymReadEval = std::function<bool(
+    SymCtx&, int /*reader_op*/, int /*target_op*/,
+    const std::vector<SSI>& /*env*/, bool /*clip*/,
+    std::vector<SSI>& /*acc*/, bool& /*found*/)>;
+
+// te PropBoundToInputs: replace with the full dim range only when the
+// estimated region provably covers it on both ends (compute_op.cc)
+inline SSI clip_read(SymCtx& sc, const SSI& si, long shape_d) {
+  long top = std::max(0L, shape_d - 1);
+  if (si.everything) return si_range(sc, 0, top);
+  if (sc.lfs[si.lo].nhi <= 0 && sc.lfs[si.hi].nlo >= shape_d - 1) {
+    return si_range(sc, 0, top);
+  }
+  return si;
+}
+
+// affine-table read evaluator (the extent featurizer path; the per-store
+// featurizer passes a full-expression evaluator instead)
+inline bool affine_read_eval(const State& st, SymCtx& sc, int reader_op,
+                             int target_op, const std::vector<SSI>& env,
+                             bool clip, std::vector<SSI>& acc,
+                             bool& found) {
+  const OpDesc& op = st.ops[reader_op];
+  const OpDesc& src = st.ops[target_op];
+  for (auto& rd : op.reads) {
+    if (rd.src_op != target_op) continue;
+    found = true;
+    for (size_t d = 0; d < rd.idx.size(); ++d) {
+      SSI si = si_const(sc, rd.idx[d].cst);
+      for (auto& t : rd.idx[d].terms) {
+        if (t.first < 0 || t.first >= static_cast<int>(env.size())) {
+          return false;
+        }
+        si = si_add(sc, si, si_scale(sc, env[t.first], t.second));
+      }
+      if (clip && d < src.dims.size()) si = clip_read(sc, si, src.dims[d]);
+      if (d < acc.size()) {
+        acc[d] = acc[d].lo < 0 && !acc[d].everything
+                     ? si
+                     : si_union(sc, acc[d], si);
+      }
+    }
+  }
+  return true;
+}
 
 
 // ---------------------------------------------------------------------
@@ -1003,12 +1305,21 @@ inline bool decode_steps(const int32_t* toks, int64_t begin, int64_t end,
         if (!str_ids.empty()) {
           const char* sc = pool + str_offs[str_ids[0]];
           s.scope_is_shared = strcmp(sc, "shared") == 0;
+          s.scope = s.scope_is_shared
+                        ? 1
+                        : (strcmp(sc, "local") == 0 ? 3 : 0);
         }
         break;
       }
       case S_CHW:  // [stage, "scope"]
         if (!need(1)) return false;
         s.stage_id = args[0];
+        if (!str_ids.empty()) {
+          const char* sc = pool + str_offs[str_ids[0]];
+          s.scope = strcmp(sc, "shared") == 0
+                        ? 1
+                        : (strcmp(sc, "local") == 0 ? 3 : 0);
+        }
         break;
       case S_RF:
         if (!need(1)) return false;
@@ -1032,31 +1343,53 @@ struct InferResult {
   bool ok = false;
 };
 
-inline InferResult infer_bounds(State& st,
-                                ReadEvalHook read_hook = nullptr) {
-  InferResult out;
-  int max_uid = st.uid;
-  InferCtx ctx;
-  ctx.st = &st;
-  ctx.read_hook = std::move(read_hook);
-  ctx.max_uid = max_uid;
-  ctx.sb.resize(st.stages.size());
-  ctx.full.assign(st.stages.size(), {});
-  ctx.relaxed.assign(st.stages.size(), {});
-  ctx.demand.assign(st.ops.size(), {});
-  for (size_t i = 0; i < st.stages.size(); ++i) {
-    ctx.sb[i].build(st, st.stages[i], max_uid);
+// thread ranks (thread_storage_scope.h): blockIdx 0, threadIdx/vthread 1
+inline int thread_rank(int ann) {
+  switch (ann) {
+    case ANN_BLOCK_X:
+    case ANN_BLOCK_Y:
+    case ANN_BLOCK_Z:
+      return 0;
+    case ANN_VTHREAD:
+    case ANN_THREAD_X:
+    case ANN_THREAD_Y:
+    case ANN_THREAD_Z:
+      return 1;
+    default:
+      return -1;
   }
+}
 
-  out.attached.resize(st.stages.size());
-  for (size_t s = 0; s < st.stages.size(); ++s) {
+// bound.cc:54-68 NeedRelax
+inline bool need_relax(int ann, bool found_attach, int scope_rank) {
+  int r = thread_rank(ann);
+  if (r < 0) return !found_attach;
+  return scope_rank <= r;
+}
+
+// Faithful mirror of ir/bound.py infer_bound (te::InferBound semantics:
+// symbolic pinned points, PassUpDomain with range mins, NeedRelax by
+// storage scope, pairs-rule read clipping). `read_eval` defaults to the
+// affine tables; the per-store featurizer passes its full-expression
+// evaluator.
+inline InferResult infer_bounds(
+    State& st, SymReadEval read_eval = nullptr,
+    std::function<std::vector<int>(int)> list_reads = nullptr) {
+  InferResult out;
+  const int max_uid = st.uid;
+  const int n = static_cast<int>(st.stages.size());
+  SymCtx sc;
+  bool fail = false;
+
+  std::vector<StageBounds> sb(n);
+  for (int i = 0; i < n; ++i) sb[i].build(st, st.stages[i], max_uid);
+
+  out.attached.resize(n);
+  for (int s = 0; s < n; ++s) {
     if (st.attach_tgt[s] >= 0) {
-      out.attached[st.attach_tgt[s]].emplace_back(st.attach_pos[s],
-                                                  static_cast<int>(s));
+      out.attached[st.attach_tgt[s]].emplace_back(st.attach_pos[s], s);
     }
   }
-  // per position, attached stages in CA application order (python
-  // AttachMap append order)
   for (auto& v : out.attached) {
     std::stable_sort(v.begin(), v.end(), [&](auto& a, auto& b) {
       if (a.first != b.first) return a.first < b.first;
@@ -1064,61 +1397,396 @@ inline InferResult infer_bounds(State& st,
     });
   }
 
-  auto roots_from_demand = [&](const Stage& a_stage) {
-    std::vector<long> roots(max_uid, -1);
-    const std::vector<Interval>& dem = ctx.demand[a_stage.op];
-    for (size_t i = 0; i < a_stage.roots.size(); ++i) {
-      long fullext = a_stage.roots[i].second;
-      if (!a_stage.root_is_reduce[i] && i < dem.size() &&
-          dem[i].hi >= dem[i].lo) {
-        roots[a_stage.roots[i].first] =
-            std::min(dem[i].hi - dem[i].lo + 1, fullext);
-      } else {
-        roots[a_stage.roots[i].first] = fullext;
+  if (!read_eval) {
+    read_eval = [&st](SymCtx& sc2, int reader_op, int target_op,
+                      const std::vector<SSI>& env, bool clip,
+                      std::vector<SSI>& acc, bool& found) {
+      return affine_read_eval(st, sc2, reader_op, target_op, env, clip,
+                              acc, found);
+    };
+  }
+
+  // direct readers: op -> reader stage ids
+  std::vector<std::vector<int>> readers(st.ops.size());
+  std::vector<int> sid_of_op(st.ops.size(), -1);
+  for (int sid = 0; sid < n; ++sid) {
+    sid_of_op[st.stages[sid].op] = sid;
+  }
+  for (int sid = 0; sid < n; ++sid) {
+    int op_id = st.stages[sid].op;
+    const OpDesc& op = st.ops[op_id];
+    if (op.kind == 0) continue;
+    std::vector<int> srcs;
+    if (list_reads) {
+      srcs = list_reads(op_id);
+    } else {
+      for (auto& rd : op.reads) {
+        if (std::find(srcs.begin(), srcs.end(), rd.src_op) == srcs.end()) {
+          srcs.push_back(rd.src_op);
+        }
       }
     }
-    return roots;
+    for (int src : srcs) {
+      if (src >= 0 && src < static_cast<int>(readers.size())) {
+        readers[src].push_back(sid);
+      }
+    }
+  }
+
+  // attach path: (stage, pos) pairs enclosing `sid`'s body
+  auto attach_path = [&](int sid) {
+    std::vector<std::pair<int, int>> path;
+    int cur = sid;
+    int guard = 0;
+    while (st.attach_tgt[cur] >= 0 && guard++ < n + 1) {
+      int tsid = st.attach_tgt[cur];
+      int tpos = st.attach_pos[cur];
+      for (int p = tpos; p >= 0; --p) path.emplace_back(tsid, p);
+      cur = tsid;
+    }
+    return path;
   };
 
-  std::function<void(int, std::vector<long>&, std::vector<long>&)> process =
-      [&](int sid, std::vector<long>& root_ext,
-          std::vector<long>& relaxed_root_ext) {
-        Stage& stage = st.stages[sid];
-        std::vector<long> ext(max_uid, -1), rext(max_uid, -1);
-        for (auto& kv : stage.roots) {
-          ext[kv.first] = root_ext[kv.first] >= 0 ? root_ext[kv.first]
-                                                  : kv.second;
-          rext[kv.first] =
-              relaxed_root_ext[kv.first] >= 0 ? relaxed_root_ext[kv.first]
-                                              : kv.second;
-        }
-        ctx.sb[sid].pass_down(stage, ext);
-        ctx.sb[sid].pass_down(stage, rext);
-        ctx.full[sid] = ext;
-        ctx.relaxed[sid] = rext;
-        for (auto& it : stage.iters) {
-          long e = ext[it.uid];
-          it.extent = e >= 0 ? e : (it.extent >= 0 ? it.extent : 1);
-        }
-        for (auto& pa : out.attached[sid]) {
-          int pos = pa.first, a_sid = pa.second;
-          Stage& a_stage = st.stages[a_sid];
-          ctx.demanded_region(sid, pos, a_stage.is_shared);
-          std::vector<long> roots = roots_from_demand(a_stage);
-          ctx.demanded_region(sid, pos, true);
-          std::vector<long> r_roots = roots_from_demand(a_stage);
-          process(a_sid, roots, r_roots);
-        }
-      };
+  // storage scope rank (InferStorageScope + DefaultStorageRank)
+  auto scope_rank_of = [&](int sid) -> int {
+    const Stage& s = st.stages[sid];
+    if (s.scope >= 0) return s.scope;
+    if (s.is_shared) return 1;
+    int max_rank = -1;
+    for (auto& tp : attach_path(sid)) {
+      const Stage& ts = st.stages[tp.first];
+      if (tp.second < static_cast<int>(ts.iters.size())) {
+        max_rank = std::max(max_rank,
+                            thread_rank(ts.iters[tp.second].annotation));
+      }
+    }
+    if (max_rank < 0) return 0;
+    return max_rank == 0 ? 1 : 3;
+  };
 
-  for (size_t sid = 0; sid < st.stages.size(); ++sid) {
+  // per stage: uid -> extent (incl. intermediates); root uid -> min LF
+  std::vector<std::vector<long>> full_ext(n);
+  std::vector<std::unordered_map<int, int>> root_min(n);
+
+  auto leaf_var_key = [](int sid, int uid) -> long {
+    return static_cast<long>(sid) * 1000003L + uid;
+  };
+  auto leaf_atom = [&](int sid, const Iter& it) -> int {
+    long e = it.extent >= 0 ? it.extent : 1;
+    return sc.var_atom(leaf_var_key(sid, it.uid), 0, std::max(0L, e - 1));
+  };
+
+  // consumer_env cache: per (consumer sid, scope, attach key)
+  struct EnvKey {
+    int c_sid, scope, atgt, apos;
+    bool operator==(const EnvKey& o) const {
+      return c_sid == o.c_sid && scope == o.scope && atgt == o.atgt &&
+             apos == o.apos;
+    }
+  };
+  struct EnvKeyHash {
+    size_t operator()(const EnvKey& k) const {
+      return ((size_t)k.c_sid * 131071) ^ ((size_t)k.scope * 8191) ^
+             ((size_t)(k.atgt + 1) * 127) ^ (size_t)(k.apos + 1);
+    }
+  };
+  std::unordered_map<EnvKey, std::vector<SSI>, EnvKeyHash> env_cache;
+
+  // dom_map for a consumer's root dims relative to a producer with the
+  // given scope attached at (atgt, apos); bound.cc InferRootBound
+  auto consumer_env = [&](int c_sid, int scope, int atgt,
+                          int apos) -> const std::vector<SSI>& {
+    EnvKey key{c_sid, scope, atgt, apos};
+    auto hit = env_cache.find(key);
+    if (hit != env_cache.end()) return hit->second;
+
+    const Stage& C = st.stages[c_sid];
+    int attach_uid = -1;
+    if (atgt >= 0 &&
+        apos < static_cast<int>(st.stages[atgt].iters.size())) {
+      attach_uid = st.stages[atgt].iters[apos].uid;
+    }
+
+    bool found = false;
+    std::vector<SSI> up(max_uid);
+    std::vector<char> has(max_uid, 0), is_leaf(max_uid, 0);
+    // consumer nest (bound.cc:139-158)
+    for (int i = static_cast<int>(C.iters.size()) - 1; i >= 0; --i) {
+      const Iter& it = C.iters[i];
+      if (attach_uid >= 0 && it.uid == attach_uid) found = true;
+      long e = it.extent >= 0 ? it.extent : 1;
+      is_leaf[it.uid] = 1;
+      has[it.uid] = 1;
+      if (e == 1) {
+        up[it.uid] = si_const(sc, 0);
+      } else if (!need_relax(it.annotation, found, scope)) {
+        up[it.uid] = si_point(sc.lf_atom(leaf_atom(c_sid, it)));
+      } else {
+        up[it.uid] = si_range(sc, 0, e - 1);
+      }
+    }
+
+    // consumer's attach nest -> relax_set (bound.cc:160-171)
+    RelaxEnv relax_env;
+    for (auto& tp : attach_path(c_sid)) {
+      const Stage& ts = st.stages[tp.first];
+      if (tp.second >= static_cast<int>(ts.iters.size())) continue;
+      const Iter& iv = ts.iters[tp.second];
+      if (attach_uid >= 0 && iv.uid == attach_uid) found = true;
+      if (need_relax(iv.annotation, found, scope)) {
+        long e = iv.extent >= 0 ? iv.extent : 1;
+        relax_env[leaf_var_key(tp.first, iv.uid)] = {0, std::max(0L, e - 1)};
+      }
+    }
+
+    // PassUpDomain (message_passing.cc:280-341)
+    const std::vector<long>& dom_ext = full_ext[c_sid];
+    auto dext = [&](int uid) -> long {
+      return uid >= 0 && uid < static_cast<int>(dom_ext.size())
+                 ? dom_ext[uid]
+                 : -1;
+    };
+    auto dmin = [&](int uid) -> int {
+      auto it2 = root_min[c_sid].find(uid);
+      return it2 != root_min[c_sid].end() ? it2->second : sc.zero;
+    };
+    auto match_range = [&](const SSI& s, int mn, long ext) -> bool {
+      if (ext < 0 || s.everything) return false;
+      return s.lo == mn && s.hi == lf_addc(sc, mn, ext - 1);
+    };
+    auto from_range = [&](int mn, long ext) -> SSI {
+      return SSI{mn, lf_addc(sc, mn, ext - 1), false};
+    };
+
+    for (auto r = C.rels.rbegin(); r != C.rels.rend(); ++r) {
+      if (r->kind == 0) {  // split
+        if (!has[r->outer] || !has[r->inner]) continue;
+        const SSI& o = up[r->outer];
+        const SSI& i = up[r->inner];
+        long oe = dext(r->outer), ie = dext(r->inner), pe = dext(r->parent);
+        int pmin = dmin(r->parent);
+        if (pe >= 0 && match_range(o, sc.zero, oe) &&
+            match_range(i, sc.zero, ie)) {
+          up[r->parent] = from_range(pmin, pe);
+        } else {
+          long fac = ie >= 0 ? ie : (r->factor >= 0 ? r->factor : 1);
+          up[r->parent] =
+              si_addf(sc, si_add(sc, si_scale(sc, o, fac), i), pmin);
+        }
+        has[r->parent] = 1;
+      } else {  // fuse
+        if (!has[r->fused]) continue;
+        const SSI f = up[r->fused];
+        long fe_dom = dext(r->fused);
+        int omin = dmin(r->outer);
+        long oe = dext(r->outer);
+        if (r->inner < 0) {
+          // single-iter fuse: pure renaming (te Rebase semantics)
+          if (match_range(f, sc.zero, fe_dom)) {
+            up[r->outer] = from_range(omin, oe >= 0 ? oe : fe_dom);
+          } else {
+            up[r->outer] = si_addf(sc, f, omin);
+          }
+          has[r->outer] = 1;
+          continue;
+        }
+        int imin = dmin(r->inner);
+        long ie = dext(r->inner);
+        if (ie < 0) ie = 1;
+        if (oe >= 0 && match_range(f, sc.zero, fe_dom)) {
+          up[r->outer] = from_range(omin, oe);
+          up[r->inner] = from_range(imin, ie);
+        } else if (f.is_point()) {
+          up[r->outer] = si_point(lf_add(sc, lf_floordiv(sc, f.lo, ie),
+                                         omin));
+          up[r->inner] = si_point(lf_add(sc, lf_floormod(sc, f.lo, ie),
+                                         imin));
+        } else {
+          up[r->outer] =
+              SSI{lf_add(sc, omin, lf_floordiv(sc, f.lo, ie)),
+                  lf_add(sc, omin, lf_floordiv(sc, f.hi, ie)), false};
+          int fe_form = lf_addc(sc, lf_sub(sc, f.hi, f.lo), 1);
+          long fe;
+          bool tight = lf_is_const(sc, fe_form, &fe) && fe > 0 &&
+                       ie % fe == 0;
+          if (tight) {
+            long mlo;
+            tight = lf_is_const(sc, lf_floormod(sc, f.lo, fe), &mlo) &&
+                    mlo == 0;
+          }
+          if (tight) {
+            up[r->inner] =
+                SSI{lf_add(sc, imin, lf_floormod(sc, f.lo, ie)),
+                    lf_add(sc, imin, lf_floormod(sc, f.hi, ie)), false};
+          } else {
+            up[r->inner] = from_range(imin, ie);
+          }
+        }
+        has[r->outer] = 1;
+        has[r->inner] = 1;
+      }
+    }
+
+    // root doms: CoverRange + relax (bound.cc:178-196); env indexed by
+    // the op's dim order (spatial then reduce, matching AffineIdx refs)
+    std::vector<SSI> env(C.roots.size());
+    for (size_t i = 0; i < C.roots.size(); ++i) {
+      int uid = C.roots[i].first;
+      SSI s;
+      if (uid < max_uid && has[uid]) {
+        s = up[uid];
+        if (is_leaf[uid]) {
+          int mn = dmin(uid);
+          if (mn != sc.zero) s = si_addf(sc, s, mn);
+        }
+      } else {
+        long e = dext(uid);
+        s = from_range(dmin(uid), e >= 0 ? e : C.roots[i].second);
+      }
+      if (!relax_env.empty() && !s.everything) {
+        s = si_subst(sc, s, relax_env);
+      }
+      env[i] = s;
+    }
+    auto ins = env_cache.emplace(key, std::move(env));
+    return ins.first->second;
+  };
+
+  // consumers of an op with inlined chains (consumer sid, chain of
+  // inlined ops ordered consumer->producer)
+  auto consumers_of = [&](int op_uid) {
+    std::vector<std::pair<int, std::vector<int>>> outc;
+    std::function<void(int, std::vector<int>&)> walk = [&](int uid,
+                                                           std::vector<int>&
+                                                               chain) {
+      if (uid < 0 || uid >= static_cast<int>(readers.size())) return;
+      for (int r_sid : readers[uid]) {
+        const Stage& rs = st.stages[r_sid];
+        if (rs.compute_at == AT_INLINED) {
+          if (static_cast<int>(chain.size()) > n) continue;  // cycle guard
+          chain.insert(chain.begin(), rs.op);
+          walk(rs.op, chain);
+          chain.erase(chain.begin());
+        } else {
+          outc.emplace_back(r_sid, chain);
+        }
+      }
+    };
+    std::vector<int> chain;
+    walk(op_uid, chain);
+    return outc;
+  };
+
+  // demanded region of `target_op` read by consumer c_sid through a chain
+  // of inlined ops; returns false if the consumer never reaches it
+  auto eval_chain = [&](int c_sid, const std::vector<SSI>& env0,
+                        const std::vector<int>& chain, int target_op,
+                        std::vector<SSI>& result) -> bool {
+    int cur_op = st.stages[c_sid].op;
+    std::vector<SSI> env = env0;
+    std::vector<int> ops(chain);
+    ops.push_back(target_op);
+    for (size_t ci = 0; ci < ops.size(); ++ci) {
+      int nxt = ops[ci];
+      const OpDesc& nop = st.ops[nxt];
+      size_t nd = nop.dims.size();
+      bool is_target = (ci + 1 == ops.size());
+      std::vector<SSI> acc(nd);  // lo=-1 marks unset
+      bool found = false;
+      if (!read_eval(sc, cur_op, nxt, env, is_target, acc, found)) {
+        fail = true;
+        return false;
+      }
+      if (!found) return false;
+      for (auto& a : acc) {
+        if (a.lo < 0 && !a.everything) return false;  // partial read info
+      }
+      if (is_target) {
+        result = std::move(acc);
+        return true;
+      }
+      // intermediate inlined op: dims take the demanded region, reduce
+      // axes span fully
+      env.assign(nd + nop.reduce.size(), SSI());
+      for (size_t d = 0; d < nd; ++d) env[d] = acc[d];
+      for (size_t d = 0; d < nop.reduce.size(); ++d) {
+        env[nd + d] = si_range(sc, 0, nop.reduce[d] - 1);
+      }
+      cur_op = nxt;
+    }
+    return false;
+  };
+
+  // ---- main reversed stage loop (bound.cc:216-232) ----
+  for (int sid = n - 1; sid >= 0; --sid) {
     Stage& stage = st.stages[sid];
-    if (st.ops[stage.op].kind == 0 || stage.compute_at != AT_ROOT) continue;
+    const OpDesc& op = st.ops[stage.op];
+    if (op.kind == 0 || stage.compute_at == AT_INLINED) continue;
+
     std::vector<long> roots(max_uid, -1);
-    std::vector<long> roots2(max_uid, -1);
-    process(static_cast<int>(sid), roots, roots2);
+    auto full_roots = [&]() {
+      for (auto& kv : stage.roots) roots[kv.first] = kv.second;
+    };
+
+    auto cons = consumers_of(stage.op);
+    if (cons.empty()) {
+      full_roots();
+    } else {
+      int atgt = st.attach_tgt[sid], apos = st.attach_pos[sid];
+      int srank = scope_rank_of(sid);
+      size_t ndim = op.dims.size();
+      std::vector<SSI> tdom(ndim);  // lo=-1 marks unset
+      bool any = false;
+      for (auto& cc : cons) {
+        const std::vector<SSI>& env =
+            consumer_env(cc.first, srank, atgt, apos);
+        std::vector<SSI> dem;
+        if (!eval_chain(cc.first, env, cc.second, stage.op, dem)) {
+          continue;
+        }
+        any = true;
+        for (size_t d = 0; d < ndim && d < dem.size(); ++d) {
+          tdom[d] = (tdom[d].lo < 0 && !tdom[d].everything)
+                        ? dem[d]
+                        : si_union(sc, tdom[d], dem[d]);
+        }
+      }
+      full_roots();
+      if (any) {
+        // GatherBound: spatial dims from the union, reduce dims full
+        for (size_t i = 0; i < stage.roots.size(); ++i) {
+          if (stage.root_is_reduce[i] || i >= ndim) continue;
+          const SSI& u = tdom[i];
+          if ((u.lo < 0 && !u.everything) || u.everything) continue;
+          const SLF& lo = sc.lfs[u.lo];
+          const SLF& hi = sc.lfs[u.hi];
+          if (lo.nlo <= -SYM_INF || hi.nhi >= SYM_INF) continue;
+          int ext_form = lf_addc(sc, lf_sub(sc, u.hi, u.lo), 1);
+          long ec;
+          if (!lf_is_const(sc, ext_form, &ec)) {
+            ec = sc.lfs[ext_form].nhi;  // numeric upper bound
+          }
+          roots[stage.roots[i].first] = std::max(1L, ec);
+          if (u.lo != sc.zero) {
+            root_min[sid][stage.roots[i].first] = u.lo;
+          }
+        }
+      }
+    }
+
+    std::vector<long> ext(max_uid, -1);
+    for (auto& kv : stage.roots) {
+      ext[kv.first] = roots[kv.first] >= 0 ? roots[kv.first] : kv.second;
+    }
+    sb[sid].pass_down(stage, ext);
+    full_ext[sid] = ext;
+    for (auto& it : stage.iters) {
+      long e = ext[it.uid];
+      it.extent = e >= 0 ? e : (it.extent >= 0 ? it.extent : 1);
+    }
   }
-  out.ok = !ctx.fail;
+
+  out.ok = !fail;
   return out;
 }
 

@@ -28,7 +28,11 @@ def check_record(rec, verbose=False):
             if it.range is not None:
                 got = it.range[1]
             else:
-                bound = dag.infer_bound(st)
+                # the reference recorded split extents under InferBound
+                # snapshots taken before thread binding existed (see
+                # ir/bound.py infer_bound docstring), so the oracle
+                # replays with thread relaxation off
+                bound = dag.infer_bound(st, relax_threads=False)
                 got = bound.stages[step.stage_id].iters[step.iter_id].range[1]
             results.append(
                 (step.extent, got,

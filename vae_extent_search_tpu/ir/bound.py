@@ -2,23 +2,37 @@
 
 Fills in every iterator's ``(min, extent)`` range, the equivalent of the
 reference's ComputeDAG::InferBound (compute_dag.cc:1302) which re-lowers the
-state through te::Schedule and te::InferBound. We instead propagate ranges
-directly on the loop-state IR:
+state through te::Schedule and te::InferBound. This is a faithful
+reimplementation of te's algorithm (src/te/schedule/bound.cc) on our
+loop-state IR:
 
-1. Root-scope stages get their full original extents; extents pass down the
-   per-stage split/fuse relation log with te's PassDownDomain math
-   (message_passing.cc:109-143: split inner = min(parent, factor) unless a
-   thread binding dominates, outer = ceil(parent / factor); fuse = product).
-2. A stage attached via compute_at gets *demanded* root extents: the region
-   of its output read by the attach target (through any inlined ops in
-   between), computed by interval arithmetic over access index expressions
-   with the target's loop vars inside the attach point spanning their full
-   ranges and outer vars pinned.
-3. Reduction dims always demand their full extent.
+- Stages are processed output-to-input (InferBound's reversed stage loop,
+  bound.cc:216-232). Each stage's root ranges come from the union of its
+  consumers' demanded regions (InferRootBound + GatherBound); derived
+  iterator extents then pass down the split/fuse relation log
+  (PassDownDomain, message_passing.cc:109-143).
+- For a producer attached via compute_at, the consumer's loops outside the
+  attach point are pinned to *symbolic* points (up_state[iv] =
+  SinglePoint(iv->var), bound.cc:150-156) and composed up through the
+  consumer's relations with inferred range mins added back (PassUpDomain,
+  message_passing.cc:280-341), so inferred root ranges carry symbolic mins
+  whose common offsets cancel in extents.
+- Thread-bound loops relax over their full ranges depending on the
+  producer's storage scope (NeedRelax, bound.cc:54-68: shared relaxes
+  vthread/threadIdx.*, local relaxes nothing, global relaxes everything);
+  vars on the consumer's attach path relax by substitution into the
+  symbolic range mins (bound.cc:160-171, 178-196).
+- Demanded regions are the symbolic evaluation of the consumer's read
+  index expressions (ComputeOpNode::PropBoundToInputs), clipped to the
+  tensor shape only when the shape is provably tighter on *both* ends
+  (compute_op.cc "update bound's ends in pairs" rule).
+- Storage scope comes from the cache stage name (.shared / .local);
+  scope-less compute_at stages default by the max thread rank on their
+  attach path (InferStorageScope, bound.cc:72-86 + DefaultStorageRank).
 
-This is an approximation of te::InferBound's IntSet machinery that is exact
-for the loop structures Ansor generates (multi-level tiling + fusion +
-cache stages + rfactor).
+Inlined stages are chained through (the reference inline-substitutes their
+bodies before bound inference, schedule_dataflow_rewrite.cc InjectInline;
+we compose their read regions instead, exact for affine indices).
 """
 
 from __future__ import annotations
@@ -26,29 +40,65 @@ from __future__ import annotations
 from typing import Dict, List, Optional, Tuple
 
 from . import expr as E
+from .intset import (
+    LF,
+    SI,
+    VarAtom,
+    si_addf,
+    si_add,
+    si_scale,
+    si_union,
+    lf_floordiv,
+    lf_floormod,
+    sym_eval,
+)
 from .state import (
     AT_INLINED,
-    AT_ITER,
     AT_ROOT,
-    KIND_REDUCTION,
     THREAD_ANNOTATIONS,
-    Iterator,
     Stage,
     State,
 )
-from .tensor import ComputeOp, IterDim, PlaceholderOp
+from .tensor import ComputeOp, PlaceholderOp
 
 
 def _ceil_div(a: int, b: int) -> int:
     return -(-a // b)
 
 
+_LF0 = LF(0)
+
+# thread ranks (runtime/thread_storage_scope.h ThreadScope::Create):
+# blockIdx.* -> 0, threadIdx.* -> 1, vthread -> 1
+_THREAD_RANK = {4: 1, 5: 0, 6: 1, 7: 0, 8: 1, 9: 0, 10: 1}
+
+# storage ranks: global 0, shared 1, local 3 (StorageRank enum)
+_SCOPE_GLOBAL, _SCOPE_SHARED, _SCOPE_LOCAL = 0, 1, 3
+
+# DefaultStorageRank: no threads -> global, blockIdx -> shared,
+# threadIdx/vthread -> local
+_DEFAULT_SCOPE = {-1: _SCOPE_GLOBAL, 0: _SCOPE_SHARED, 1: _SCOPE_LOCAL}
+
+
+def _need_relax(annotation: int, found_attach: bool, scope_rank: int,
+                threads: bool = True) -> bool:
+    """bound.cc:54-68 NeedRelax. ``threads=False`` treats thread-bound
+    loops as plain loops — the semantics of every InferBound snapshot the
+    reference's search actually recorded split extents under (thread
+    annotations are created only by InitThreadBind, *after* its one
+    InferBound call at the top, sketch_policy_rules.cc InitThreadBind)."""
+    r = _THREAD_RANK.get(annotation) if threads else None
+    if r is None:
+        return not found_attach
+    return scope_rank <= r
+
+
 class _StageBounds:
-    """Per-stage range propagation over the relation log."""
+    """Per-stage numeric range propagation over the relation log
+    (PassDownDomain, message_passing.cc:109-143)."""
 
     def __init__(self, stage: Stage):
         self.stage = stage
-        self.leaf_uids = [it.uid for it in stage.iters]
         self.leaf_ann = {it.uid: it.annotation for it in stage.iters}
         # thread domination (PassUpThreadBinding, message_passing.cc:56-86)
         self.dominates_thread: Dict[int, bool] = {
@@ -95,164 +145,291 @@ class _StageBounds:
                     ext[rel.fused] = ext[rel.outer] * ext[rel.inner]
         return ext
 
-    def pass_up_local(self, full: Dict[int, int],
-                      leaf_local: Dict[int, int]) -> Dict[int, int]:
-        """Propagate local (inside-attach-point) extents from leaves to
-        roots. ``full`` holds full extents for every uid (from pass_down
-        with original roots)."""
-        local = dict(leaf_local)
-        for rel in reversed(self.stage.relations):
+
+class _Ctx:
+    """Shared inference state across the stage loop."""
+
+    def __init__(self, out: State, relax_threads: bool = True):
+        self.out = out
+        self.relax_threads = relax_threads
+        self.sb = [_StageBounds(s) for s in out.stages]
+        # per stage: uid -> extent for every iterator incl. intermediates
+        self.full_ext: List[Dict[int, int]] = [dict() for _ in out.stages]
+        # per stage: root uid -> symbolic range min
+        self.root_min: List[Dict[int, LF]] = [dict() for _ in out.stages]
+        # leaf var atoms, keyed (sid, iter uid); also indexed by E.Var for
+        # sym_eval's free-var lookups
+        self._atoms: Dict[Tuple[int, int], VarAtom] = {}
+        self.var_atoms: Dict[E.Var, VarAtom] = {}
+        self._vars: Dict[Tuple[int, int], E.Var] = {}
+        self._env_cache: Dict[tuple, Dict[E.Var, SI]] = {}
+        # direct readers: op uid -> [sid]
+        self.readers: Dict[int, List[int]] = {}
+        for sid, s in enumerate(out.stages):
+            if isinstance(s.op, ComputeOp):
+                for t in s.op.input_tensors():
+                    self.readers.setdefault(t.op.uid, []).append(sid)
+        self.sid_of_op = {s.op.uid: sid for sid, s in enumerate(out.stages)}
+
+    def leaf_atom(self, sid: int, it) -> VarAtom:
+        key = (sid, it.uid)
+        a = self._atoms.get(key)
+        if a is None:
+            e = it.range[1] if it.range is not None else (it.extent or 1)
+            v = E.Var(f"s{sid}i{it.uid}")
+            a = VarAtom(v.name, 0, max(0, e - 1))
+            self._atoms[key] = a
+            self._vars[key] = v
+            self.var_atoms[v] = a
+        return a
+
+    # -- storage scope (bound.cc:72-86 InferStorageScope)
+    def scope_rank(self, sid: int) -> int:
+        name = self.out.stages[sid].op.name
+        if name.endswith(".shared"):
+            return _SCOPE_SHARED
+        if name.endswith(".local"):
+            return _SCOPE_LOCAL
+        max_rank = -1
+        for tsid, pos in self._attach_path(sid):
+            ann = self.out.stages[tsid].iters[pos].annotation
+            r = _THREAD_RANK.get(ann)
+            if r is not None and r > max_rank:
+                max_rank = r
+        return _DEFAULT_SCOPE[min(max_rank, 1)]
+
+    def _attach_path(self, sid: int):
+        """(stage, pos) pairs of all loops enclosing ``sid``'s body, from
+        the attach iter outward, recursively (graph.cc CreateAttachPath)."""
+        am = self.out.attach_map.stage_to_attach_iter
+        path = []
+        cur = sid
+        seen = set()
+        while cur in am and cur not in seen:
+            seen.add(cur)
+            tsid, tpos = am[cur]
+            for p in range(tpos, -1, -1):
+                path.append((tsid, p))
+            cur = tsid
+        return path
+
+    # -- the te InferRootBound consumer-nest machinery -----------------
+
+    def consumer_env(self, c_sid: int, scope_rank: int,
+                     attach: Optional[Tuple[int, int]]) -> Dict[E.Var, SI]:
+        """dom_map for consumer ``c_sid``'s root dim vars, relative to a
+        producer with the given scope attached at ``attach`` (bound.cc
+        InferRootBound's up_state + relax_set + PassUpDomain + relax)."""
+        key = (c_sid, scope_rank, attach)
+        env = self._env_cache.get(key)
+        if env is not None:
+            return env
+
+        out = self.out
+        C = out.stages[c_sid]
+        attach_uid = None
+        if attach is not None:
+            tsid, tpos = attach
+            attach_uid = out.stages[tsid].iters[tpos].uid
+
+        found = False
+        up: Dict[int, SI] = {}
+        leaf_uids = set()
+        # consumer nest (bound.cc:139-158)
+        for it in reversed(C.iters):
+            if attach_uid is not None and it.uid == attach_uid:
+                found = True
+            e = it.range[1] if it.range is not None else (it.extent or 1)
+            leaf_uids.add(it.uid)
+            if e == 1:
+                up[it.uid] = SI.const(0)
+            elif not _need_relax(it.annotation, found, scope_rank,
+                                 self.relax_threads):
+                up[it.uid] = SI.point(LF.atom(self.leaf_atom(c_sid, it)))
+            else:
+                up[it.uid] = SI.range(0, e - 1)
+
+        # consumer's attach nest -> relax_set (bound.cc:160-171)
+        relax_env: Dict[str, SI] = {}
+        for tsid2, p in self._attach_path(c_sid):
+            iv = out.stages[tsid2].iters[p]
+            if attach_uid is not None and iv.uid == attach_uid:
+                found = True
+            if _need_relax(iv.annotation, found, scope_rank,
+                           self.relax_threads):
+                e = iv.range[1] if iv.range is not None else (iv.extent or 1)
+                a = self.leaf_atom(tsid2, iv)
+                relax_env[a.name] = SI.range(0, max(0, e - 1))
+
+        # PassUpDomain (message_passing.cc:280-341)
+        dom_ext = self.full_ext[c_sid]
+        rmin = self.root_min[c_sid]
+
+        def dmin(uid: int) -> LF:
+            return rmin.get(uid, _LF0)
+
+        def match_range(s: SI, mn: LF, ext: Optional[int]) -> bool:
+            if ext is None or s.everything:
+                return False
+            return s.lo.equal(mn) and s.hi.equal(mn.addc(ext - 1))
+
+        def from_range(mn: LF, ext: int) -> SI:
+            return SI(mn, mn.addc(ext - 1))
+
+        for rel in reversed(C.relations):
             if rel.kind == "split":
-                o = local.get(rel.outer)
-                i = local.get(rel.inner)
+                o, i = up.get(rel.outer), up.get(rel.inner)
                 if o is None or i is None:
                     continue
-                p_full = full.get(rel.parent)
-                stride = full.get(rel.inner, rel.factor or 1)
-                p_local = (o - 1) * stride + i if o >= 1 else i
-                if p_full is not None:
-                    # full coverage of both children means full parent
-                    if o == full.get(rel.outer) and i == full.get(rel.inner):
-                        p_local = p_full
-                    p_local = min(p_local, p_full)
-                local[rel.parent] = p_local
-            else:  # fuse
-                fl = local.get(rel.fused)
-                if fl is None:
-                    continue
-                if rel.inner is None:
-                    local[rel.outer] = fl
-                    continue
-                f_full = full.get(rel.fused)
-                i_full = full.get(rel.inner, 1)
-                if f_full is not None and fl == f_full:
-                    local[rel.outer] = full.get(rel.outer, fl)
-                    local[rel.inner] = i_full
+                oe = dom_ext.get(rel.outer)
+                ie = dom_ext.get(rel.inner)
+                pe = dom_ext.get(rel.parent)
+                pmin = dmin(rel.parent)
+                if (pe is not None and match_range(o, _LF0, oe)
+                        and match_range(i, _LF0, ie)):
+                    up[rel.parent] = from_range(pmin, pe)
                 else:
-                    local[rel.inner] = min(fl, i_full) if i_full else fl
-                    local[rel.outer] = _ceil_div(fl, i_full) if i_full else 1
-        return local
+                    fac = ie if ie is not None else (rel.factor or 1)
+                    up[rel.parent] = si_addf(si_add(si_scale(o, fac), i), pmin)
+            else:  # fuse
+                f = up.get(rel.fused)
+                if f is None:
+                    continue
+                fe_dom = dom_ext.get(rel.fused)
+                omin = dmin(rel.outer)
+                oe = dom_ext.get(rel.outer)
+                if rel.inner is None:
+                    # single-iter fuse: pure renaming (te Rebase semantics)
+                    if match_range(f, _LF0, fe_dom):
+                        up[rel.outer] = from_range(omin, oe if oe is not None
+                                                   else fe_dom)
+                    else:
+                        up[rel.outer] = si_addf(f, omin)
+                    continue
+                imin = dmin(rel.inner)
+                ie = dom_ext.get(rel.inner)
+                if ie is None:
+                    ie = 1
+                if match_range(f, _LF0, fe_dom) and oe is not None:
+                    up[rel.outer] = from_range(omin, oe)
+                    up[rel.inner] = from_range(imin, ie)
+                elif f.is_point():
+                    v = f.lo
+                    up[rel.outer] = SI.point(lf_floordiv(v, ie).add(omin))
+                    up[rel.inner] = SI.point(lf_floormod(v, ie).add(imin))
+                else:
+                    up[rel.outer] = SI(omin.add(lf_floordiv(f.lo, ie)),
+                                       omin.add(lf_floordiv(f.hi, ie)))
+                    fe_form = f.hi.sub(f.lo).addc(1)
+                    fe = fe_form.is_const()
+                    tight = (fe is not None and fe > 0 and ie % fe == 0
+                             and lf_floormod(f.lo, fe).is_const() == 0)
+                    if tight:
+                        up[rel.inner] = SI(imin.add(lf_floormod(f.lo, ie)),
+                                           imin.add(lf_floormod(f.hi, ie)))
+                    else:
+                        up[rel.inner] = from_range(imin, ie)
+
+        # root doms: CoverRange + relax (bound.cc:178-196)
+        env = {}
+        for uid, dim in C.root_of.items():
+            s = up.get(uid)
+            if s is None:
+                e = dom_ext.get(uid, dim.extent)
+                s = from_range(dmin(uid), e)
+            elif uid in leaf_uids:
+                # root iv used directly as a leaf: loops iterate the
+                # inferred range [min, min+e) (rebase-free nests), so the
+                # local leaf set shifts by the root's symbolic min
+                mn = dmin(uid)
+                if mn is not _LF0:
+                    s = si_addf(s, mn)
+            if relax_env and not s.everything:
+                s = s.subst(relax_env)
+            env[dim.var] = s
+        self._env_cache[key] = env
+        return env
 
 
-def _root_extent_map(stage: Stage) -> Dict[int, int]:
-    return {uid: dim.extent for uid, dim in stage.root_of.items()}
+def _consumers_of(ctx: _Ctx, op_uid: int):
+    """(consumer sid, chain of inlined ComputeOps between consumer and the
+    producer, ordered consumer->producer). The reference inline-substitutes
+    bodies (InjectInline), making consumers direct; we record the chain."""
+    out = []
+    seen = set()
 
-
-_RELAXABLE_THREADS = frozenset(
-    {4, 6, 8, 10}  # vthread + threadIdx.x/y/z; blockIdx never relaxes.
-    # Known divergence (~5% of GPU shared-cache extents on the ci_log
-    # corpora — tools/check_extent_fidelity.py): te's InferRootBound
-    # (src/te/schedule/bound.cc:120-175) walks the consumer's leaf nest
-    # AND its whole attach path, pinning outer loops to SYMBOLIC points
-    # (up_state SinglePoint(iv->var)) and relaxing thread-tagged vars by
-    # storage-rank comparison (NeedRelax, bound.cc:54); the demanded
-    # region is then EvalSet over those symbolic expressions, so thread
-    # relaxation composes exactly through arbitrary attach chains and
-    # interacts with the symbolic range mins of demand-clipped stages.
-    # We propagate numeric intervals per attach level instead, which
-    # loses the cross-level offset structure for shared caches under a
-    # doubly-attached accumulator. A faithful fix needs a symbolic
-    # interval engine keyed on the attach-path variables (two numeric
-    # approximations were tried and both regressed aggregate fidelity —
-    # see the round-1 history).
-)
-
-
-def _demanded_region(state: State, consumer_id: int, attach_pos: int,
-                     bounds_cache: Dict[int, _StageBounds],
-                     full_extents: Dict[int, Dict[int, int]],
-                     relax_threads: bool = False):
-    """Intervals demanded of every tensor read inside the attach point of
-    ``consumer_id`` at iterator position ``attach_pos`` (inclusive scope:
-    loops strictly inside the attach iterator), propagated through inlined
-    stages. Returns {op_uid: [Interval per dim]}.
-
-    ``relax_threads``: thread-bound loops outside the attach point span
-    their full range instead of being pinned — te's NeedRelax semantics
-    for shared-scope producers (shared memory is block-cooperative, so a
-    shared cache must cover every thread's slice).
-    """
-    consumer = state.stages[consumer_id]
-    sb = bounds_cache[consumer_id]
-    # the consumer's inferred extent map (roots possibly demand-clipped)
-    full = full_extents[consumer_id]
-
-    # local leaf extents: loops at positions <= attach_pos are pinned
-    leaf_local = {}
-    for pos, it in enumerate(consumer.iters):
-        e = full.get(it.uid, it.extent or 1)
-        pinned = pos <= attach_pos
-        if pinned and relax_threads and it.annotation in _RELAXABLE_THREADS:
-            pinned = False
-        leaf_local[it.uid] = 1 if pinned else e
-    local = sb.pass_up_local(full, leaf_local)
-
-    # env: consumer's root dim vars -> local intervals
-    env = {}
-    for uid, dim in consumer.root_of.items():
-        le = local.get(uid, dim.extent)
-        env[dim.var] = E.Interval(0, max(0, le - 1))
-
-    demands: Dict[int, List[E.Interval]] = {}
-
-    def accumulate(op: ComputeOp, op_env):
-        for read in E.collect_reads(op.body):
-            t = read.tensor
-            ivs = []
-            for d, idx in enumerate(read.indices):
-                iv = E.eval_interval(idx, op_env)
-                lo = max(0, iv.lo)
-                hi = min(t.shape[d] - 1, iv.hi)
-                if hi < lo:
-                    lo, hi = 0, 0
-                ivs.append(E.Interval(lo, hi))
-            prev = demands.get(t.op.uid)
-            if prev is None:
-                demands[t.op.uid] = ivs
+    def walk(uid, chain):
+        for r_sid in ctx.readers.get(uid, ()):
+            st = ctx.out.stages[r_sid]
+            if st.compute_at == AT_INLINED:
+                key = (r_sid, uid)
+                if key in seen:
+                    continue
+                seen.add(key)
+                walk(st.op.uid, [st.op] + chain)
             else:
-                demands[t.op.uid] = [
-                    E.Interval(min(a.lo, b.lo), max(a.hi, b.hi))
-                    for a, b in zip(prev, ivs)
-                ]
+                out.append((r_sid, tuple(chain)))
 
-    if isinstance(consumer.op, ComputeOp):
-        accumulate(consumer.op, env)
-
-    # propagate through inlined stages (reverse stage order = consumers
-    # before producers within the DAG's topo order)
-    for sid in range(len(state.stages) - 1, -1, -1):
-        st_i = state.stages[sid]
-        if st_i.compute_at != AT_INLINED:
-            continue
-        if not isinstance(st_i.op, ComputeOp):
-            continue
-        dem = demands.get(st_i.op.uid)
-        if dem is None:
-            continue
-        op_env = {
-            dim.var: dem[d] for d, dim in enumerate(st_i.op.axes)
-        }
-        # reduce axes of an inlined op span fully (rare; inlined ops are
-        # elementwise in Ansor)
-        for rd in st_i.op.reduce_axes:
-            op_env[rd.var] = E.Interval(0, rd.extent - 1)
-        accumulate(st_i.op, op_env)
-
-    return demands
+    walk(op_uid, [])
+    return out
 
 
-def infer_bound(dag, state: State) -> State:
-    """Return a copy of ``state`` with every iterator range defined."""
+def _clip_read(si: SI, shape_d: int) -> SI:
+    """PropBoundToInputs shape clipping: replace with the tensor's full
+    range only when provably covering on both ends (compute_op.cc)."""
+    if si.everything:
+        return SI.range(0, max(0, shape_d - 1))
+    lo_n = si.lo.nbound()[1]   # max of the lower bound
+    hi_n = si.hi.nbound()[0]   # min of the upper bound
+    if lo_n <= 0 and hi_n >= shape_d - 1:
+        return SI.range(0, max(0, shape_d - 1))
+    return si
+
+
+def _eval_chain(ctx: _Ctx, c_sid: int, env: Dict[E.Var, SI],
+                chain, target_op) -> Optional[List[SI]]:
+    """Demanded region of ``target_op`` read by consumer ``c_sid`` through
+    a chain of inlined ops. Returns one SI per output dim (or None if the
+    consumer never reads it under this chain)."""
+    cur_op = ctx.out.stages[c_sid].op
+    ops = list(chain) + [target_op]
+    for nxt in ops:
+        nd = len(nxt.shape) if isinstance(nxt, PlaceholderOp) else len(nxt.axes)
+        per_dim: List[Optional[SI]] = [None] * nd
+        for read in cur_op.reads_of_uids({nxt.uid}):
+            for d, idx in enumerate(read.indices):
+                if d >= nd:
+                    break
+                si = sym_eval(idx, env, ctx.var_atoms)
+                per_dim[d] = si if per_dim[d] is None else si_union(per_dim[d], si)
+        if any(p is None for p in per_dim):
+            return None
+        if nxt is target_op:
+            shape = nxt.shape if isinstance(nxt, PlaceholderOp) else \
+                tuple(a.extent for a in nxt.axes)
+            return [_clip_read(p, shape[d]) for d, p in enumerate(per_dim)]
+        # intermediate inlined op: its dims take the demanded region,
+        # reduce axes span fully (inlined ops are elementwise in Ansor)
+        env = {ax.var: per_dim[d] for d, ax in enumerate(nxt.axes)}
+        for rd in nxt.reduce_axes:
+            env[rd.var] = SI.range(0, rd.extent - 1)
+        cur_op = nxt
+    return None
+
+
+def infer_bound(dag, state: State, relax_threads: bool = True) -> State:
+    """Return a copy of ``state`` with every iterator range defined.
+
+    ``relax_threads=False`` emulates the reference search's InferBound
+    snapshots taken before any thread binding exists (what the recorded
+    SplitStep extents reflect); the default is te's full semantics for
+    final states (what featurization and printing see)."""
     if not state.concrete:
         raise ValueError("only concrete states can be bound-inferred")
     out = state.copy()
     out.stages = [s.shallow_copy() for s in state.stages]
 
-    bounds_cache = {sid: _StageBounds(s) for sid, s in enumerate(out.stages)}
-    # inferred extent map (every uid incl. intermediates) per stage
-    full_extents: Dict[int, Dict[int, int]] = {}
-    # thread-relaxed variant, used for shared-scope cache demands
-    relaxed_extents: Dict[int, Dict[int, int]] = {}
+    ctx = _Ctx(out, relax_threads=relax_threads)
 
     def assign_ranges(sid: int, ext: Dict[int, int]):
         stage = out.stages[sid]
@@ -264,57 +441,59 @@ def infer_bound(dag, state: State) -> State:
             new_iters.append(it.with_range((0, e)))
         stage.iters = new_iters
 
-    def demand_roots(a_stage, demands):
-        roots = _root_extent_map(a_stage)
-        if isinstance(a_stage.op, ComputeOp):
-            dem = demands.get(a_stage.op.uid)
-            if dem is not None:
-                # spatial dims take demanded extents; reduce dims full
-                dim_to_uid = {
-                    id(dim): uid for uid, dim in a_stage.root_of.items()
-                }
-                for d, ax in enumerate(a_stage.op.axes):
-                    uid = dim_to_uid.get(id(ax))
-                    if uid is not None and d < len(dem):
-                        roots[uid] = min(dem[d].extent, ax.extent)
-        return roots
-
-    def process(sid: int, root_extents: Dict[int, int],
-                relaxed_roots: Dict[int, int]):
-        sb = bounds_cache[sid]
-        ext = sb.pass_down(root_extents)
-        full_extents[sid] = ext
-        relaxed_extents[sid] = sb.pass_down(relaxed_roots)
-        assign_ranges(sid, ext)
-        # recurse into attached stages at each iterator position
+    for sid in range(len(out.stages) - 1, -1, -1):
         stage = out.stages[sid]
-        for pos in range(len(stage.iters)):
-            attached = out.attach_map.iter_to_attached_stages.get((sid, pos))
-            if not attached:
-                continue
-            for a_sid in attached:
-                a_stage = out.stages[a_sid]
-                is_shared = isinstance(a_stage.op, ComputeOp) and \
-                    a_stage.op.name.endswith(".shared")
-                # shared-scope caches see the thread-relaxed region
-                demands = _demanded_region(
-                    out, sid, pos, bounds_cache,
-                    relaxed_extents if is_shared else full_extents,
-                    relax_threads=is_shared,
-                )
-                roots = demand_roots(a_stage, demands)
-                # the relaxed chain always relaxes threads
-                relax_dem = _demanded_region(
-                    out, sid, pos, bounds_cache, relaxed_extents,
-                    relax_threads=True,
-                )
-                r_roots = demand_roots(a_stage, relax_dem)
-                process(a_sid, roots, r_roots)
-
-    for sid, stage in enumerate(out.stages):
-        if stage.op_type == "placeholder" or stage.compute_at != AT_ROOT:
+        if stage.op_type == "placeholder" or stage.compute_at == AT_INLINED:
             continue
-        roots = _root_extent_map(stage)
-        process(sid, roots, dict(roots))
+        op = stage.op
+
+        roots: Dict[int, int] = {}
+        mins: Dict[int, LF] = {}
+        cons = _consumers_of(ctx, op.uid)
+        if not cons:
+            # outputs / unread stages: full original domains (bound.cc
+            # is_output branch)
+            for uid, dim in stage.root_of.items():
+                roots[uid] = dim.extent
+        else:
+            attach = out.attach_map.stage_to_attach_iter.get(sid)
+            srank = ctx.scope_rank(sid)
+            ndim = len(op.axes) if isinstance(op, ComputeOp) else 0
+            tdom: List[Optional[SI]] = [None] * ndim
+            for c_sid, chain in cons:
+                env = ctx.consumer_env(c_sid, srank, attach)
+                dem = _eval_chain(ctx, c_sid, env, chain, op)
+                if dem is None:
+                    continue
+                for d in range(min(ndim, len(dem))):
+                    tdom[d] = dem[d] if tdom[d] is None else \
+                        si_union(tdom[d], dem[d])
+            # GatherBound: spatial dims from the union, reduce dims full
+            dim_to_uid = {id(dim): uid for uid, dim in stage.root_of.items()}
+            for d, ax in enumerate(op.axes if isinstance(op, ComputeOp) else ()):
+                uid = dim_to_uid.get(id(ax))
+                if uid is None:
+                    continue
+                u = tdom[d] if d < ndim else None
+                if u is None or u.everything:
+                    roots[uid] = ax.extent
+                    continue
+                ext_form = u.hi.sub(u.lo).addc(1)
+                ec = ext_form.is_const()
+                if ec is None:
+                    # symbolic extent the algebra couldn't cancel: take the
+                    # numeric upper bound (te would keep it symbolic)
+                    ec = ext_form.nbound()[1]
+                roots[uid] = max(1, ec)
+                if u.lo.terms or u.lo.const:
+                    mins[uid] = u.lo
+            for uid, dim in stage.root_of.items():
+                if uid not in roots:
+                    roots[uid] = dim.extent
+
+        ext = ctx.sb[sid].pass_down(roots)
+        ctx.full_ext[sid] = ext
+        ctx.root_min[sid] = mins
+        assign_ranges(sid, ext)
 
     return out

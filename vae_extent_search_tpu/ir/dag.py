@@ -116,10 +116,10 @@ class ComputeDAG:
                 raise ValueError(f"unexpected modifiable step: {step}")
         return ops
 
-    def infer_bound(self, state: State) -> State:
+    def infer_bound(self, state: State, relax_threads: bool = True) -> State:
         from .bound import infer_bound
 
-        return infer_bound(self, state)
+        return infer_bound(self, state, relax_threads=relax_threads)
 
     def apply_steps(self, records_or_steps) -> State:
         from .steps import apply_steps_to_state
