@@ -172,3 +172,57 @@ def test_rewrite_layout_roundtrip():
         recs = [s.to_record() for s in st.transform_steps]
         new_dag.infer_bound(new_dag.apply_steps(recs))
     assert n_done >= 3
+
+
+def test_sparse_dense_replay_and_featurize():
+    """The BSR sparse workload (data-dependent reduce extent + indirect
+    reads, reference tutorials/auto_scheduler/tune_sparse_x86.py:81-92)
+    replays its ci_log record exactly, prints the symbolic row-length
+    loop, and featurizes without falling over."""
+    import numpy as np
+
+    from tests.conftest import CI_LOGS
+    from vae_extent_search_tpu.features.extent import extent_vector
+    from vae_extent_search_tpu.features.per_store import (
+        get_per_store_features_from_measure_pairs,
+    )
+    from vae_extent_search_tpu.ir.steps import SplitStep, step_from_record
+    from vae_extent_search_tpu.records import load_records
+
+    path = os.path.join(CI_LOGS, "sparse_dense.json")
+    if not os.path.exists(path):
+        pytest.skip("reference ci_logs unavailable")
+    rec = load_records(path)[0]
+    dag = rec.inp.task.compute_dag
+
+    # SP-extent oracle must be exact (only static iters are split)
+    st = dag.init_state.copy()
+    for srec in rec.inp.step_records:
+        step = step_from_record(srec)
+        if isinstance(step, SplitStep) and step.extent:
+            bound = dag.infer_bound(st, relax_threads=False)
+            got = bound.stages[step.stage_id].iters[step.iter_id].range[1]
+            assert got == step.extent
+        st.transform_steps.append(step)
+        step.apply_to_state(st)
+
+    bound = dag.infer_bound(st)
+    text = bound.to_str()
+    # the data-dependent loop prints symbolically (regex skips it)
+    assert "elem_idx (0,(placeholder[(nb_j + 1)] - placeholder[nb_j]))" \
+        in text
+    # extent features: only integer extents, no crash
+    vec = extent_vector(bound)
+    assert vec.size > 0 and np.isfinite(vec).all()
+
+    # per-store featurization: one row per store, finite values
+    feats, tps, _, _ = get_per_store_features_from_measure_pairs(
+        [rec.inp], [rec.res]
+    )
+    assert feats[0].shape == (3, 164)
+    assert np.isfinite(feats[0]).all()
+    assert tps[0] == 1.0
+
+    # FLOP attr override (reference attrs={"FLOP": 2*M*nb*bs_r*K}) plus
+    # the three elementwise stages (relu, bias add, relu)
+    assert dag.flop_ct == 2.0 * 512 * 32 * 16 * 512 + 3 * 512 * 512

@@ -54,7 +54,11 @@ def extent_vector(state: State, delete_trivial_loop: bool = True) -> np.ndarray:
                 and it.range is not None
                 and it.range[1] == 1
             )
-            if not trivial and it.range is not None and it.range[0] == 0:
+            if (not trivial and it.range is not None and it.range[0] == 0
+                    and isinstance(it.range[1], int)):
+                # symbolic (data-dependent) extents are skipped, exactly
+                # like the reference's regex \(0,\s*(\d+)\) which only
+                # matches integer extents (vae_extent_search.py:166-176)
                 extents.append(float(it.range[1]))
             attached = state.attach_map.iter_to_attached_stages.get(
                 (stage_id, i)

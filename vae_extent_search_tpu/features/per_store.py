@@ -283,6 +283,10 @@ def build_store_infos(state: State, is_gpu: bool = False) -> List[StoreInfo]:
         own_loops: List[LoopInfo] = []
         for pos, it in enumerate(stage.iters):
             ext = it.range[1] if it.range is not None else 1
+            if not isinstance(ext, int):
+                # data-dependent extent: GetLoopExtent returns 1 for
+                # non-const loop extents (reference feature.cc)
+                ext = 1
             if ext != 1:
                 li = LoopInfo(leaf_vars[it.uid], ext, it.annotation,
                               is_thread=it.annotation in _THREAD_ANN)

@@ -241,6 +241,11 @@ class _Ctx:
                 found = True
             e = it.range[1] if it.range is not None else (it.extent or 1)
             leaf_uids.add(it.uid)
+            if not isinstance(e, int):
+                # data-dependent extent: unbounded set, clipped at reads
+                # (te EvalSet over an unknown-extent range)
+                up[it.uid] = SI.every()
+                continue
             if e == 1:
                 up[it.uid] = SI.const(0)
             elif not _need_relax(it.annotation, found, scope_rank,
@@ -258,6 +263,8 @@ class _Ctx:
             if _need_relax(iv.annotation, found, scope_rank,
                            self.relax_threads):
                 e = iv.range[1] if iv.range is not None else (iv.extent or 1)
+                if not isinstance(e, int):
+                    continue
                 a = self.leaf_atom(tsid2, iv)
                 relax_env[a.name] = SI.range(0, max(0, e - 1))
 
@@ -336,7 +343,8 @@ class _Ctx:
             s = up.get(uid)
             if s is None:
                 e = dom_ext.get(uid, dim.extent)
-                s = from_range(dmin(uid), e)
+                s = SI.every() if not isinstance(e, int) else \
+                    from_range(dmin(uid), e)
             elif uid in leaf_uids:
                 # root iv used directly as a leaf: loops iterate the
                 # inferred range [min, min+e) (rebase-free nests), so the
@@ -412,7 +420,8 @@ def _eval_chain(ctx: _Ctx, c_sid: int, env: Dict[E.Var, SI],
         # reduce axes span fully (inlined ops are elementwise in Ansor)
         env = {ax.var: per_dim[d] for d, ax in enumerate(nxt.axes)}
         for rd in nxt.reduce_axes:
-            env[rd.var] = SI.range(0, rd.extent - 1)
+            env[rd.var] = SI.range(0, rd.extent - 1) \
+                if isinstance(rd.extent, int) else SI.every()
         cur_op = nxt
     return None
 
@@ -437,7 +446,13 @@ def infer_bound(dag, state: State, relax_threads: bool = True) -> State:
         for it in stage.iters:
             e = ext.get(it.uid)
             if e is None:
-                e = it.extent if it.extent is not None else 1
+                e = it.extent
+                if e is None:
+                    # range was cleared (compute_at); data-dependent root
+                    # extents are recovered from the op's dim
+                    dim = stage.root_of.get(it.uid)
+                    e = dim.extent if dim is not None and \
+                        not isinstance(dim.extent, int) else 1
             new_iters.append(it.with_range((0, e)))
         stage.iters = new_iters
 
@@ -452,9 +467,11 @@ def infer_bound(dag, state: State, relax_threads: bool = True) -> State:
         cons = _consumers_of(ctx, op.uid)
         if not cons:
             # outputs / unread stages: full original domains (bound.cc
-            # is_output branch)
+            # is_output branch); data-dependent extents stay symbolic on
+            # the iterator (not propagated numerically)
             for uid, dim in stage.root_of.items():
-                roots[uid] = dim.extent
+                if isinstance(dim.extent, int):
+                    roots[uid] = dim.extent
         else:
             attach = out.attach_map.stage_to_attach_iter.get(sid)
             srank = ctx.scope_rank(sid)
@@ -476,7 +493,8 @@ def infer_bound(dag, state: State, relax_threads: bool = True) -> State:
                     continue
                 u = tdom[d] if d < ndim else None
                 if u is None or u.everything:
-                    roots[uid] = ax.extent
+                    if isinstance(ax.extent, int):
+                        roots[uid] = ax.extent
                     continue
                 ext_form = u.hi.sub(u.lo).addc(1)
                 ec = ext_form.is_const()
@@ -488,7 +506,7 @@ def infer_bound(dag, state: State, relax_threads: bool = True) -> State:
                 if u.lo.terms or u.lo.const:
                     mins[uid] = u.lo
             for uid, dim in stage.root_of.items():
-                if uid not in roots:
+                if uid not in roots and isinstance(dim.extent, int):
                     roots[uid] = dim.extent
 
         ext = ctx.sb[sid].pass_down(roots)

@@ -360,6 +360,11 @@ def eval_interval(e: Expr, env: dict) -> Interval:
         return Interval(min(t.lo, f.lo), max(t.hi, f.hi))
     if isinstance(e, Cast):
         return eval_interval(e.value, env)
+    if isinstance(e, TensorRead):
+        # data-dependent index (e.g. CSR indices/indptr loads): bounded by
+        # the int32 value range like te's ConstIntBound on unknown loads;
+        # consumers clamp to buffer shapes
+        return Interval(0, (1 << 31) - 1)
     raise ValueError(f"cannot range-evaluate {type(e).__name__}")
 
 

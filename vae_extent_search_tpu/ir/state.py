@@ -317,7 +317,15 @@ class State:
                 out.append(" " * (base_indent + indent))
                 out.append(ANNOTATION_STRINGS[it.annotation] + " ")
                 if it.range is not None:
-                    out.append(f"{it.name} ({it.range[0]},{it.range[1]})")
+                    ext = it.range[1]
+                    if not isinstance(ext, int):
+                        # data-dependent extent: print the expression (the
+                        # reference prints the te PrimExpr; the extent-
+                        # feature regex only matches integer extents either
+                        # way, vae_extent_search.py:166-176)
+                        from .expr import expr_str
+                        ext = expr_str(ext)
+                    out.append(f"{it.name} ({it.range[0]},{ext})")
                 else:
                     out.append(f"{it.name} (None)")
                 out.append("\n")

@@ -60,9 +60,10 @@ def _apply_split_common(st: State, stage_id: int, iter_id: int,
     old_iter_size = len(stage.iters)
     concrete = True
 
-    if it.range is not None:
+    if it.range is not None and isinstance(it.range[1], int):
         tosplit_min, tosplit_extent = it.range
     else:
+        # undefined or data-dependent extent: children get undefined ranges
         tosplit_min = tosplit_extent = None
 
     outs: List[Iterator] = []

@@ -31,14 +31,17 @@ def _fresh_uid() -> int:
 class IterDim:
     """An original iteration dimension of a compute op (spatial or reduce).
 
-    Acts as an Expr Var when used inside index expressions.
+    Acts as an Expr Var when used inside index expressions. ``extent`` is
+    an int for static dims; reduce dims may carry a symbolic Expr extent
+    (data-dependent loops, e.g. the sparse_dense row-length reduction —
+    reference topi/nn/sparse.py:199-230 builds Range(0, row_elems)).
     """
 
     __slots__ = ("var", "name", "extent", "kind")
 
-    def __init__(self, name: str, extent: int, kind: str = "spatial"):
+    def __init__(self, name: str, extent, kind: str = "spatial"):
         self.name = name
-        self.extent = int(extent)
+        self.extent = extent if isinstance(extent, E.Expr) else int(extent)
         self.kind = kind  # "spatial" | "reduce"
         self.var = E.Var(name)
 
@@ -79,12 +82,14 @@ class ComputeOp(Op):
         body: E.Expr,
         dtype: str = "float32",
         tag: str = "",
+        attrs: Optional[dict] = None,
     ):
         self.name = name
         self.axes = list(axes)  # spatial dims in order
         self.body = body
         self.dtype = dtype
         self.tag = tag
+        self.attrs = dict(attrs) if attrs else {}
         self.uid = _fresh_uid()
         # reduce axes are discovered from the body's Reduce node (if any)
         self.reduce_axes: List[IterDim] = []
@@ -170,15 +175,17 @@ def placeholder(shape, name: str = "placeholder", dtype: str = "float32") -> Ten
 def reduce_axis(extent, name: str = "k") -> IterDim:
     if isinstance(extent, tuple):
         lo, hi = extent
-        assert lo == 0, "only 0-based reduce axes supported"
-        extent = hi
+        assert lo == 0 or isinstance(lo, E.Expr), \
+            "only 0-based reduce axes supported"
+        extent = hi if lo == 0 else (hi - lo)
     return IterDim(name, extent, kind="reduce")
 
 
 _DEFAULT_AXIS_NAMES = ["i", "j", "k", "l", "m", "n"]
 
 
-def compute(shape, fcompute: Callable, name: str, tag: str = "", dtype=None) -> Tensor:
+def compute(shape, fcompute: Callable, name: str, tag: str = "", dtype=None,
+            attrs: Optional[dict] = None) -> Tensor:
     """Create a compute op. ``fcompute`` receives one IterDim per dim."""
     shape = tuple(int(s) for s in shape)
     n = len(shape)
@@ -203,7 +210,8 @@ def compute(shape, fcompute: Callable, name: str, tag: str = "", dtype=None) -> 
     if out_dtype == "int32" and not isinstance(body, E.Reduce):
         # compute outputs default to float32 unless explicitly integer
         out_dtype = dtype or "float32"
-    op = ComputeOp(name, axes, body, dtype=dtype or "float32", tag=tag)
+    op = ComputeOp(name, axes, body, dtype=dtype or "float32", tag=tag,
+                   attrs=attrs)
     return op.output()
 
 
@@ -281,6 +289,11 @@ def estimate_flops(ops: Sequence[Op]) -> float:
     for op in ops:
         if not isinstance(op, ComputeOp):
             continue
+        if "FLOP" in op.attrs:
+            # explicit attr override (reference compute_dag.cc FlopEstimator
+            # honors the op's "FLOP" attr, used by sparse workloads)
+            total += float(op.attrs["FLOP"])
+            continue
         counts = E.count_math_ops(op.body)
         per_point = sum(
             v
@@ -293,6 +306,8 @@ def estimate_flops(ops: Sequence[Op]) -> float:
         for d in op.axes:
             vol *= d.extent
         for d in op.reduce_axes:
-            vol *= d.extent
+            # symbolic (data-dependent) extents count as 1, like the
+            # reference's GetIntImm fallback on non-const loop extents
+            vol *= d.extent if isinstance(d.extent, int) else 1
         total += per_point * vol
     return total

@@ -377,3 +377,63 @@ def depthwise_conv2d_layer(N, H, W, C, KH, KW, stride, padding):
         "T_relu",
     )
     return [data, kernel, bias, out]
+
+
+@register_workload
+def sparse_dense(M, N, K, w_data_shape, w_indices_shape, w_indptr_shape,
+                 dtype="float32"):
+    """Block-CSR sparse matmul + bias + relu.
+
+    Mirror of the reference's sparse tutorial workload
+    (tutorials/auto_scheduler/tune_sparse_x86.py:81-92 over
+    topi/nn/sparse.py:199-230 _sparse_dense_sp_rhs_bsrmm): relu(X) x W^T
+    in BSR format. The row-length reduction has a *data-dependent* extent
+    (indptr[nb_j+1] - indptr[nb_j]) carried symbolically by the IR; the
+    FLOP attr overrides the estimator exactly as the reference's
+    attrs={"FLOP": 2*M*num_blocks*bs_r*K} does.
+    """
+    X = placeholder((M, K), "placeholder", dtype)
+    w_data = placeholder(tuple(w_data_shape), "placeholder", dtype)
+    w_indices = placeholder(tuple(w_indices_shape), "placeholder", "int32")
+    w_indptr = placeholder(tuple(w_indptr_shape), "placeholder", "int32")
+    bias = placeholder((M, N), "placeholder", dtype)
+
+    relu_x = compute(
+        (M, K), lambda i, j: E.Max(X[i.var, j.var], E.FloatImm(0.0)),
+        "compute",
+    )
+    num_blocks, bs_r, bs_c = (int(v) for v in w_data_shape)
+    nb = int(w_indptr_shape[0]) - 1
+
+    def _block(i, nb_j, j):
+        row_start = w_indptr[nb_j.var]
+        row_end = w_indptr[nb_j.var + 1]
+        elem_idx = reduce_axis(row_end - row_start, "elem_idx")
+        block_offset = row_start + elem_idx.var
+        c = reduce_axis(bs_c, "c")
+        block_j = w_indices[block_offset]
+        return sum_reduce(
+            w_data[block_offset, j.var, c.var]
+            * relu_x[i.var, bs_c * block_j + c.var],
+            [elem_idx, c],
+        )
+
+    bsrmm_block = compute(
+        (M, nb, bs_r), _block, "compute",
+        tag="sparse_dense_sp_rhs_bsrmm_block",
+        attrs={"FLOP": 2.0 * M * nb * bs_r * K},
+    )
+    bsrmm = compute(
+        (M, nb * bs_r),
+        lambda m, n: bsrmm_block[m.var, n.var // bs_r, n.var % bs_r],
+        "compute", tag="sparse_dense_sp_rhs_bsrmm",
+    )
+    biasadd = compute(
+        (M, N), lambda i, j: bsrmm[i.var, j.var] + bias[i.var, j.var],
+        "BiasAdd",
+    )
+    out = compute(
+        (M, N), lambda i, j: E.Max(biasadd[i.var, j.var], E.FloatImm(0.0)),
+        "compute",
+    )
+    return [X, w_data, w_indices, w_indptr, bias, out]

@@ -143,8 +143,14 @@ class AnalyticRunner(Runner):
             locality = 1.0 + math.log2(tile_vol / self.l1_elems)
         t = flops / (self.peak * par * vec) * locality * unroll_pen
         if self.noise:
-            # deterministic per-state jitter
-            h = hash((state.to_str(), self.seed)) % 10000 / 10000.0
+            # deterministic per-state jitter; zlib.crc32, NOT hash():
+            # python string hashing is salted per process, which would make
+            # "deterministic" simulated costs differ between runs
+            import zlib
+
+            h = zlib.crc32(
+                f"{state.to_str()}|{self.seed}".encode()
+            ) % 10000 / 10000.0
             t *= 1.0 + self.noise * (h - 0.5)
         return max(t, 1e-9)
 
