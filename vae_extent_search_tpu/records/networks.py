@@ -79,12 +79,54 @@ _MOBILENET_V2_CONVS = [
     (7, 7, 1280, 320, 1, 1, 1, 0, 1),
 ]
 
-# bert-style dense layers: (N_tokens, in, out, weight)
-_BERT_BASE_MATMULS = [
-    (128, 768, 768, 4 * 12),
-    (128, 768, 3072, 12),
-    (128, 3072, 768, 12),
+# mobilenet_v3_large: stem + inverted-residual expand/project 1x1 convs
+_MOBILENET_V3_CONVS = [
+    (224, 224, 16, 3, 3, 3, 2, 1, 1),
+    (112, 112, 16, 16, 1, 1, 1, 0, 1),
+    (112, 112, 64, 16, 1, 1, 1, 0, 1),
+    (56, 56, 24, 64, 1, 1, 1, 0, 1),
+    (56, 56, 72, 24, 1, 1, 1, 0, 2),
+    (28, 28, 40, 72, 1, 1, 1, 0, 1),
+    (28, 28, 120, 40, 1, 1, 1, 0, 2),
+    (28, 28, 240, 40, 1, 1, 1, 0, 1),
+    (14, 14, 80, 240, 1, 1, 1, 0, 1),
+    (14, 14, 200, 80, 1, 1, 1, 0, 3),
+    (14, 14, 480, 80, 1, 1, 1, 0, 1),
+    (14, 14, 112, 480, 1, 1, 1, 0, 1),
+    (14, 14, 672, 112, 1, 1, 1, 0, 2),
+    (7, 7, 160, 672, 1, 1, 1, 0, 1),
+    (7, 7, 960, 160, 1, 1, 1, 0, 2),
 ]
+
+_MOBILENET_V3_DEPTHWISE = [
+    (112, 112, 16, 3, 3, 1, 1, 1),
+    (112, 112, 64, 3, 3, 2, 1, 1),
+    (56, 56, 72, 3, 3, 2, 1, 1),
+    (28, 28, 120, 5, 5, 1, 2, 2),
+    (28, 28, 240, 3, 3, 2, 1, 1),
+    (14, 14, 200, 3, 3, 1, 1, 3),
+    (14, 14, 672, 5, 5, 2, 2, 2),
+    (7, 7, 960, 5, 5, 1, 2, 2),
+]
+
+
+# bert scales: hidden size x layer count (reference dump_network_info
+# grid: bert_{tiny,medium,base,large}); per layer the dense workloads are
+# QKV/attn-out projections (4 per layer) and the two FFN matmuls
+_BERT_DIMS = {
+    "tiny": (128, 2),
+    "medium": (512, 8),
+    "base": (768, 12),
+    "large": (1024, 24),
+}
+
+
+def _bert_matmuls(seq_length: int, hidden: int, layers: int):
+    return [
+        (seq_length, hidden, hidden, 4 * layers),
+        (seq_length, hidden, 4 * hidden, layers),
+        (seq_length, 4 * hidden, hidden, layers),
+    ]
 
 # dcgan-style generator convs (as plain convs on the upsampled sizes)
 _DCGAN_CONVS = [
@@ -96,8 +138,8 @@ _DCGAN_CONVS = [
 ]
 
 
-def _scale_hw(convs, image_size: int):
-    scale = image_size / 224.0
+def _scale_hw(convs, image_size: int, base: int = 224):
+    scale = image_size / float(base)
     out = []
     for (h, w, co, ci, kh, kw, s, p, wt) in convs:
         if h >= 7:  # spatial layers scale with the input image
@@ -177,6 +219,7 @@ NETWORK_CONVS = {
     "resnet_18": _RESNET18_CONVS,
     "wide_resnet_50": _widen(_RESNET50_CONVS),
     "mobilenet_v2": _MOBILENET_V2_CONVS,
+    "mobilenet_v3": _MOBILENET_V3_CONVS,
     "inception_v3": _INCEPTION_V3_CONVS,
     "densenet_121": _DENSENET_121_CONVS,
     "dcgan": _DCGAN_CONVS,
@@ -184,20 +227,32 @@ NETWORK_CONVS = {
 
 
 def build_network_keys() -> List[Tuple[str, Tuple]]:
-    """The benchmark grid (reference dump_network_info.py:139-204):
-    network x batch size x image size."""
+    """The full benchmark grid of the reference's dump_network_info.py
+    (:139-204): network family x batch size x image/seq size. (The
+    reference file short-circuits after the resnet block with an early
+    ``return``; this is the grid its dead code and README describe.)"""
     keys = []
+    for batch_size in [1]:
+        for image_size in [224, 240, 256]:
+            for layer in [18, 50]:
+                keys.append((f"resnet_{layer}", (batch_size, image_size)))
     for batch_size in [1, 4, 8]:
         for image_size in [224, 240, 256]:
-            for name in ["resnet_50", "mobilenet_v2", "resnext_50",
-                         "wide_resnet_50", "inception_v3",
-                         "densenet_121"]:
+            for name in ["mobilenet_v2", "mobilenet_v3",
+                         "wide_resnet_50", "resnext_50"]:
                 keys.append((name, (batch_size, image_size)))
-        for seq_length in [128]:
-            for name in ["bert_base"]:
-                keys.append((name, (batch_size, seq_length)))
-        keys.append(("resnet3d_18", (batch_size, 112)))
-        keys.append(("dcgan", (batch_size, 64)))
+    for batch_size in [1, 2, 4]:
+        keys.append(("inception_v3", (batch_size, 299)))
+        for image_size in [224, 240, 256]:
+            keys.append(("densenet_121", (batch_size, image_size)))
+        for image_size in [112, 128, 144]:
+            keys.append(("resnet3d_18", (batch_size, image_size)))
+        for seq_length in [64, 128, 256]:
+            for scale in ["tiny", "medium", "base", "large"]:
+                keys.append((f"bert_{scale}", (batch_size, seq_length)))
+    for batch_size in [1, 4, 8]:
+        for image_size in [64, 80, 96]:
+            keys.append(("dcgan", (batch_size, image_size)))
     return keys
 
 
@@ -205,11 +260,12 @@ def get_network_tasks(name: str, batch_size: int = 1, image_size: int = 224,
                       target: str = "llvm") -> Tuple[List[SearchTask], List[float]]:
     """Tasks + weights for a named network."""
     tasks, weights = [], []
-    if name in ("bert_base", "bert_tiny"):
-        layers = _BERT_BASE_MATMULS
-        if name == "bert_tiny":
-            layers = [(n, i // 6, o // 6, w) for (n, i, o, w) in layers]
-        for (n_tok, d_in, d_out, wt) in layers:
+    if name.startswith("bert_"):
+        # image_size carries the sequence length for bert grid keys
+        hidden, n_layers = _BERT_DIMS[name.split("_", 1)[1]]
+        seq = image_size if image_size in (64, 128, 256) else 128
+        for (n_tok, d_in, d_out, wt) in _bert_matmuls(seq, hidden,
+                                                      n_layers):
             key = make_workload_key(
                 "matmul_add", (batch_size * n_tok, d_in, d_out, "float32")
             )
@@ -218,11 +274,15 @@ def get_network_tasks(name: str, batch_size: int = 1, image_size: int = 224,
         return tasks, weights
 
     if name in ("resnet3d_18",):
+        scale = (image_size / 112.0) if image_size in (112, 128, 144) \
+            else 1.0
         for (d, h, w, co, ci, kd, kh, kw, s_, p_,
              wt) in _RESNET3D_18_CONVS:
+            h2 = max(1, int(round(h * scale)))
+            w2 = max(1, int(round(w * scale)))
             key = make_workload_key(
                 "conv3d_layer",
-                (batch_size, d, h, w, co, ci, kd, kh, kw, [s_, s_, s_],
+                (batch_size, d, h2, w2, co, ci, kd, kh, kw, [s_, s_, s_],
                  [p_, p_, p_]),
             )
             tasks.append(SearchTask(key, target))
@@ -234,16 +294,21 @@ def get_network_tasks(name: str, batch_size: int = 1, image_size: int = 224,
         base = NETWORK_CONVS.get(name)
     if base is None:
         raise ValueError(f"unknown network {name}")
-    convs = _scale_hw(base, image_size)
+    base_size = {"inception_v3": 299, "dcgan": 64}.get(name, 224)
+    if image_size == 224 and base_size != 224:
+        image_size = base_size  # default size means the family's native one
+    convs = _scale_hw(base, image_size, base_size)
     for (h, w, co, ci, kh, kw, s, p, wt) in convs:
         key = make_workload_key(
             "conv2d_layer", (batch_size, h, w, co, ci, kh, kw, [s, s], [p, p])
         )
         tasks.append(SearchTask(key, target))
         weights.append(float(wt))
-    if name == "mobilenet_v2":
+    if name in ("mobilenet_v2", "mobilenet_v3"):
         scale = image_size / 224.0
-        for (h, w, c, kh, kw, s, p, wt) in _MOBILENET_V2_DEPTHWISE:
+        dw = _MOBILENET_V2_DEPTHWISE if name == "mobilenet_v2" \
+            else _MOBILENET_V3_DEPTHWISE
+        for (h, w, c, kh, kw, s, p, wt) in dw:
             h2 = max(1, int(round(h * scale)))
             w2 = max(1, int(round(w * scale)))
             key = make_workload_key(
