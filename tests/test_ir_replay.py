@@ -226,3 +226,19 @@ def test_sparse_dense_replay_and_featurize():
     # FLOP attr override (reference attrs={"FLOP": 2*M*nb*bs_r*K}) plus
     # the three elementwise stages (relu, bias add, relu)
     assert dag.flop_ct == 2.0 * 512 * 32 * 16 * 512 + 3 * 512 * 512
+
+    # fresh sketch + GA generation on the sparse task must produce valid,
+    # serializable, featurizable states (symbolic split extents follow te:
+    # concrete inner factors, symbolic ceildiv outer, extent recorded 0)
+    import json
+
+    from vae_extent_search_tpu.search.sketch import make_states
+
+    states = make_states(rec.inp.task, 6, evo_population=12,
+                         min_population=4, seed=3)
+    assert states
+    json.dumps([s.to_record() for s in states[0].transform_steps])
+    feats2 = get_per_store_features_from_measure_pairs(
+        [rec.inp], [rec.res]
+    )[0]
+    assert np.isfinite(feats2[0]).all()

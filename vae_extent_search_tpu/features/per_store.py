@@ -112,6 +112,8 @@ def _reconstruct_dim_exprs(stage, zero_inner_after: Optional[int] = None):
         v = E.Var(it.name)
         leaf_vars[it.uid] = v
         ext = it.range[1] if it.range is not None else 1
+        if not isinstance(ext, int):
+            ext = 1  # data-dependent extents: GetLoopExtent convention
         ext_map[it.uid] = ext
         if zero_inner_after is not None and pos > zero_inner_after:
             exprs[it.uid] = E.IntImm(0)
@@ -123,7 +125,10 @@ def _reconstruct_dim_exprs(stage, zero_inner_after: Optional[int] = None):
     # full extents of intermediate nodes via forward pass (for fuse strides)
     full: Dict[int, int] = dict(ext_map)
     for uid, dim in stage.root_of.items():
-        full.setdefault(uid, dim.extent)
+        if isinstance(dim.extent, int):
+            full.setdefault(uid, dim.extent)
+        else:
+            full.setdefault(uid, 1)
     for rel in stage.relations:
         if rel.kind == "split":
             p = full.get(rel.parent)

@@ -118,7 +118,10 @@ class _StageBounds:
 
     def pass_down(self, root_extents: Dict[int, int]) -> Dict[int, int]:
         """uid -> extent for every derived iterator, given root extents
-        keyed by root iterator uid."""
+        keyed by root iterator uid. Extents may be symbolic Exprs
+        (data-dependent loops): splits keep the concrete factor and a
+        symbolic ceildiv outer, fuses a symbolic product — te
+        PassDownDomain on non-const ranges."""
         ext = dict(root_extents)
         for rel in self.stage.relations:
             if rel.kind == "split":
@@ -128,7 +131,15 @@ class _StageBounds:
                 f = rel.factor
                 if f is None:
                     continue
-                if not rel.by_nparts:
+                if not isinstance(p, int):
+                    q = p if f == 1 else (p + (f - 1)) // f
+                    if not rel.by_nparts:
+                        ext[rel.inner] = f
+                        ext[rel.outer] = q
+                    else:
+                        ext[rel.outer] = f
+                        ext[rel.inner] = q
+                elif not rel.by_nparts:
                     inner = f if self.dominates_thread.get(rel.inner) else min(p, f)
                     ext[rel.inner] = inner
                     ext[rel.outer] = _ceil_div(p, f)
@@ -269,7 +280,11 @@ class _Ctx:
                 relax_env[a.name] = SI.range(0, max(0, e - 1))
 
         # PassUpDomain (message_passing.cc:280-341)
-        dom_ext = self.full_ext[c_sid]
+        dom_ext_raw = self.full_ext[c_sid]
+        # symbolic (data-dependent) extents are unknown to the numeric
+        # PassUpDomain machinery
+        dom_ext = {u: e for u, e in dom_ext_raw.items()
+                   if isinstance(e, int)}
         rmin = self.root_min[c_sid]
 
         def dmin(uid: int) -> LF:
@@ -467,11 +482,10 @@ def infer_bound(dag, state: State, relax_threads: bool = True) -> State:
         cons = _consumers_of(ctx, op.uid)
         if not cons:
             # outputs / unread stages: full original domains (bound.cc
-            # is_output branch); data-dependent extents stay symbolic on
-            # the iterator (not propagated numerically)
+            # is_output branch); data-dependent extents propagate
+            # symbolically through the relation log
             for uid, dim in stage.root_of.items():
-                if isinstance(dim.extent, int):
-                    roots[uid] = dim.extent
+                roots[uid] = dim.extent
         else:
             attach = out.attach_map.stage_to_attach_iter.get(sid)
             srank = ctx.scope_rank(sid)
@@ -493,8 +507,7 @@ def infer_bound(dag, state: State, relax_threads: bool = True) -> State:
                     continue
                 u = tdom[d] if d < ndim else None
                 if u is None or u.everything:
-                    if isinstance(ax.extent, int):
-                        roots[uid] = ax.extent
+                    roots[uid] = ax.extent
                     continue
                 ext_form = u.hi.sub(u.lo).addc(1)
                 ec = ext_form.is_const()
@@ -506,7 +519,7 @@ def infer_bound(dag, state: State, relax_threads: bool = True) -> State:
                 if u.lo.terms or u.lo.const:
                     mins[uid] = u.lo
             for uid, dim in stage.root_of.items():
-                if uid not in roots and isinstance(dim.extent, int):
+                if uid not in roots:
                     roots[uid] = dim.extent
 
         ext = ctx.sb[sid].pass_down(roots)

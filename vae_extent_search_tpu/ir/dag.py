@@ -289,7 +289,8 @@ def _apply_cache_read(ops, step):
         assert isinstance(reader, ComputeOp)
         new_body = _retarget_reads(reader.body, {src.uid: cache_tensor})
         new_reader = ComputeOp(reader.name, reader.axes, new_body,
-                               dtype=reader.dtype, tag=reader.tag)
+                               dtype=reader.dtype, tag=reader.tag,
+                               attrs=reader.attrs)
         _replace_op(new_ops, new_rid, reader, new_reader)
     return new_ops
 
@@ -304,14 +305,14 @@ def _apply_cache_write(ops, step):
     sub = {d.var: nd.var for d, nd in zip(src.axes, new_spatial)}
     new_body = E.substitute(src.body, sub)
     cache_op = ComputeOp(f"{src.name}.{step.scope_name}", new_spatial, new_body,
-                         dtype=src.dtype, tag=src.tag)
+                         dtype=src.dtype, tag=src.tag, attrs=src.attrs)
     cache_tensor = cache_op.output()
 
     # the original op becomes a pure copy of the cache tensor
     copy_axes = _clone_spatial_axes(src)
     copy_body = E.TensorRead(cache_tensor, tuple(a.var for a in copy_axes))
     copy_op = ComputeOp(src.name, copy_axes, copy_body, dtype=src.dtype,
-                        tag=src.tag)
+                        tag=src.tag)  # the copy is elementwise: no FLOP attr
 
     new_ops = list(ops)
     new_ops[step.stage_id] = copy_op
@@ -389,7 +390,7 @@ def _apply_rfactor(ops, fuse_step, split_step, rf_step):
     rf_body = E.Reduce(src.body.combiner, inner_expr, (other_red,),
                        src.body.init)
     rf_op = ComputeOp(f"{src.name}.rf", rf_spatial, rf_body, dtype=src.dtype,
-                      tag=src.tag)
+                      tag=src.tag, attrs=src.attrs)
 
     # the original op becomes a reduction of X.rf over the rf axis
     new_axes = _clone_spatial_axes(src)
@@ -400,7 +401,7 @@ def _apply_rfactor(ops, fuse_step, split_step, rf_step):
                         E.TensorRead(rf_op.output(), tuple(read_idx)),
                         (new_red,), src.body.init)
     new_src = ComputeOp(src.name, new_axes, new_body, dtype=src.dtype,
-                        tag=src.tag)
+                        tag=src.tag)  # reduction of X.rf: derived, no attr
 
     new_ops = list(ops)
     new_ops[rf_step.stage_id] = new_src
@@ -430,6 +431,7 @@ def _cascade_retarget(ops, start, mapping):
         if not reads:
             continue
         nb = _retarget_reads(op.body, mapping)
-        new_op = ComputeOp(op.name, op.axes, nb, dtype=op.dtype, tag=op.tag)
+        new_op = ComputeOp(op.name, op.axes, nb, dtype=op.dtype, tag=op.tag,
+                           attrs=op.attrs)
         ops[j] = new_op
         mapping[op.uid] = new_op.output()

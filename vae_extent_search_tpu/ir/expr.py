@@ -361,10 +361,11 @@ def eval_interval(e: Expr, env: dict) -> Interval:
     if isinstance(e, Cast):
         return eval_interval(e.value, env)
     if isinstance(e, TensorRead):
-        # data-dependent index (e.g. CSR indices/indptr loads): bounded by
-        # the int32 value range like te's ConstIntBound on unknown loads;
-        # consumers clamp to buffer shapes
-        return Interval(0, (1 << 31) - 1)
+        # data-dependent index (e.g. CSR indices/indptr loads): te's
+        # ConstIntBound for an unknown int32 load is the full value range;
+        # touched-region features over such reads are huge in the
+        # reference too (slog compresses them)
+        return Interval(-(1 << 31), (1 << 31) - 1)
     raise ValueError(f"cannot range-evaluate {type(e).__name__}")
 
 

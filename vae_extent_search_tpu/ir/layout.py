@@ -286,7 +286,7 @@ def rewrite_layout(dag, state_or_steps,
         # reuse the original axis IterDims: the rewritten body still
         # references their vars (reduce axes come from the Reduce node)
         new_op = ComputeOp(op.name, op.axes, body, dtype=op.dtype,
-                           tag=op.tag)
+                           tag=op.tag, attrs=op.attrs)
         new_ops.append(new_op)
         uid_to_tensor[op.uid] = new_op.output()
 

@@ -91,7 +91,12 @@ def state_reorder(state, stage_id, order):
 def state_split(state, stage_id, it, lengths, inner_to_outer=True):
     idx = _iter_index(state, stage_id, it)
     iterator = state.stages[stage_id].iters[idx]
+    # te records the extent only when it is a concrete integer; symbolic
+    # (data-dependent) extents serialize as 0 (transform_step.cc:976-982
+    # "Extent can be a irreducible expression in some special cases")
     extent = iterator.range[1] if iterator.range is not None else 0
+    if not isinstance(extent, int):
+        extent = 0
     return _push(
         state, ST.SplitStep(stage_id, idx, extent, list(lengths), inner_to_outer)
     )

@@ -60,10 +60,13 @@ def _apply_split_common(st: State, stage_id: int, iter_id: int,
     old_iter_size = len(stage.iters)
     concrete = True
 
-    if it.range is not None and isinstance(it.range[1], int):
+    if it.range is not None:
+        # the extent may be a symbolic Expr (data-dependent loops); te keeps
+        # it symbolic: defined inner factors get concrete ranges, the
+        # remaining part a symbolic ceildiv extent (transform_step.cc
+        # ApplySplitToState: "Extent can be a irreducible expression")
         tosplit_min, tosplit_extent = it.range
     else:
-        # undefined or data-dependent extent: children get undefined ranges
         tosplit_min = tosplit_extent = None
 
     outs: List[Iterator] = []
@@ -77,7 +80,10 @@ def _apply_split_common(st: State, stage_id: int, iter_id: int,
         if l is not None and tosplit_min is not None and tosplit_extent is not None:
             res = Iterator(name, (tosplit_min, l), it.kind, ANNOTATION_NONE)
             tosplit_min = 0
-            tosplit_extent = _ceil_div(tosplit_extent, l)
+            if isinstance(tosplit_extent, int):
+                tosplit_extent = _ceil_div(tosplit_extent, l)
+            elif l != 1:
+                tosplit_extent = (tosplit_extent + (l - 1)) // l
         else:
             res = Iterator(name, None, it.kind, ANNOTATION_NONE)
             tosplit_min = tosplit_extent = None

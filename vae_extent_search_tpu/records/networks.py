@@ -113,10 +113,12 @@ _MOBILENET_V3_DEPTHWISE = [
 # bert scales: hidden size x layer count (reference dump_network_info
 # grid: bert_{tiny,medium,base,large}); per layer the dense workloads are
 # QKV/attn-out projections (4 per layer) and the two FFN matmuls
+# (hidden_size, num_hidden_layers) per reference
+# dump_network_info.py:66-75 config_dict; intermediate_size = 4*hidden
 _BERT_DIMS = {
-    "tiny": (128, 2),
-    "medium": (512, 8),
+    "tiny": (512, 6),
     "base": (768, 12),
+    "medium": (1024, 12),
     "large": (1024, 24),
 }
 
@@ -263,7 +265,9 @@ def get_network_tasks(name: str, batch_size: int = 1, image_size: int = 224,
     if name.startswith("bert_"):
         # image_size carries the sequence length for bert grid keys
         hidden, n_layers = _BERT_DIMS[name.split("_", 1)[1]]
-        seq = image_size if image_size in (64, 128, 256) else 128
+        # 224 is the image-size default sentinel; bert keys carry the
+        # sequence length in that slot
+        seq = 128 if image_size == 224 else image_size
         for (n_tok, d_in, d_out, wt) in _bert_matmuls(seq, hidden,
                                                       n_layers):
             key = make_workload_key(
@@ -274,8 +278,8 @@ def get_network_tasks(name: str, batch_size: int = 1, image_size: int = 224,
         return tasks, weights
 
     if name in ("resnet3d_18",):
-        scale = (image_size / 112.0) if image_size in (112, 128, 144) \
-            else 1.0
+        # 224 sentinel -> the family's native 112 input
+        scale = 1.0 if image_size == 224 else image_size / 112.0
         for (d, h, w, co, ci, kd, kh, kw, s_, p_,
              wt) in _RESNET3D_18_CONVS:
             h2 = max(1, int(round(h * scale)))

@@ -122,6 +122,8 @@ class AnalyticRunner(Runner):
                 continue
             for pos, it in enumerate(stage.iters):
                 ext = it.range[1] if it.range else 1
+                if not isinstance(ext, int):
+                    ext = 1  # data-dependent extent (GetLoopExtent rule)
                 if it.annotation == 3:  # parallel
                     par = max(par, min(ext, self.num_cores))
                 if it.annotation == 2:  # vectorize
@@ -134,7 +136,8 @@ class AnalyticRunner(Runner):
                 # inner tile volume = product of the stage's loop extents
                 v = 1.0
                 for it in stage.iters:
-                    v *= (it.range[1] if it.range else 1)
+                    e2 = it.range[1] if it.range else 1
+                    v *= e2 if isinstance(e2, int) else 1
                 tile_vol = max(tile_vol, v)
             if stage.attrs.auto_unroll_max_step > 512:
                 unroll_pen *= 1.1

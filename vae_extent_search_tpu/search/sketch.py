@@ -304,7 +304,9 @@ def _needs_rfactor(op: ComputeOp, num_cores: int = 8) -> bool:
         space *= d.extent
     red = 1
     for d in op.reduce_axes:
-        red *= d.extent
+        # symbolic (data-dependent) extents count as 1 — otherwise the
+        # product becomes an Expr and `red >= 16` a truthy Cmp object
+        red *= d.extent if isinstance(d.extent, int) else 1
     return space < num_cores and red >= 16
 
 
