@@ -154,8 +154,22 @@ def main():
             args.seeds, args.max_phases, args.vae_epochs, args.reg_epochs,
             args.noise,
         )
+        # every task compiles fresh XLA programs (per-task pool/feature
+        # shapes); without this the in-process executable cache grows
+        # until the LLVM JIT hits OOM (~50-60 tasks on a small host)
+        import jax
+
+        jax.clear_caches()
         if rows:
             all_rows.extend(rows)
+            # append incrementally: a crash or preemption mid-sweep keeps
+            # every completed task's rows (the log is the checkpoint)
+            exists = os.path.exists(args.out_csv)
+            with open(args.out_csv, "a", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+                if not exists:
+                    w.writeheader()
+                w.writerows(rows)
             found = sum(r["found"] for r in rows)
             print(f"  task {i + 1}/{len(tasks)}: top-1 found "
                   f"{found}/{len(rows)} seeds "
@@ -164,12 +178,6 @@ def main():
             print(f"  task {i + 1}/{len(tasks)}: skipped (pool too small)")
 
     if all_rows:
-        exists = os.path.exists(args.out_csv)
-        with open(args.out_csv, "a", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=list(all_rows[0].keys()))
-            if not exists:
-                w.writeheader()
-            w.writerows(all_rows)
         found_rate = np.mean([r["found"] for r in all_rows])
         mean_phase = np.mean([r["phase"] for r in all_rows])
         print(f"swept {len(tasks)} tasks in {time.time() - t0:.0f}s: "
