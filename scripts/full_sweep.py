@@ -85,7 +85,7 @@ def sweep_task(task: SearchTask, work_dir: str, n_states: int,
             feats, labs, measure_size=measure_size, max_phases=max_phases,
             vae_epochs=vae_epochs, reg_epochs=reg_epochs,
             selection=SelectionConfig(num_select=measure_size),
-            sampling_seed=seed,
+            sampling_seed=seed, bucket_shapes=True,
         )
         rows.append({
             "workload_key": task.workload_key[:48],
@@ -154,12 +154,13 @@ def main():
             args.seeds, args.max_phases, args.vae_epochs, args.reg_epochs,
             args.noise,
         )
-        # every task compiles fresh XLA programs (per-task pool/feature
-        # shapes); without this the in-process executable cache grows
-        # until the LLVM JIT hits OOM (~50-60 tasks on a small host)
-        import jax
+        # shape bucketing (bucket_shapes=True) lets tasks share compiled
+        # programs; still drop the executable cache periodically so the
+        # LLVM CPU JIT cannot accumulate to OOM over thousands of tasks
+        if (i + 1) % 64 == 0:
+            import jax
 
-        jax.clear_caches()
+            jax.clear_caches()
         if rows:
             all_rows.extend(rows)
             # append incrementally: a crash or preemption mid-sweep keeps

@@ -276,3 +276,26 @@ def test_active_search_on_device_mesh():
         reg_epochs=60, sampling_seed=3, mesh=mesh,
     )
     assert res.found, (res.phase, res.train_size)
+
+
+def test_active_search_bucketed_shapes():
+    """bucket_shapes pads (candidates -> x256, features -> x8) so a
+    multi-task sweep reuses compiled programs; padding must be masked out
+    of training/selection and the search must still find the optimum."""
+    import numpy as np
+
+    from vae_extent_search_tpu.search.active_loop import run_active_search
+
+    rng = np.random.default_rng(1)
+    n, d = 300, 13  # deliberately non-bucket-aligned
+    feats = rng.integers(1, 64, (n, d)).astype(np.float32)
+    w = rng.normal(size=d).astype(np.float32)
+    labels = (np.log1p(feats) @ w).astype(np.float32)
+
+    res = run_active_search(feats, labels, measure_size=32, max_phases=15,
+                            vae_epochs=30, reg_epochs=50, latent_dim=16,
+                            hidden_dim=64, sampling_seed=2000,
+                            bucket_shapes=True)
+    assert res.found
+    # selected indices never point at padding
+    assert all(0 <= i < n for i in res.selected_order)

@@ -109,7 +109,8 @@ def masked_vae_loss(params: Dict, x: jnp.ndarray, row_mask, key,
 )
 def fit_vae(params: Dict, X_batches: jnp.ndarray, batch_masks: jnp.ndarray,
             X_val: jnp.ndarray, key, beta: float = 0.01,
-            alpha_recon: float = 1.0, lr: float = 1e-3, epochs: int = 500):
+            alpha_recon: float = 1.0, lr: float = 1e-3, epochs: int = 500,
+            X_val_mask: Optional[jnp.ndarray] = None):
     """VAE pretraining as ONE compiled program: scan over epochs of a scan
     over fixed minibatches, tracking best-val params in carry (the
     reference runs a Python loop with early stopping on val loss,
@@ -134,8 +135,10 @@ def fit_vae(params: Dict, X_batches: jnp.ndarray, batch_masks: jnp.ndarray,
             batch_step, (params, opt_state, key), (X_batches, batch_masks)
         )
         val, _ = masked_vae_loss(
-            params, X_val, jnp.ones(X_val.shape[0], bool), None, beta,
-            alpha_recon,
+            params, X_val,
+            jnp.ones(X_val.shape[0], bool) if X_val_mask is None
+            else X_val_mask,
+            None, beta, alpha_recon,
         ) if X_val.shape[0] else (jnp.float32(0.0), None)
         better = val < best_val
         best_params = jax.tree_util.tree_map(
@@ -153,13 +156,16 @@ def fit_vae(params: Dict, X_batches: jnp.ndarray, batch_masks: jnp.ndarray,
     return best_params, best_val, history
 
 
-def batchify(X: jnp.ndarray, batch_size: int):
-    """Pad to a multiple of batch_size and reshape to [nb, B, D] + masks."""
+def batchify(X: jnp.ndarray, batch_size: int, n_valid=None):
+    """Pad to a multiple of batch_size and reshape to [nb, B, D] + masks.
+    ``n_valid`` treats trailing rows beyond it as padding too (bucketed
+    inputs)."""
     n, d = X.shape
     nb = max(1, -(-n // batch_size))
     pad = nb * batch_size - n
     Xp = jnp.concatenate([X, jnp.zeros((pad, d), X.dtype)]) if pad else X
-    mask = jnp.arange(nb * batch_size) < n
+    mask = jnp.arange(nb * batch_size) < (n if n_valid is None else
+                                          min(n, n_valid))
     return Xp.reshape(nb, batch_size, d), mask.reshape(nb, batch_size)
 
 
@@ -167,15 +173,24 @@ def train_vae(key, X_train: jnp.ndarray, X_val: jnp.ndarray,
               latent_dim: int = 64, hidden_dim: int = 256, lr: float = 1e-3,
               beta: float = 0.01, alpha_recon: float = 1.0,
               epochs: int = 500, batch_size: int = 512, patience: int = 30,
-              feature_dim=None, features_train=None, verbose: bool = False):
-    """Full VAE pretraining (one device program; see fit_vae)."""
+              feature_dim=None, features_train=None, verbose: bool = False,
+              n_train_valid: Optional[int] = None,
+              X_val_mask=None):
+    """Full VAE pretraining (one device program; see fit_vae).
+
+    ``n_train_valid`` marks trailing rows of a shape-bucketed X_train as
+    padding (masked out of the loss); ``X_val_mask`` likewise for X_val —
+    fixed bucketed shapes let one compiled program serve every task of a
+    multi-task sweep."""
     input_dim = X_train.shape[-1]
     pkey, tkey = jax.random.split(key)
     params = init_vae_params(pkey, input_dim, latent_dim, hidden_dim,
                              feature_dim)
-    Xb, mb = batchify(jnp.asarray(X_train), batch_size)
+    Xb, mb = batchify(jnp.asarray(X_train), batch_size,
+                      n_valid=n_train_valid)
     best_params, best_val, history = fit_vae(
         params, Xb, mb, jnp.asarray(X_val), tkey, beta=beta,
         alpha_recon=alpha_recon, lr=lr, epochs=epochs,
+        X_val_mask=X_val_mask,
     )
     return best_params, {"best_val": float(best_val), "history": history}

@@ -72,6 +72,7 @@ def run_active_search(
     stop_top_k: int = 1,
     pretrained_vae_params=None,
     mesh=None,
+    bucket_shapes: bool = False,
     verbose: bool = False,
 ) -> ActiveSearchResult:
     """Search until the true-best schedule is measured.
@@ -79,29 +80,39 @@ def run_active_search(
     features: [N, D] raw extent features; labels: [N] (-log mean cost,
     higher is better). With ``mesh``, the candidate axis is sharded over
     the mesh's "data" axis (training + scoring collectives ride ICI).
+    ``bucket_shapes`` pads the feature dim to a multiple of 8 and the
+    candidate axis to a multiple of 256 so a multi-task sweep reuses one
+    compiled program per bucket instead of recompiling per task (padding
+    is masked out of training, selection, and metrics).
     """
     t0 = time.time()
     N = features.shape[0]
     X_scaled, _ = standardize(features)
+    if bucket_shapes:
+        D = X_scaled.shape[1]
+        D_pad = -(-D // 8) * 8
+        if D_pad != D:
+            X_scaled = np.pad(X_scaled, ((0, 0), (0, D_pad - D)))
+    target_n = N
+    if bucket_shapes:
+        target_n = max(256, -(-N // 256) * 256)
+    if mesh is not None:
+        per = mesh.shape["data"]
+        target_n = -(-target_n // per) * per
+    pad = target_n - N
     X = jnp.asarray(X_scaled)
     y_all = jnp.asarray(labels)
+    if pad:
+        X = jnp.concatenate([X, jnp.zeros((pad, X.shape[1]), X.dtype)])
+        y_all = jnp.concatenate(
+            [y_all, jnp.full((pad,), -1e9, y_all.dtype)]
+        )
     if mesh is not None:
         from ..parallel.mesh import shard_batch
 
-        # pad the candidate axis to the mesh's data size
-        per = mesh.shape["data"]
-        pad = (-N) % per
-        if pad:
-            X = jnp.concatenate([X, jnp.zeros((pad, X.shape[1]), X.dtype)])
-            y_all = jnp.concatenate(
-                [y_all, jnp.full((pad,), -1e9, y_all.dtype)]
-            )
         X = shard_batch(X, mesh)
         y_all = shard_batch(y_all, mesh)
-        N_pad = X.shape[0]
-    else:
-        pad = 0
-        N_pad = N
+    N_pad = X.shape[0]
 
     true_best = int(np.argmax(labels))
     true_top_set = set(np.argsort(-labels)[:stop_top_k].tolist())
@@ -113,10 +124,21 @@ def run_active_search(
         split_rng = np.random.default_rng(train_seed)
         perm = split_rng.permutation(N)
         n_tr = int(N * 0.8)
+        X_tr, X_va = X[perm[:n_tr]], X[perm[n_tr:]]
+        n_va = N - n_tr
+        va_mask = None
+        if bucket_shapes:
+            # bucket the val split too (batchify buckets the train side)
+            va_pad = max(256, -(-n_va // 256) * 256) - n_va
+            if va_pad:
+                X_va = jnp.concatenate(
+                    [X_va, jnp.zeros((va_pad, X_va.shape[1]), X_va.dtype)]
+                )
+            va_mask = jnp.arange(X_va.shape[0]) < n_va
         vae_params, _ = train_vae(
-            k_vae, X[perm[:n_tr]], X[perm[n_tr:]], latent_dim=latent_dim,
+            k_vae, X_tr, X_va, latent_dim=latent_dim,
             hidden_dim=hidden_dim, lr=vae_lr, beta=vae_beta,
-            epochs=vae_epochs, verbose=verbose,
+            epochs=vae_epochs, verbose=verbose, X_val_mask=va_mask,
         )
     else:
         vae_params = pretrained_vae_params
