@@ -14,7 +14,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from scripts.common import MEASURE_RECORD_FOLDER, clean_name
+from scripts.common import (
+    MEASURE_RECORD_FOLDER,
+    TO_MEASURE_PROGRAM_FOLDER,
+    clean_name,
+)
 from vae_extent_search_tpu.records import load_records
 from vae_extent_search_tpu.search.measure import (
     AnalyticRunner,
@@ -47,13 +51,23 @@ def remeasure_file(in_file: str, out_file: str, runner, batch: int = 64):
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--in-file", type=str, required=True)
+    p.add_argument("--in-file", type=str, default=None,
+                   help="one to-measure file (else sweep --in-folder)")
+    p.add_argument("--in-folder", type=str,
+                   default=TO_MEASURE_PROGRAM_FOLDER,
+                   help="folder of to-measure files, shardable via "
+                        "--start-idx/--end-idx/--step-idx "
+                        "(reference measure_programs.py:88-91)")
     p.add_argument("--out-file", type=str, default=None)
     p.add_argument("--runner", type=str, default="analytic",
                    choices=["analytic", "replay"])
     p.add_argument("--replay-log", type=str, default=None)
     p.add_argument("--noise", type=float, default=0.3)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--start-idx", type=int, default=0)
+    p.add_argument("--end-idx", type=int, default=None)
+    p.add_argument("--step-idx", type=int, default=1)
     args = p.parse_args()
 
     if args.runner == "analytic":
@@ -61,11 +75,23 @@ def main():
     else:
         runner = RecordReplayRunner(load_records(args.replay_log))
 
-    out = args.out_file or os.path.join(
-        MEASURE_RECORD_FOLDER, os.path.basename(args.in_file)
-    )
-    n = remeasure_file(args.in_file, out, runner)
-    print(f"measured {n} programs -> {out}")
+    if args.in_file:
+        files = [args.in_file]
+    else:
+        import glob
+
+        files = sorted(glob.glob(os.path.join(args.in_folder, "*.json")))
+        end = args.end_idx if args.end_idx is not None else len(files)
+        files = files[args.start_idx:end:args.step_idx]
+        if not files:
+            print(f"no to-measure files under {args.in_folder}")
+            return
+
+    for i, in_file in enumerate(files):
+        out = args.out_file if (args.out_file and len(files) == 1) else \
+            os.path.join(MEASURE_RECORD_FOLDER, os.path.basename(in_file))
+        n = remeasure_file(in_file, out, runner, batch=args.batch_size)
+        print(f"[{i + 1}/{len(files)}] measured {n} programs -> {out}")
 
 
 if __name__ == "__main__":

@@ -78,11 +78,14 @@ def make_model(spec: str, in_dim: int):
 
 
 def train_zero_shot(dataset: Dataset, models: str, split_scheme: str,
-                    seed: int = 0, verbose: bool = False):
+                    seed: int = 0, verbose: bool = False,
+                    train_ratio: float = 0.9):
     if split_scheme == "within_task":
-        train_set, test_set = dataset.random_split_within_task(0.9, seed=seed)
+        train_set, test_set = dataset.random_split_within_task(
+            train_ratio, seed=seed)
     elif split_scheme == "by_task":
-        train_set, test_set = dataset.random_split_by_task(0.9, seed=seed)
+        train_set, test_set = dataset.random_split_by_task(
+            train_ratio, seed=seed)
     elif split_scheme == "by_target":
         targets = sorted({t.target for t in dataset.tasks()})
         train_set, test_set = dataset.random_split_by_target(targets[:-1])
@@ -121,6 +124,7 @@ def main():
     p.add_argument("--split-scheme", type=str, default="within_task",
                    choices=["within_task", "by_task", "by_target"])
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--train-ratio", type=float, default=0.9)
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args()
 
@@ -129,7 +133,7 @@ def main():
         with open(path, "rb") as f:
             dataset.update_from_dataset(pickle.load(f))
     train_zero_shot(dataset, args.models, args.split_scheme, args.seed,
-                    args.verbose)
+                    args.verbose, train_ratio=args.train_ratio)
 
 
 if __name__ == "__main__":

@@ -33,14 +33,17 @@ def tune_and_evaluate(network, batch_size, image_size, target, log_file,
                       num_measure_trials, strategy="gradient",
                       runner=None, result_file="results.tsv",
                       search_policy="sketch", load_model=None,
-                      use_transfer=False):
+                      use_transfer=False, continue_tuning=False,
+                      eval_only=False, num_measures_per_round=16,
+                      early_stopping=-1):
     tasks, task_weights = get_network_tasks(network, batch_size, image_size,
                                             target)
     print(f"extracted {len(tasks)} tasks for {network}")
 
     tune_option = TuningOptions(
         num_measure_trials=num_measure_trials,
-        num_measures_per_round=16,
+        num_measures_per_round=num_measures_per_round,
+        early_stopping=early_stopping,
         builder=EmptyBuilder(),
         runner=runner or AnalyticRunner(noise=0.2),
         measure_callbacks=[RecordToFile(log_file)],
@@ -49,8 +52,18 @@ def tune_and_evaluate(network, batch_size, image_size, target, log_file,
         tasks, task_weights, strategy=strategy,
         callbacks=[PrintTableInfo(), LogEstimatedLatency()],
     )
+    if continue_tuning and os.path.exists(log_file):
+        # resume from the append-only log (reference --continue-tuning:
+        # PreloadMeasuredStates + _restore_status)
+        from vae_extent_search_tpu.search.task_scheduler import (
+            restore_status_from_log,
+        )
+
+        restore_status_from_log(scheduler, log_file)
     t0 = time.time()
-    if use_transfer:
+    if eval_only:
+        pass  # skip tuning; estimate from the existing log below
+    elif use_transfer:
         # transfer-tune: tune half, refit the shared model, tune the rest
         # (reference task_scheduler.py:498-583)
         from vae_extent_search_tpu.search.task_scheduler import (
@@ -95,6 +108,12 @@ def main():
     p.add_argument("--load-model", type=str, default=None,
                    help="pretrained cost-model pickle for sketch.<model>")
     p.add_argument("--transfer-tune", action="store_true")
+    p.add_argument("--continue-tuning", action="store_true",
+                   help="resume search state from an existing log")
+    p.add_argument("--eval-only", action="store_true",
+                   help="skip tuning; evaluate latency from the log")
+    p.add_argument("--num-measures-per-round", type=int, default=16)
+    p.add_argument("--early-stopping", type=int, default=-1)
     args = p.parse_args()
 
     log_file = args.log_file or (
@@ -105,6 +124,9 @@ def main():
         log_file, args.num_measure_trials, args.strategy,
         search_policy=args.search_policy, load_model=args.load_model,
         use_transfer=args.transfer_tune,
+        continue_tuning=args.continue_tuning, eval_only=args.eval_only,
+        num_measures_per_round=args.num_measures_per_round,
+        early_stopping=args.early_stopping,
     )
 
 

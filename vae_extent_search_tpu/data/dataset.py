@@ -132,9 +132,15 @@ class Dataset:
 
 def make_dataset_from_log_file(log_files, out_file: str,
                                min_sample_size: int = 48,
-                               verbose: int = 1, n_threads: int = 1):
+                               verbose: int = 1, n_threads: int = 1,
+                               exclude_workload_keys=None,
+                               max_records_per_file=None):
     """Featurize measure-record logs into a Dataset pickle, with per-file
-    feature caches (reference dataset.py:214-287)."""
+    feature caches (reference dataset.py:214-287).
+
+    ``exclude_workload_keys``: workload keys to drop (the reference's
+    hold-out sets, make_dataset.py:24-59); ``max_records_per_file``
+    caps records per log (the reference's --n-measurement)."""
     from ..features.per_store import get_per_store_features_from_file
 
     cache_folder = ".dataset_cache"
@@ -144,8 +150,9 @@ def make_dataset_from_log_file(log_files, out_file: str,
     dataset.raw_files = list(log_files)
     for filename in dataset.raw_files:
         assert os.path.exists(filename), f"{filename} does not exist"
+        cap = f".n{max_records_per_file}" if max_records_per_file else ""
         cache_file = os.path.join(
-            cache_folder, filename.replace("/", "_") + ".feature_cache"
+            cache_folder, filename.replace("/", "_") + cap + ".feature_cache"
         )
         if os.path.exists(cache_file):
             if verbose:
@@ -163,6 +170,8 @@ def make_dataset_from_log_file(log_files, out_file: str,
                 from ..records.serde import load_records
 
                 records = load_records(filename)
+            if max_records_per_file:
+                records = records[:max_records_per_file]
             inputs = [r.inp for r in records]
             results = [r.res for r in records]
             from ..features.per_store import (
@@ -188,6 +197,9 @@ def make_dataset_from_log_file(log_files, out_file: str,
 
         feature_list, task_ids = features
         for tid, task in enumerate(task_keys):
+            if exclude_workload_keys is not None and \
+                    task.workload_key in exclude_workload_keys:
+                continue
             sel = [i for i, t in enumerate(task_ids) if t == tid]
             if len(sel) < min_sample_size:
                 continue
