@@ -64,7 +64,7 @@ def make_model(spec: str, in_dim: int):
         from vae_extent_search_tpu.models.gbdt import RandomModelInternal
 
         return RandomModelInternal()
-    if kind == "gbdt":
+    if kind in ("gbdt", "xgb"):
         from vae_extent_search_tpu.models.gbdt import GBDTModelInternal
 
         return GBDTModelInternal()
@@ -97,8 +97,17 @@ def train_zero_shot(dataset: Dataset, models: str, split_scheme: str,
     print(f"Test set:  {len(test_set)} samples / "
           f"{len(test_set.tasks())} tasks")
 
+    _KINDS = {"mlp", "gbdt", "xgb", "lgb", "random", "lstm", "mha",
+              "tabnet"}
+    specs = models.split(",")
+    if len(specs) == 1 and "@" in models and \
+            all(part in _KINDS for part in models.split("@")):
+        # reference separator: --models mlp@xgb trains two models
+        # (train_model.py:113); '@' otherwise selects the mlp loss
+        specs = models.split("@")
+
     results = {}
-    for name in models.split(","):
+    for name in specs:
         feats, labels, _ = train_set.flatten()
         in_dim = feats[0].shape[1] if feats else 164
         model = make_model(name, in_dim)
