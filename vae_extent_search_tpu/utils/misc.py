@@ -114,6 +114,30 @@ class PathManager:
             os.makedirs(d, exist_ok=True)
         return self
 
+    # -- cached task lists (reference util_manager.py:183-210:
+    #    tasks_pkl_check / save / use) --
+    def tasks_pkl_check(self) -> bool:
+        return os.path.exists(self.task_pkl())
+
+    def tasks_pkl_save(self, tasks, weights):
+        import pickle
+
+        self.makedirs()
+        with open(self.task_pkl(), "wb") as f:
+            pickle.dump(([t.to_record() for t in tasks], list(weights)), f)
+
+    def tasks_pkl_use(self):
+        """(tasks, weights) from the cache, or None."""
+        import pickle
+
+        if not self.tasks_pkl_check():
+            return None
+        from ..records.task import SearchTask
+
+        with open(self.task_pkl(), "rb") as f:
+            recs, weights = pickle.load(f)
+        return [SearchTask.from_record(r) for r in recs], weights
+
 
 class RotatingLog:
     """Size-capped debug log (reference util_manager.py:217-258
