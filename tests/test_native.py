@@ -313,6 +313,10 @@ def test_native_survives_corrupt_streams():
     ("min_nm_auto_scheduler_test", (32, 512)),
     ("softmax_abcd_auto_scheduler_test", (1, 4, 64, 64)),
     ("depthwise_conv2d_layer", (1, 14, 14, 96, 3, 3, [1, 1], [1, 1])),
+    ("batch_matmul", (4, 64, 64, 32)),
+    ("group_conv2d_layer", (1, 14, 14, 64, 64, 3, 3, 1, 1, 8)),
+    ("conv2d_transpose_layer", (1, 8, 8, 64, 128, 4, 4, 2, 1)),
+    ("avg_pool2d_layer", (1, 14, 14, 64, 7, 1, 0)),
 ])
 @pytest.mark.parametrize("target", ["llvm -mcpu=skylake-avx512", "cuda"])
 def test_native_workload_families_golden(wk, args, target):

@@ -116,10 +116,10 @@ _MOBILENET_V3_DEPTHWISE = [
 # (hidden_size, num_hidden_layers) per reference
 # dump_network_info.py:66-75 config_dict; intermediate_size = 4*hidden
 _BERT_DIMS = {
-    "tiny": (512, 6),
-    "base": (768, 12),
-    "medium": (1024, 12),
-    "large": (1024, 24),
+    "tiny": (512, 6, 8),
+    "base": (768, 12, 12),
+    "medium": (1024, 12, 16),
+    "large": (1024, 24, 16),
 }
 
 
@@ -130,13 +130,64 @@ def _bert_matmuls(seq_length: int, hidden: int, layers: int):
         (seq_length, 4 * hidden, hidden, layers),
     ]
 
-# dcgan-style generator convs (as plain convs on the upsampled sizes)
-_DCGAN_CONVS = [
-    (4, 4, 512, 1024, 4, 4, 1, 1, 1),
-    (8, 8, 256, 512, 4, 4, 1, 1, 1),
-    (16, 16, 128, 256, 4, 4, 1, 1, 1),
-    (32, 32, 64, 128, 4, 4, 1, 1, 1),
-    (64, 64, 3, 64, 4, 4, 1, 1, 1),
+
+def _bert_batch_matmuls(seq_length: int, hidden: int, layers: int,
+                        heads: int):
+    """The attention score (QK^T) and context (SV) batched matmuls —
+    relay extracts these as topi batch_matmul with the head axis folded
+    into the batch (reference python/tvm/topi/nn/batch_matmul.py:24)."""
+    head_dim = hidden // heads
+    return [
+        # (B_factor, N, M, K, weight): scores = Q[s,d] @ K[s,d]^T
+        (heads, seq_length, seq_length, head_dim, layers),
+        # context = S[s,s] @ V[s,d]^T (relay transposes V for NT matmul)
+        (heads, seq_length, head_dim, seq_length, layers),
+    ]
+
+
+# dcgan generator (relay/testing/dcgan.py get_net, ngf=128, 64x64 base):
+# dense code->8192 then four 4x4/stride-2 transposed convs; entries are
+# (H_in, W_in, CO, CI) per deconv stage at the 64-px base size.
+_DCGAN_TCONVS = [
+    (4, 4, 512, 1024),
+    (8, 8, 256, 512),
+    (16, 16, 128, 256),
+    (32, 32, 3, 128),
+]
+
+# resnext50_32x4d: the bottleneck 3x3 convs are 32-group convolutions
+# (torchvision resnext50_32x4d; reference dump_network_info.py:36-37);
+# entries (H, W, C, stride, weight) with CO=CI=C, k3 p1 g32
+_RESNEXT50_GROUP_CONVS = [
+    (56, 56, 128, 1, 3),
+    (56, 56, 256, 2, 1),
+    (28, 28, 256, 1, 3),
+    (28, 28, 512, 2, 1),
+    (14, 14, 512, 1, 5),
+    (14, 14, 1024, 2, 1),
+    (7, 7, 1024, 1, 2),
+]
+
+# resnext50_32x4d plain convs: stem + bottleneck 1x1 reduce/expand +
+# downsample projections (H, W, CO, CI, KH, KW, stride, pad, weight)
+_RESNEXT50_CONVS = [
+    (224, 224, 64, 3, 7, 7, 2, 3, 1),
+    (56, 56, 128, 64, 1, 1, 1, 0, 1),
+    (56, 56, 128, 256, 1, 1, 1, 0, 2),
+    (56, 56, 256, 128, 1, 1, 1, 0, 3),
+    (56, 56, 256, 64, 1, 1, 1, 0, 1),
+    (56, 56, 256, 256, 1, 1, 1, 0, 1),
+    (28, 28, 256, 512, 1, 1, 1, 0, 3),
+    (28, 28, 512, 256, 1, 1, 1, 0, 4),
+    (56, 56, 512, 256, 1, 1, 2, 0, 1),
+    (28, 28, 512, 512, 1, 1, 1, 0, 1),
+    (14, 14, 512, 1024, 1, 1, 1, 0, 5),
+    (14, 14, 1024, 512, 1, 1, 1, 0, 6),
+    (28, 28, 1024, 512, 1, 1, 2, 0, 1),
+    (14, 14, 1024, 1024, 1, 1, 1, 0, 1),
+    (7, 7, 1024, 2048, 1, 1, 1, 0, 2),
+    (7, 7, 2048, 1024, 1, 1, 1, 0, 3),
+    (14, 14, 2048, 1024, 1, 1, 2, 0, 1),
 ]
 
 
@@ -224,7 +275,7 @@ NETWORK_CONVS = {
     "mobilenet_v3": _MOBILENET_V3_CONVS,
     "inception_v3": _INCEPTION_V3_CONVS,
     "densenet_121": _DENSENET_121_CONVS,
-    "dcgan": _DCGAN_CONVS,
+    "resnext_50": _RESNEXT50_CONVS,
 }
 
 
@@ -264,7 +315,7 @@ def get_network_tasks(name: str, batch_size: int = 1, image_size: int = 224,
     tasks, weights = [], []
     if name.startswith("bert_"):
         # image_size carries the sequence length for bert grid keys
-        hidden, n_layers = _BERT_DIMS[name.split("_", 1)[1]]
+        hidden, n_layers, n_heads = _BERT_DIMS[name.split("_", 1)[1]]
         # 224 is the image-size default sentinel; bert keys carry the
         # sequence length in that slot
         seq = 128 if image_size == 224 else image_size
@@ -275,6 +326,33 @@ def get_network_tasks(name: str, batch_size: int = 1, image_size: int = 224,
             )
             tasks.append(SearchTask(key, target))
             weights.append(float(wt))
+        for (b_fac, n, m, k, wt) in _bert_batch_matmuls(
+                seq, hidden, n_layers, n_heads):
+            key = make_workload_key(
+                "batch_matmul", (batch_size * b_fac, n, m, k, "float32")
+            )
+            tasks.append(SearchTask(key, target))
+            weights.append(float(wt))
+        return tasks, weights
+
+    if name == "dcgan":
+        # relay/testing/dcgan.py generator: dense + 4 transposed convs;
+        # non-default image sizes scale the spatial grid (base 64)
+        base_size = 64 if image_size == 224 else image_size
+        bs4 = max(1, base_size // 16)
+        key = make_workload_key(
+            "matmul_add", (batch_size, 100, bs4 * bs4 * 1024, "float32")
+        )
+        tasks.append(SearchTask(key, target))
+        weights.append(1.0)
+        for i, (h, w, co, ci) in enumerate(_DCGAN_TCONVS):
+            h2, w2 = bs4 * (h // 4), bs4 * (w // 4)
+            key = make_workload_key(
+                "conv2d_transpose_layer",
+                (batch_size, h2, w2, co, ci, 4, 4, [2, 2], [1, 1]),
+            )
+            tasks.append(SearchTask(key, target))
+            weights.append(1.0)
         return tasks, weights
 
     if name in ("resnet3d_18",):
@@ -293,12 +371,10 @@ def get_network_tasks(name: str, batch_size: int = 1, image_size: int = 224,
             weights.append(float(wt))
         return tasks, weights
 
-    base = NETWORK_CONVS.get(name.replace("resnext_50", "resnet_50"))
-    if base is None:
-        base = NETWORK_CONVS.get(name)
+    base = NETWORK_CONVS.get(name)
     if base is None:
         raise ValueError(f"unknown network {name}")
-    base_size = {"inception_v3": 299, "dcgan": 64}.get(name, 224)
+    base_size = {"inception_v3": 299}.get(name, 224)
     if image_size == 224 and base_size != 224:
         image_size = base_size  # default size means the family's native one
     convs = _scale_hw(base, image_size, base_size)
@@ -308,6 +384,17 @@ def get_network_tasks(name: str, batch_size: int = 1, image_size: int = 224,
         )
         tasks.append(SearchTask(key, target))
         weights.append(float(wt))
+    if name == "resnext_50":
+        scale = image_size / 224.0
+        for (h, w, c, s, wt) in _RESNEXT50_GROUP_CONVS:
+            h2 = max(1, int(round(h * scale)))
+            w2 = max(1, int(round(w * scale)))
+            key = make_workload_key(
+                "group_conv2d_layer",
+                (batch_size, h2, w2, c, c, 3, 3, [s, s], [1, 1], 32),
+            )
+            tasks.append(SearchTask(key, target))
+            weights.append(float(wt))
     if name in ("mobilenet_v2", "mobilenet_v3"):
         scale = image_size / 224.0
         dw = _MOBILENET_V2_DEPTHWISE if name == "mobilenet_v2" \

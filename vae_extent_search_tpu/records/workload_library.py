@@ -380,6 +380,160 @@ def depthwise_conv2d_layer(N, H, W, C, KH, KW, stride, padding):
 
 
 @register_workload
+def batch_matmul(B, N, M, K, dtype="float32"):
+    """Batched matmul with the second operand transposed — topi
+    batch_matmul semantics (reference python/tvm/topi/nn/batch_matmul.py:24-81:
+    out[b, i, j] = sum_k x[b, i, k] * y[b, j, k]). The bert attention
+    score/context matmuls extract as this op under relay."""
+    X = placeholder((B, N, K), name="X", dtype=dtype)
+    Y = placeholder((B, M, K), name="Y", dtype=dtype)
+    k = reduce_axis(K, "k")
+    out = compute(
+        (B, N, M),
+        lambda b, i, j: sum_reduce(
+            X[b.var, i.var, k.var] * Y[b.var, j.var, k.var], [k]
+        ),
+        "T_batch_matmul_NT",
+    )
+    return [X, Y, out]
+
+
+@register_workload
+def group_conv2d_layer(N, H, W, CO, CI, KH, KW, stride, padding, groups):
+    """Grouped convolution (NCHW) + bias + relu — topi group_conv2d_nchw
+    semantics (reference python/tvm/topi/nn/conv2d.py:798-870: output
+    channel ff reads input-channel block ff//(CO//G)*(CI//G)+rc). The
+    resnext-family 3x3 layers extract as this op."""
+    data = placeholder((N, CI, H, W), name="data")
+    kernel = placeholder((CO, CI // groups, KH, KW), name="kernel")
+    bias = placeholder((1, CO, 1, 1), name="bias")
+    s = stride if isinstance(stride, int) else stride[0]
+    p = padding if isinstance(padding, int) else padding[0]
+    OH = (H + 2 * p - KH) // s + 1
+    OW = (W + 2 * p - KW) // s + 1
+    pad = _pad_nchw(data, p)
+    ci_per_group = CI // groups
+    co_per_group = CO // groups
+    rc = reduce_axis(ci_per_group, "rc")
+    ry = reduce_axis(KH, "ry")
+    rx = reduce_axis(KW, "rx")
+
+    def fconv(nn, ff, yy, xx):
+        return sum_reduce(
+            pad[
+                nn.var,
+                ff.var // co_per_group * ci_per_group + rc.var,
+                yy.var * s + ry.var,
+                xx.var * s + rx.var,
+            ]
+            * kernel[ff.var, rc.var, ry.var, rx.var],
+            [rc, ry, rx],
+        )
+
+    conv = compute((N, CO, OH, OW), fconv, "group_conv2d_nchw")
+    add = compute(
+        conv.shape,
+        lambda n, c, h, w: conv[n.var, c.var, h.var, w.var]
+        + bias[0, c.var, 0, 0],
+        "T_add",
+    )
+    out = compute(
+        add.shape,
+        lambda n, c, h, w: E.Max(add[n.var, c.var, h.var, w.var],
+                                 E.FloatImm(0.0)),
+        "T_relu",
+    )
+    return [data, kernel, bias, out]
+
+
+@register_workload
+def conv2d_transpose_layer(N, H, W, CO, CI, KH, KW, stride, padding):
+    """Transposed convolution (NCHW) — topi conv2d_transpose_nchw
+    semantics (reference python/tvm/topi/nn/conv2d_transpose.py:61-117):
+    stride-dilate the input, border-pad by KH-1-p, rotate the IOHW kernel
+    180 degrees, then stride-1 convolve. The dcgan generator layers
+    extract as this op."""
+    data = placeholder((N, CI, H, W), name="data")
+    kernel = placeholder((CI, CO, KH, KW), name="kernel")
+    s = stride if isinstance(stride, int) else stride[0]
+    p = padding if isinstance(padding, int) else padding[0]
+
+    DH, DW = (H - 1) * s + 1, (W - 1) * s + 1
+    if s == 1:
+        dilate = data
+    else:
+        def fdilate(n, c, h, w):
+            keep = E.And((
+                (h.var % s).equal(0),
+                (w.var % s).equal(0),
+            ))
+            return E.Select(
+                keep,
+                data[n.var, c.var, h.var // s, w.var // s],
+                E.FloatImm(0.0),
+            )
+
+        dilate = compute((N, CI, DH, DW), fdilate, "data_dilate")
+
+    bp = KH - 1 - p  # border pad (assumes square kernel/pad like dcgan)
+    pad = _pad_nchw(dilate, bp, name="data_pad")
+
+    ktrans = compute(
+        (CO, CI, KH, KW),
+        lambda o, i, h, w: kernel[i.var, o.var, KH - 1 - h.var,
+                                  KW - 1 - w.var],
+        "kernel_transform",
+    )
+
+    OH = DH + 2 * bp - KH + 1
+    OW = DW + 2 * bp - KW + 1
+    dc = reduce_axis(CI, "dc")
+    dh = reduce_axis(KH, "dh")
+    dw = reduce_axis(KW, "dw")
+    out = compute(
+        (N, CO, OH, OW),
+        lambda b, c, h, w: sum_reduce(
+            pad[b.var, dc.var, h.var + dh.var, w.var + dw.var]
+            * ktrans[c.var, dc.var, dh.var, dw.var],
+            [dc, dh, dw],
+        ),
+        "conv2d_transpose_nchw",
+    )
+    return [data, kernel, out]
+
+
+@register_workload
+def avg_pool2d_layer(N, H, W, C, kernel, stride, padding):
+    """Average pooling (NCHW) — topi pool avg semantics (sum over the
+    window / window size; count_include_pad=True form)."""
+    data = placeholder((N, C, H, W), name="data")
+    k = kernel
+    s = stride if isinstance(stride, int) else stride[0]
+    p = padding if isinstance(padding, int) else padding[0]
+    OH = (H + 2 * p - k) // s + 1
+    OW = (W + 2 * p - k) // s + 1
+    pad = _pad_nchw(data, p) if p else data
+    ry = reduce_axis(k, "ry")
+    rx = reduce_axis(k, "rx")
+    psum = compute(
+        (N, C, OH, OW),
+        lambda n, c, h, w: sum_reduce(
+            pad[n.var, c.var, h.var * s + ry.var, w.var * s + rx.var],
+            [ry, rx],
+        ),
+        "pool_sum",
+    )
+    inv = 1.0 / float(k * k)
+    out = compute(
+        (N, C, OH, OW),
+        lambda n, c, h, w: psum[n.var, c.var, h.var, w.var]
+        * E.FloatImm(inv),
+        "pool_avg",
+    )
+    return [data, out]
+
+
+@register_workload
 def sparse_dense(M, N, K, w_data_shape, w_indices_shape, w_indptr_shape,
                  dtype="float32"):
     """Block-CSR sparse matmul + bias + relu.
