@@ -142,3 +142,58 @@ def test_command_runner_external_adapter(tmp_path):
     assert len(results) == len(states)
     assert results[0].error_no == 0 and results[0].mean_cost > 0
     assert results[1].error_no != 0  # the "error" line
+
+
+def test_network_grid_tasks_buildable():
+    """The benchmark grid covers every reference family, each family's
+    task list includes its non-conv head ops (reference relay extraction
+    yields dense/pool tasks too, dump_network_info.py:21-62), and every
+    distinct workload kind in the grid reconstructs into a ComputeDAG."""
+    import json
+
+    from vae_extent_search_tpu.records.networks import (
+        build_network_keys,
+        get_network_tasks,
+    )
+    from vae_extent_search_tpu.ir.dag import ComputeDAG
+    from vae_extent_search_tpu.records.workload import (
+        workload_key_to_tensors,
+    )
+
+    keys = build_network_keys()
+    assert len(keys) == 108
+    families = {name for name, _ in keys}
+    assert families == {
+        "resnet_18", "resnet_50", "mobilenet_v2", "mobilenet_v3",
+        "wide_resnet_50", "resnext_50", "inception_v3", "densenet_121",
+        "resnet3d_18", "bert_tiny", "bert_base", "bert_medium",
+        "bert_large", "dcgan",
+    }
+
+    expect_kinds = {
+        "resnet_50": {"conv2d_layer", "max_pool2d_layer",
+                      "avg_pool2d_layer", "matmul_add"},
+        "resnext_50": {"conv2d_layer", "group_conv2d_layer",
+                       "max_pool2d_layer", "avg_pool2d_layer",
+                       "matmul_add"},
+        "mobilenet_v3": {"conv2d_layer", "depthwise_conv2d_layer",
+                         "avg_pool2d_layer", "matmul_add"},
+        "dcgan": {"matmul_add", "conv2d_transpose_layer"},
+        "bert_base": {"matmul_add", "batch_matmul"},
+    }
+    seen_wkeys = set()
+    for name, (bs, size) in keys:
+        tasks, weights = get_network_tasks(name, bs, size, "llvm")
+        assert len(tasks) == len(weights) > 0
+        kinds = {json.loads(t.workload_key)[0] for t in tasks}
+        if name in expect_kinds:
+            assert kinds == expect_kinds[name], (name, kinds)
+        seen_wkeys.update(t.workload_key for t in tasks)
+
+    distinct_kinds = {}
+    for wk in seen_wkeys:
+        distinct_kinds.setdefault(json.loads(wk)[0], wk)
+    assert len(distinct_kinds) >= 8
+    for kind, wk in sorted(distinct_kinds.items()):
+        dag = ComputeDAG(workload_key_to_tensors(wk))
+        assert dag.flop_ct > 0, kind

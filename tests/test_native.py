@@ -317,6 +317,7 @@ def test_native_survives_corrupt_streams():
     ("group_conv2d_layer", (1, 14, 14, 64, 64, 3, 3, 1, 1, 8)),
     ("conv2d_transpose_layer", (1, 8, 8, 64, 128, 4, 4, 2, 1)),
     ("avg_pool2d_layer", (1, 14, 14, 64, 7, 1, 0)),
+    ("max_pool2d_layer", (1, 112, 112, 64, 3, 2, 1)),
 ])
 @pytest.mark.parametrize("target", ["llvm -mcpu=skylake-avx512", "cuda"])
 def test_native_workload_families_golden(wk, args, target):

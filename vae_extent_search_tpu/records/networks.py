@@ -408,4 +408,67 @@ def get_network_tasks(name: str, batch_size: int = 1, image_size: int = 224,
             )
             tasks.append(SearchTask(key, target))
             weights.append(float(wt))
+    for key in _head_task_keys(name, batch_size, image_size):
+        tasks.append(SearchTask(key, target))
+        weights.append(1.0)
     return tasks, weights
+
+
+# per-family (stem_maxpool?, feat_channels, extra_dense_in) for the
+# non-conv tasks relay extraction also yields: stem max pool, global
+# average pool, classifier dense(s) (torchvision model heads)
+_NETWORK_HEADS = {
+    "resnet_18": (True, 512, None),
+    "resnet_50": (True, 2048, None),
+    "wide_resnet_50": (True, 2048, None),
+    "resnext_50": (True, 2048, None),
+    "mobilenet_v2": (False, 1280, None),
+    # mbv3-large: features end at 960, avgpool, dense 960->1280, 1280->1000
+    "mobilenet_v3": (False, 960, 1280),
+    "inception_v3": (False, 2048, None),
+    "densenet_121": (True, 1024, None),
+}
+
+# densenet transition layers: 2x2/stride-2 average pools after each
+# dense block (torchvision densenet121 _Transition); (H, C) at 224 px
+_DENSENET_TRANSITION_POOLS = [(56, 128), (28, 256), (14, 512)]
+
+
+def _head_task_keys(name: str, batch_size: int, image_size: int):
+    """Workload keys for the non-conv layers of a conv-family network:
+    stem max pool, global average pool, and the classifier matmul(s).
+    Mirrors what the reference's relay task extraction yields beyond
+    convolutions (dump_network_info.py get_network_with_key builds the
+    full torchvision graph; complex reduce ops become their own tasks)."""
+    head = _NETWORK_HEADS.get(name)
+    if head is None:
+        return
+    stem_pool, feat_ch, extra_dense = head
+    base = 299 if name == "inception_v3" else 224
+    scale = image_size / float(base)
+    if stem_pool:
+        # 3x3/stride-2/pad-1 max pool on the post-stem 112-px, 64-ch map
+        h = max(1, int(round(112 * scale)))
+        yield make_workload_key(
+            "max_pool2d_layer", (batch_size, h, h, 64, 3, 2, 1)
+        )
+    if name == "densenet_121":
+        for (h, c) in _DENSENET_TRANSITION_POOLS:
+            h2 = max(1, int(round(h * scale)))
+            yield make_workload_key(
+                "avg_pool2d_layer", (batch_size, h2, h2, c, 2, 2, 0)
+            )
+    # global average pool over the final feature map (7 px at 224 base,
+    # 8 px at 299) then the classifier dense to 1000 classes
+    fs = max(1, int(round((8 if base == 299 else 7) * scale)))
+    yield make_workload_key(
+        "avg_pool2d_layer", (batch_size, fs, fs, feat_ch, fs, 1, 0)
+    )
+    if extra_dense is not None:
+        yield make_workload_key(
+            "matmul_add", (batch_size, feat_ch, extra_dense, "float32")
+        )
+        feat_ch = extra_dense
+    yield make_workload_key(
+        "matmul_add", (batch_size, feat_ch, 1000, "float32")
+    )

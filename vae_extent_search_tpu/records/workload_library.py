@@ -503,6 +503,32 @@ def conv2d_transpose_layer(N, H, W, CO, CI, KH, KW, stride, padding):
 
 
 @register_workload
+def max_pool2d_layer(N, H, W, C, kernel, stride, padding):
+    """Max pooling (NCHW) with a real kernel/stride — topi pool max
+    semantics. The resnet-family stem 3x3/stride-2 max pool extracts as
+    this op (the 2x2/stride-1 max_pool2d_auto_scheduler_test above is
+    the reference's toy fixture, not a network layer)."""
+    data = placeholder((N, C, H, W), name="data")
+    k = kernel
+    s = stride if isinstance(stride, int) else stride[0]
+    p = padding if isinstance(padding, int) else padding[0]
+    OH = (H + 2 * p - k) // s + 1
+    OW = (W + 2 * p - k) // s + 1
+    pad = _pad_nchw(data, p) if p else data
+    ry = reduce_axis(k, "ry")
+    rx = reduce_axis(k, "rx")
+    out = compute(
+        (N, C, OH, OW),
+        lambda n, c, h, w: max_reduce(
+            pad[n.var, c.var, h.var * s + ry.var, w.var * s + rx.var],
+            [ry, rx],
+        ),
+        "pool_max",
+    )
+    return [data, out]
+
+
+@register_workload
 def avg_pool2d_layer(N, H, W, C, kernel, stride, padding):
     """Average pooling (NCHW) — topi pool avg semantics (sum over the
     window / window size; count_include_pad=True form)."""
