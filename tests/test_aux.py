@@ -197,3 +197,29 @@ def test_network_grid_tasks_buildable():
     for kind, wk in sorted(distinct_kinds.items()):
         dag = ComputeDAG(workload_key_to_tensors(wk))
         assert dag.flop_ct > 0, kind
+
+
+def test_tenset_relay_hash_reconstruction_real_tasklist():
+    """Every task of the reference's shipped real resnet-50 TenSet task
+    list (scripts/ansor_tasks_pkl, relay-hash workload keys) reconstructs
+    into a buildable ComputeDAG via the shape-signature inference
+    (records/tenset_workloads.py)."""
+    import json
+    import re
+
+    from vae_extent_search_tpu.ir.dag import ComputeDAG
+    from vae_extent_search_tpu.records.tenset_workloads import (
+        infer_tenset_workload,
+    )
+
+    pkl = ("/root/reference/scripts/ansor_tasks_pkl/"
+           "resnet_50-(1,224,224,3).pkl")
+    raw = open(pkl, "rb").read().decode("latin1")
+    keys = re.findall(r'\["[0-9a-f]{32}", [0-9, ]+\]', raw)
+    assert len(keys) == 29
+    for k in keys:
+        parts = json.loads(k)
+        tensors = infer_tenset_workload(parts[0], parts[1:])
+        assert tensors is not None, k
+        dag = ComputeDAG(tensors)
+        assert dag.flop_ct > 0, k
