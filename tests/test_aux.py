@@ -223,3 +223,55 @@ def test_tenset_relay_hash_reconstruction_real_tasklist():
         assert tensors is not None, k
         dag = ComputeDAG(tensors)
         assert dag.flop_ct > 0, k
+
+
+@pytest.mark.parametrize("name,args", [
+    # mobilenet depthwise 3x3 (kernel HWC1 + bias + relu group)
+    ("depthwise", [1, 112, 112, 32, 3, 3, 32, 1, 1, 1, 1, 32,
+                   1, 112, 112, 32]),
+    # resnext 3x3 g32 grouped conv (kernel HWIO with I = CI/G)
+    ("group", [1, 56, 56, 128, 3, 3, 4, 128, 1, 1, 1, 128,
+               1, 56, 56, 128]),
+    # dcgan 4x4/s2 transposed conv (upsampling conv group)
+    ("tconv", [1, 8, 8, 512, 4, 4, 512, 256, 1, 1, 1, 256,
+               1, 16, 16, 256]),
+    # bert attention batched NT matmul (three 3-d shapes)
+    ("bmm", [12, 128, 64, 12, 128, 64, 12, 128, 128]),
+    # stem max pool: 1x1x1xC extra is a bias, NOT a group-conv kernel
+    ("pool", [1, 112, 112, 64, 1, 1, 1, 64, 1, 56, 56, 64]),
+])
+def test_tenset_reconstruction_op_families(name, args):
+    """Shape-signature inference distinguishes depthwise / grouped /
+    transposed convs and batched matmuls (the mobilenet / resnext /
+    dcgan / bert relay groups) and the result sketches + featurizes."""
+    import json
+
+    import numpy as np
+
+    from vae_extent_search_tpu.features.per_store import (
+        get_per_store_features_from_states,
+    )
+    from vae_extent_search_tpu.ir.dag import ComputeDAG
+    from vae_extent_search_tpu.records.tenset_workloads import (
+        infer_tenset_workload,
+    )
+
+    expect_op = {
+        "depthwise": "DepthwiseConv2d",
+        "group": "group_conv2d_nhwc",
+        "tconv": "conv2d_transpose_nhwc",
+        "bmm": "T_batch_matmul_NT",
+        "pool": "pool_max",
+    }[name]
+    tensors = infer_tenset_workload("0" * 32, args)
+    assert tensors is not None
+    ops = [getattr(op, "name", "?") for op in ComputeDAG(tensors).ops]
+    assert expect_op in ops, ops
+
+    wk = json.dumps(["0" * 32] + args)
+    task = SearchTask(wk, TGT)
+    states = make_states(task, 4, evo_population=8, min_population=2,
+                         seed=5)
+    assert states
+    feats = get_per_store_features_from_states(states, task)
+    assert all(np.isfinite(f).all() for f in feats)

@@ -311,6 +311,146 @@ def softmax_chain(data_shape) -> List[Tensor]:
     return [A, out]
 
 
+def _infer_conv_stride_pad(H, KH, OH, strides=(1, 2, 3, 4)):
+    """Resolve (stride, pad) with OH == (H + 2p - KH)//s + 1, preferring
+    SAME-style p = KH//2 (the usual relay choices)."""
+    pad_prefs = sorted(range(0, KH + 1), key=lambda p: abs(p - KH // 2))
+    for s in strides:
+        for p in pad_prefs:
+            if (H + 2 * p - KH) // s + 1 == OH:
+                return s, p
+    return 1, max(0, ((OH - 1) + KH - H) // 2)
+
+
+def depthwise_nhwc_chain(data_shape, kernel_shape, out_shape,
+                         extra_shapes=(), relu=False) -> List[Tensor]:
+    """NHWC depthwise conv (topi depthwise_conv2d_nhwc, kernel
+    [KH, KW, C, channel_multiplier]; reference
+    python/tvm/topi/nn/depthwise_conv2d.py:178-254) + broadcast adds +
+    relu — the mobilenet-family 3x3 groups."""
+    N, H, W, C = data_shape
+    KH, KW, _, mult = kernel_shape
+    _, OH, OW, CO = out_shape
+    stride, p = _infer_conv_stride_pad(H, KH, OH)
+
+    data = placeholder(data_shape, name="placeholder")
+    kernel = placeholder(kernel_shape, name="placeholder")
+    pad = _pad_nhwc(data, p, p, p, p, force=True)
+    rh = reduce_axis(KH, "ry")
+    rw = reduce_axis(KW, "rx")
+
+    def fdw(n, yy, xx, cc):
+        ci = cc.var // mult if mult > 1 else cc.var
+        mi = cc.var % mult if mult > 1 else E.IntImm(0)
+        return sum_reduce(
+            pad[n.var, yy.var * stride + rh.var, xx.var * stride + rw.var,
+                ci]
+            * kernel[rh.var, rw.var, ci, mi],
+            [rh, rw],
+        )
+
+    conv = compute((N, OH, OW, CO), fdw, "DepthwiseConv2d")
+    extras, cur = _broadcast_chain(conv, tuple(out_shape), extra_shapes,
+                                   relu)
+    return [data, kernel] + extras + [cur]
+
+
+def group_conv2d_nhwc_chain(data_shape, kernel_shape, out_shape,
+                            extra_shapes=(), relu=False) -> List[Tensor]:
+    """NHWC grouped conv (kernel HWIO [KH, KW, CI/G, CO]; output channel
+    ff reads input block ff//(CO/G)*(CI/G)+rc, cf. reference
+    python/tvm/topi/nn/conv2d.py:798-870) — the resnext-family 3x3
+    groups."""
+    N, H, W, CI = data_shape
+    KH, KW, ci_pg, CO = kernel_shape
+    _, OH, OW, _ = out_shape
+    groups = CI // ci_pg
+    co_pg = CO // groups
+    stride, p = _infer_conv_stride_pad(H, KH, OH)
+
+    data = placeholder(data_shape, name="placeholder")
+    kernel = placeholder(kernel_shape, name="placeholder")
+    pad = _pad_nhwc(data, p, p, p, p, force=True)
+    rh = reduce_axis(KH, "ry")
+    rw = reduce_axis(KW, "rx")
+    rc = reduce_axis(ci_pg, "rc")
+
+    def fconv(n, yy, xx, ff):
+        return sum_reduce(
+            pad[n.var, yy.var * stride + rh.var, xx.var * stride + rw.var,
+                ff.var // co_pg * ci_pg + rc.var]
+            * kernel[rh.var, rw.var, rc.var, ff.var],
+            [rh, rw, rc],
+        )
+
+    conv = compute((N, OH, OW, CO), fconv, "group_conv2d_nhwc")
+    extras, cur = _broadcast_chain(conv, tuple(out_shape), extra_shapes,
+                                   relu)
+    return [data, kernel] + extras + [cur]
+
+
+def conv2d_transpose_nhwc_chain(data_shape, kernel_shape, out_shape,
+                                extra_shapes=(), relu=False) -> List[Tensor]:
+    """NHWC transposed conv (topi conv2d_transpose_nhwc, reference
+    python/tvm/topi/nn/conv2d_transpose.py:119-211): explicit pad stage
+    in input space, then one conv stage with the stride-dilation
+    embedded as a mod-select and the HWIO kernel rotated 180 degrees —
+    the dcgan generator groups."""
+    N, H, W, CI = data_shape
+    KH, KW, _, CO = kernel_shape
+    _, OH, OW, _ = out_shape
+    # OH = (H-1)*s - 2p + KH (+output_padding, assumed absorbed): relay
+    # dcgan uses s=2, p=(KH-1)//2; infer s from the upsample ratio
+    stride = max(1, int(round(OH / H)))
+    p = max(0, ((H - 1) * stride + KH - OH) // 2)
+    bp = KH - 1 - p
+    pp = (bp + stride - 1) // stride  # ceildiv: pad in input space
+    border = (stride - bp % stride) % stride
+
+    data = placeholder(data_shape, name="placeholder")
+    kernel = placeholder(kernel_shape, name="placeholder")
+    pad = _pad_nhwc(data, pp, pp, pp, pp, force=True)
+    rh = reduce_axis(KH, "rh")
+    rw = reduce_axis(KW, "rw")
+    rc = reduce_axis(CI, "rc")
+
+    def fconv(n, h, w, co):
+        hh = h.var + rh.var + E.IntImm(border)
+        ww = w.var + rw.var + E.IntImm(border)
+        keep = E.And(((hh % stride).equal(0), (ww % stride).equal(0)))
+        val = E.Select(
+            keep, pad[n.var, hh // stride, ww // stride, rc.var],
+            E.FloatImm(0.0),
+        )
+        return sum_reduce(
+            val * kernel[KH - 1 - rh.var, KW - 1 - rw.var, rc.var, co.var],
+            [rh, rw, rc],
+        )
+
+    conv = compute((N, OH, OW, CO), fconv, "conv2d_transpose_nhwc")
+    extras, cur = _broadcast_chain(conv, tuple(out_shape), extra_shapes,
+                                   relu)
+    return [data, kernel] + extras + [cur]
+
+
+def batch_matmul_chain(x_shape, y_shape, out_shape) -> List[Tensor]:
+    """Batched NT matmul (topi nn.batch_matmul: out[b,i,j] =
+    sum_k X[b,i,k]*Y[b,j,k]) — the bert attention groups."""
+    B, M, K = x_shape
+    _, N_, _ = y_shape
+    X = placeholder(x_shape, name="placeholder")
+    Y = placeholder(y_shape, name="placeholder")
+    k = reduce_axis(K, "k")
+    out = compute(
+        tuple(out_shape),
+        lambda b, i, j: sum_reduce(
+            X[b.var, i.var, k.var] * Y[b.var, j.var, k.var], [k]
+        ),
+        "T_batch_matmul_NT",
+    )
+    return [X, Y, out]
+
+
 def _parse_dense_bias(args):
     """[B, I, O, I2, O2, B2, O3] pattern: dense + 1-d bias (+relu)."""
     if len(args) == 7:
@@ -337,6 +477,12 @@ def infer_tenset_workload(dag_hash: str, args) -> Optional[List[Tensor]]:
     special = _parse_dense_bias(list(args))
     if special is not None:
         return special
+    if len(args) == 9:
+        # three 3-d shapes: batched NT matmul [B,M,K] x [B,N,K] -> [B,M,N]
+        x, y, out = tuple(args[0:3]), tuple(args[3:6]), tuple(args[6:9])
+        if (x[0] == y[0] == out[0] and x[2] == y[2]
+                and out[1] == x[1] and out[2] == y[1]):
+            return batch_matmul_chain(x, y, out)
     shapes = _group_shapes(list(args))
     if not shapes or len(shapes) < 2:
         return None
@@ -365,7 +511,7 @@ def infer_tenset_workload(dag_hash: str, args) -> Optional[List[Tensor]]:
         # winograd: pre-transformed kernel [alpha, alpha, CO, CI] with
         # alpha in (4, 6) and stride-1 same-size output
         kernel = None
-        wino = False
+        wino = dw = grp = False
         extras = []
         for s in mids:
             if (
@@ -378,6 +524,19 @@ def infer_tenset_workload(dag_hash: str, args) -> Optional[List[Tensor]]:
             elif kernel is None and len(s) == 4 and s[2] == data[3] \
                     and s[3] == out[3] and s[0] <= 16 and s[1] <= 16:
                 kernel = s
+            elif kernel is None and len(s) == 4 and s[2] == data[3] \
+                    and s[3] == 1 and out[3] == data[3] \
+                    and 1 < s[0] <= 16 and 1 < s[1] <= 16:
+                # HWC1 kernel, C preserved: depthwise (multiplier 1)
+                kernel = s
+                dw = True
+            elif kernel is None and len(s) == 4 and 1 < s[2] < data[3] \
+                    and data[3] % s[2] == 0 and s[3] == out[3] \
+                    and s[0] <= 16 and s[1] <= 16:
+                # HWIO kernel with I a proper divisor of CI (I > 1 —
+                # an 1x1x1xC shape is a broadcast bias): grouped conv
+                kernel = s
+                grp = True
             else:
                 extras.append(s)
         # fused relu iff a broadcast-bias extra is present (residual-only
@@ -385,6 +544,16 @@ def infer_tenset_workload(dag_hash: str, args) -> Optional[List[Tensor]]:
         relu = any(is_bias(s) for s in extras)
         if kernel is not None and wino:
             return winograd_nhwc_chain(data, kernel, out, extras, relu=relu)
+        if kernel is not None and dw:
+            return depthwise_nhwc_chain(data, kernel, out, extras,
+                                        relu=relu)
+        if kernel is not None and grp:
+            return group_conv2d_nhwc_chain(data, kernel, out, extras,
+                                           relu=relu)
+        if kernel is not None and out[1] > data[1]:
+            # upsampling conv group: transposed convolution (dcgan)
+            return conv2d_transpose_nhwc_chain(data, kernel, out, extras,
+                                               relu=relu)
         if kernel is not None:
             return conv2d_nhwc_chain(data, kernel, out, extras, relu=relu)
         # no kernel group: pooling (possibly with bias-ish extras)
