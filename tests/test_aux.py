@@ -239,6 +239,9 @@ def test_tenset_relay_hash_reconstruction_real_tasklist():
     ("bmm", [12, 128, 64, 12, 128, 64, 12, 128, 128]),
     # stem max pool: 1x1x1xC extra is a bias, NOT a group-conv kernel
     ("pool", [1, 112, 112, 64, 1, 1, 1, 64, 1, 56, 56, 64]),
+    # resnet3d NDHWC conv3d (5-int shape groups)
+    ("conv3d", [1, 8, 28, 28, 32, 3, 3, 3, 32, 32, 1, 1, 1, 1, 32,
+                1, 8, 28, 28, 32]),
 ])
 def test_tenset_reconstruction_op_families(name, args):
     """Shape-signature inference distinguishes depthwise / grouped /
@@ -262,6 +265,7 @@ def test_tenset_reconstruction_op_families(name, args):
         "tconv": "conv2d_transpose_nhwc",
         "bmm": "T_batch_matmul_NT",
         "pool": "pool_max",
+        "conv3d": "Conv3dOutput",
     }[name]
     tensors = infer_tenset_workload("0" * 32, args)
     assert tensors is not None

@@ -433,6 +433,76 @@ def conv2d_transpose_nhwc_chain(data_shape, kernel_shape, out_shape,
     return [data, kernel] + extras + [cur]
 
 
+def conv3d_ndhwc_chain(data_shape, kernel_shape, out_shape,
+                       extra_shapes=(), relu=False) -> List[Tensor]:
+    """NDHWC conv3d (topi conv3d_ndhwc, kernel [KD, KH, KW, CI, CO];
+    reference python/tvm/topi/nn/conv3d.py:107-196) + broadcast adds +
+    relu — the resnet3d-family groups."""
+    N, D, H, W, CI = data_shape
+    KD, KH, KW, _, CO = kernel_shape
+    _, OD, OH, OW, _ = out_shape
+    stride, p = _infer_conv_stride_pad(H, KH, OH)
+    sd, pd = _infer_conv_stride_pad(D, KD, OD)
+
+    data = placeholder(data_shape, name="placeholder")
+    kernel = placeholder(kernel_shape, name="placeholder")
+
+    def fpad(n, d, h, w, c):
+        cond = E.And((
+            d.var >= pd, d.var < D + pd,
+            h.var >= p, h.var < H + p,
+            w.var >= p, w.var < W + p,
+        ))
+        return E.Select(
+            cond, data[n.var, d.var - pd, h.var - p, w.var - p, c.var],
+            E.FloatImm(0.0),
+        )
+
+    pad = compute((N, D + 2 * pd, H + 2 * p, W + 2 * p, CI), fpad,
+                  "PaddedInput")
+    rd = reduce_axis(KD, "rd")
+    rh = reduce_axis(KH, "ry")
+    rw = reduce_axis(KW, "rx")
+    rc = reduce_axis(CI, "rc")
+
+    def fconv(n, dd, yy, xx, ff):
+        return sum_reduce(
+            pad[n.var, dd.var * sd + rd.var, yy.var * stride + rh.var,
+                xx.var * stride + rw.var, rc.var]
+            * kernel[rd.var, rh.var, rw.var, rc.var, ff.var],
+            [rd, rh, rw, rc],
+        )
+
+    conv = compute((N, OD, OH, OW, CO), fconv, "Conv3dOutput")
+    extras, cur = _broadcast_chain(conv, tuple(out_shape), extra_shapes,
+                                   relu)
+    return [data, kernel] + extras + [cur]
+
+
+def _try_conv3d_split(args):
+    """5-int shape groups (NDHWC conv3d): only accepted when a kernel
+    [KD,KH,KW,CI,CO] consistent with data/out channels exists — a 20-int
+    signature is otherwise ambiguous with five 4-d shapes."""
+    if len(args) % 5 != 0 or len(args) < 15:
+        return None
+    shapes = [tuple(args[i:i + 5]) for i in range(0, len(args), 5)]
+    data, out = shapes[0], shapes[-1]
+    if data[0] != out[0]:
+        return None
+    kernel, extras = None, []
+    for s in shapes[1:-1]:
+        if (kernel is None and s[3] == data[4] and s[4] == out[4]
+                and s[0] <= 16 and s[1] <= 16 and s[2] <= 16):
+            kernel = s
+        else:
+            extras.append(s)
+    if kernel is None:
+        return None
+    relu = any(s[0] == 1 and s[1] == 1 and s[2] == 1 and s[3] == 1
+               for s in extras)
+    return conv3d_ndhwc_chain(data, kernel, out, extras, relu=relu)
+
+
 def batch_matmul_chain(x_shape, y_shape, out_shape) -> List[Tensor]:
     """Batched NT matmul (topi nn.batch_matmul: out[b,i,j] =
     sum_k X[b,i,k]*Y[b,j,k]) — the bert attention groups."""
@@ -483,6 +553,9 @@ def infer_tenset_workload(dag_hash: str, args) -> Optional[List[Tensor]]:
         if (x[0] == y[0] == out[0] and x[2] == y[2]
                 and out[1] == x[1] and out[2] == y[1]):
             return batch_matmul_chain(x, y, out)
+    conv3d = _try_conv3d_split(list(args))
+    if conv3d is not None:
+        return conv3d
     shapes = _group_shapes(list(args))
     if not shapes or len(shapes) < 2:
         return None
