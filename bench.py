@@ -15,10 +15,17 @@ measured at ~1 s/phase in its own `used_time` accounting across 4-6.75
 phases of 17-45 s runs -> ~4,000 candidates/s scored. We use
 BASELINE_CANDS_PER_SEC = 4000.0 as the per-chip reference throughput.
 
-Methodology: the phase here is ONE fused XLA program (the reference
-executes ~10 separate GPU<->CPU round-trips per phase); we measure strict
-per-call latency — every phase blocks on its outputs before the next
-starts — which lower-bounds what any pipelined deployment achieves.
+Methodology — honest completion timing on an async/tunneled backend:
+`block_until_ready` on the tunneled axon platform acknowledges dispatch,
+not completion (measured: a 1.1-TFLOP f32 matmul "completes" in 0.09 ms,
+far beyond hardware peak), so per-call block timing is invalid there.
+Instead we queue K phases, combine one scalar from EVERY phase's output
+into a single on-device reduction (so no phase can be elided), and
+device_get that scalar — one true round-trip for the whole chain. The
+measured round-trip latency of a trivial transfer is subtracted:
+per_phase = (total - rtt) / K. Scoring runs in bfloat16 (MXU-native;
+top-1/selection agreement with f32 is regression-tested in
+tests/test_models.py), selection logic and statistics stay f32.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -42,12 +49,11 @@ def main():
 
     # Pool sized like a batched multi-task TenSet candidate set (64 tasks
     # x 4,096 states); dims match the reference experiment defaults
-    # (extent dim ~24, latent 64, hidden 256). Larger pools amortize
-    # per-dispatch latency; throughput is the steady-state rate.
+    # (extent dim ~24, latent 64, hidden 256).
     N, D = 262144, 24
     HIDDEN, LATENT = 256, 64
     cfg = SelectionConfig(num_select=64, T_mc=10, topk_factor=5, grad_num=2,
-                          rand_num=0)
+                          rand_num=0, compute_dtype="bfloat16")
 
     key = jax.random.PRNGKey(0)
     params = init_predictor_params(key, D, hidden_dim=HIDDEN,
@@ -61,32 +67,38 @@ def main():
             params, X, used, remaining, k, cfg,
             gate_uncertainty_to_remaining=False,
         )
-        return sel_idx, aux["cost_pred"]
+        # one scalar that depends on this phase's full selection output
+        return aux["cost_pred"][sel_idx].sum()
 
-    # warmup + compile; pre-derive per-iteration keys so the timed loop
-    # measures only the fused selection program (steady-state pipelined)
-    iters = 200
-    keys = [jax.random.fold_in(key, i) for i in range(iters)]
-    jax.block_until_ready(keys)
-    sel, cost = run(keys[0])
-    sel.block_until_ready()
+    combine = jax.jit(lambda xs: jnp.stack(xs).sum())
 
-    # best-of-3 blocks of strict per-call timing: the tunneled chip shares
-    # the host, so a single block can absorb unrelated stalls
-    per_block = iters // 3
-    best = float("inf")
-    ki = 0
-    for _ in range(3):
+    # warmup + compile both executables end to end (true sync via get)
+    probe = run(key)
+    jax.device_get(combine([probe]))
+
+    # round-trip latency of a trivial transfer (median of 5)
+    tiny = jnp.zeros(())
+    jax.device_get(tiny)
+    rtts = []
+    for _ in range(5):
         t0 = time.perf_counter()
-        for _ in range(per_block):
-            sel, cost = run(keys[ki])
-            ki += 1
-            sel.block_until_ready()
-            cost.block_until_ready()
-        best = min(best, (time.perf_counter() - t0) / per_block)
+        jax.device_get(tiny)
+        rtts.append(time.perf_counter() - t0)
+    rtt = sorted(rtts)[len(rtts) // 2]
 
-    per_phase = best
-    cands_per_sec = N / per_phase
+    # best-of-3 chains: K queued phases -> one reduction over all K
+    # phase scalars -> one device_get
+    K = 16
+    best = float("inf")
+    for rep in range(3):
+        ks = [jax.random.fold_in(key, rep * K + i) for i in range(K)]
+        t0 = time.perf_counter()
+        scalars = [run(k) for k in ks]
+        jax.device_get(combine(scalars))
+        total = time.perf_counter() - t0
+        best = min(best, max(total - rtt, 1e-9) / K)
+
+    cands_per_sec = N / best
     n_chips = max(1, len(jax.devices()))
     value = cands_per_sec / n_chips
 

@@ -209,3 +209,37 @@ def test_vae_hyperparameter_search():
     assert results[0]["score"] >= results[1]["score"]
     assert "kl_per_dim" in best_cfg and "recon_r2" in best_cfg
     assert best_params is not None
+
+
+def test_select_bf16_agrees_with_f32():
+    """bfloat16 scoring (the bench/TPU default) must keep selection
+    behavior: identical predicted-cost top-1, high selection overlap,
+    near-perfect cost correlation vs float32."""
+    import jax
+    import jax.numpy as jnp
+
+    from vae_extent_search_tpu.models import init_predictor_params
+    from vae_extent_search_tpu.search import (
+        SelectionConfig,
+        select_programs,
+    )
+
+    key = jax.random.PRNGKey(0)
+    N, D = 4096, 24
+    params = init_predictor_params(key, D)
+    X = jax.random.normal(key, (N, D), jnp.float32)
+    used = jnp.zeros(N, bool).at[:64].set(True)
+    rem = ~used
+    res = {}
+    for dt in ("float32", "bfloat16"):
+        cfg = SelectionConfig(num_select=64, T_mc=10, compute_dtype=dt)
+        sel, valid, _, aux = select_programs(params, X, used, rem, key,
+                                             cfg)
+        res[dt] = (np.asarray(sel)[np.asarray(valid)],
+                   np.asarray(aux["cost_pred"]))
+    s32, c32 = res["float32"]
+    s16, c16 = res["bfloat16"]
+    overlap = len(set(s32.tolist()) & set(s16.tolist())) / max(1, len(s32))
+    corr = np.corrcoef(c32, c16)[0, 1]
+    assert int(np.argmax(c32)) == int(np.argmax(c16))
+    assert overlap > 0.8 and corr > 0.999

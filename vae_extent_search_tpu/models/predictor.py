@@ -84,15 +84,20 @@ def pred_forward(params: Dict, x: jnp.ndarray, key=None, use_mean=True,
 
 
 def mc_predict(params: Dict, x: jnp.ndarray, key, T: int = 20,
-               dropout_rate: float = 0.1):
+               dropout_rate: float = 0.1, mu=None):
     """MC-dropout epistemic mean/variance — one vmapped forward with a [T]
-    key axis (reference loops T times on GPU, :670-702)."""
-    mu, _ = pred_encode(params, x)
+    key axis (reference loops T times on GPU, :670-702). Pass a
+    precomputed ``mu`` to skip re-encoding (the encoder has no dropout,
+    so the T samples share it)."""
+    if mu is None:
+        mu, _ = pred_encode(params, x)
 
     def one(k):
         return predict_cost(params, mu, k, dropout_rate)
 
     preds = jax.vmap(one)(jax.random.split(key, T))  # [T, N]
+    # stats in f32: bf16 variance of near-equal samples cancels badly
+    preds = preds.astype(jnp.float32)
     return preds.mean(axis=0), preds.var(axis=0, ddof=1)
 
 

@@ -156,6 +156,11 @@ class SelectionConfig(NamedTuple):
     topk_factor: int = 5
     dropout_rate: float = 0.1
     max_centers: int = 4096
+    # compute dtype of the scoring forwards ("float32" | "bfloat16"):
+    # bfloat16 is the MXU-native format (~4x matmul throughput); rankings
+    # are computed from f32-accumulated matmul outputs either way, and
+    # the top-k/selection logic always runs in f32
+    compute_dtype: str = "float32"
 
     @property
     def budget(self) -> int:
@@ -201,10 +206,20 @@ def select_programs(params: Dict, X: jnp.ndarray, used_mask: jnp.ndarray,
              new_remaining_mask, aux dict).
     """
     k_mc, k_rand = jax.random.split(key)
+    if cfg.compute_dtype != "float32":
+        ct = jnp.dtype(cfg.compute_dtype)
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(ct) if a.dtype == jnp.float32 else a, params)
+        X = X.astype(ct)
     mu, logvar = pred_encode(params, X)
-    cost_pred = predict_cost(params, mu)
-    gnorm = z_grad_norms(params, mu)
-    mc_mean, mc_var = mc_predict(params, X, k_mc, cfg.T_mc, cfg.dropout_rate)
+    cost_pred = predict_cost(params, mu).astype(jnp.float32)
+    gnorm = z_grad_norms(params, mu).astype(jnp.float32)
+    # the encoder has no dropout: the T MC samples reuse mu
+    mc_mean, mc_var = mc_predict(params, X, k_mc, cfg.T_mc,
+                                 cfg.dropout_rate, mu=mu)
+    mc_mean = mc_mean.astype(jnp.float32)
+    mc_var = mc_var.astype(jnp.float32)
+    mu = mu.astype(jnp.float32)
 
     n = X.shape[0]
     k_pool = cfg.num_select * cfg.topk_factor
