@@ -5,7 +5,10 @@ chip on the VAE-extent-search scoring path — encode -> cost head -> z-grad
 norms -> MC-dropout x T=10 -> candidate-pool top-k -> k-center-greedy
 diversity -> selection union, i.e. one complete `select_programs` phase
 (vae_extent_search_tpu/search/select.py), which on this framework is ONE
-jitted XLA program.
+jitted XLA program whose encoder + cost-head + z-grad + MC-dropout block
+runs as a single fused Pallas kernel (ops/fused_head_pallas.py:
+activations in VMEM, dropout masks from the on-chip hardware PRNG) and
+whose selection strategies operate on a gathered candidate pool.
 
 Baseline derivation (documented, reference numbers from BASELINE.md):
 the reference's offline experiment runs select_programs over ~4,000

@@ -243,3 +243,57 @@ def test_select_bf16_agrees_with_f32():
     corr = np.corrcoef(c32, c16)[0, 1]
     assert int(np.argmax(c32)) == int(np.argmax(c16))
     assert overlap > 0.8 and corr > 0.999
+
+
+def test_fused_head_kernel_interpret_matches_jax():
+    """The fused Pallas head kernel (ops/fused_head_pallas.py) must
+    reproduce the XLA scoring path bit-for-bit tolerance-wise: exact mu /
+    cost / z-grad-norm, and exact MC mean/variance when fed the same
+    dropout masks (interpret mode takes mask bits as an input because the
+    TPU hardware PRNG has no CPU lowering; on TPU only the bit source
+    differs)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vae_extent_search_tpu.models import init_predictor_params
+    from vae_extent_search_tpu.models.predictor import (
+        pred_encode,
+        predict_cost,
+    )
+    from vae_extent_search_tpu.ops.fused_head_pallas import fused_head_stats
+    from vae_extent_search_tpu.search.select import z_grad_norms
+
+    key = jax.random.PRNGKey(0)
+    N, D, H, T, rate = 300, 24, 256, 6, 0.1
+    params = init_predictor_params(key, D, hidden_dim=H, latent_dim=64)
+    X = jax.random.normal(key, (N, D), jnp.float32)
+    mu, _ = pred_encode(params, X)
+    head = params["cost_predictor"]
+    bits = jax.random.bits(jax.random.fold_in(key, 7), (T, N, H),
+                           jnp.uint32)
+
+    # head-only and encoder-fused variants
+    out_h = fused_head_stats(head, mu, 0, T=T, rate=rate, block=1024,
+                             interpret=True, mask_bits=bits)
+    out_e = fused_head_stats(head, X, 0, T=T, rate=rate, block=1024,
+                             interpret=True, mask_bits=bits,
+                             encoder=(params["encoder"], params["fc_mu"]))
+    mu_k = out_e[0]
+    assert np.allclose(np.asarray(mu_k), np.asarray(mu), atol=1e-5)
+
+    # same-mask MC reference (identical bits -> exact stats)
+    thresh = np.uint32(int(rate * 2**32))
+    h0 = jax.nn.relu(mu @ head[0]["w"] + head[0]["b"])
+    preds = []
+    for t in range(T):
+        h0d = jnp.where(bits[t] >= thresh, h0 / (1 - rate), 0.0)
+        h1 = jax.nn.relu(h0d @ head[1]["w"] + head[1]["b"])
+        preds.append((h1 @ head[2]["w"] + head[2]["b"])[:, 0])
+    preds = jnp.stack(preds)
+    refs = (predict_cost(params, mu), z_grad_norms(params, mu),
+            preds.mean(0), preds.var(0, ddof=1))
+    for got4, name in ((out_h, "head-only"), (out_e[1:], "enc-fused")):
+        for got, ref in zip(got4, refs):
+            scale = float(jnp.max(jnp.abs(ref))) + 1e-12
+            err = float(jnp.max(jnp.abs(got - ref))) / scale
+            assert err < 1e-5, (name, err)

@@ -85,44 +85,109 @@ def k_center_greedy_blocked(z_norm: jnp.ndarray, cand_mask: jnp.ndarray,
     return sel, val
 
 
-@functools.partial(jax.jit, static_argnames=("max_centers",))
-def min_dists_to_centers_gathered(z: jnp.ndarray, center_mask: jnp.ndarray,
-                                  max_centers: int = 4096) -> jnp.ndarray:
-    """min-dists via gathering up to ``max_centers`` center rows — one
-    [N, C] distance matmul instead of scanning all N columns. Exact when
-    the center count fits the bound; beyond it, surplus centers are
-    ignored (k-center diversity degrades gracefully)."""
-    n = z.shape[0]
+@functools.partial(jax.jit, static_argnames=("max_centers", "chunk"))
+def min_sq_dists_to_centers_gathered(z: jnp.ndarray,
+                                     center_mask: jnp.ndarray,
+                                     max_centers: int = 4096,
+                                     chunk: int = 1024) -> jnp.ndarray:
+    """min over centers of ||z_i - c||^2 via gathering up to
+    ``max_centers`` center rows. Exact when the center count fits the
+    bound; beyond it, surplus centers are ignored (k-center diversity
+    degrades gracefully).
+
+    Squared distances: every consumer (greedy argmax / running min) is
+    monotonic in the distance, so the sqrt over the [N, C] block is pure
+    waste. The center axis is scanned in ``chunk``-column pieces with a
+    running [N] min so HBM holds [N, chunk] instead of [N, C] (at
+    N=262k, C=4096 that is 1 GB -> 268 MB of intermediate traffic)."""
     idx = jnp.where(center_mask, size=max_centers, fill_value=0)[0]
     valid = center_mask[idx]
-    centers = z[idx]
-    d = _dist_block(z, centers)  # [N, C]
-    d = jnp.where(valid[None, :], d, jnp.inf)
-    return d.min(axis=1)
+    centers = z[idx]  # [C, D]
+    z_sq = jnp.sum(z * z, -1)  # [N]
+    nc = -(-max_centers // chunk)
+    c_blocks = centers.reshape(nc, chunk, -1) if nc > 1 else centers[None]
+    v_blocks = valid.reshape(nc, chunk) if nc > 1 else valid[None]
+
+    def body(carry, cb_vb):
+        cb, vb = cb_vb
+        sq = (
+            z_sq[:, None]
+            + jnp.sum(cb * cb, -1)[None, :]
+            - 2.0 * z @ cb.T
+        )
+        sq = jnp.where(vb[None, :], jnp.maximum(sq, 0.0), jnp.inf)
+        return jnp.minimum(carry, sq.min(axis=1)), None
+
+    init = jnp.full(z.shape[:1], jnp.inf, z.dtype)
+    out, _ = jax.lax.scan(body, init, (c_blocks, v_blocks))
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("k", "max_centers"))
 def k_center_greedy_gathered(z_norm: jnp.ndarray, cand_mask: jnp.ndarray,
                              center_mask: jnp.ndarray, k: int,
                              max_centers: int = 4096):
-    """k-center greedy with gathered-center initialization."""
-    min_dists = min_dists_to_centers_gathered(z_norm, center_mask,
+    """k-center greedy with gathered-center initialization. Runs on
+    squared distances throughout — the greedy trajectory is identical
+    (sqrt is monotonic), one [N] sqrt cheaper per step."""
+    min_sq = min_sq_dists_to_centers_gathered(z_norm, center_mask,
                                               max_centers)
 
     def body(i, state):
-        min_dists, avail, sel, val = state
-        score = jnp.where(avail, min_dists, NEG_INF)
+        min_sq, avail, sel, val = state
+        score = jnp.where(avail, min_sq, NEG_INF)
         j = jnp.argmax(score)
         ok = score[j] > NEG_INF / 2
         sel = sel.at[i].set(jnp.int32(j))
         val = val.at[i].set(ok)
         avail = avail.at[j].set(False)
-        d_new = jnp.sqrt(
-            jnp.maximum(jnp.sum((z_norm - z_norm[j]) ** 2, -1), 0.0)
-        )
-        return (jnp.minimum(min_dists, d_new), avail, sel, val)
+        d_new = jnp.maximum(jnp.sum((z_norm - z_norm[j]) ** 2, -1), 0.0)
+        return (jnp.minimum(min_sq, d_new), avail, sel, val)
 
-    state = (min_dists, cand_mask, jnp.zeros((k,), jnp.int32),
+    state = (min_sq, cand_mask, jnp.zeros((k,), jnp.int32),
+             jnp.zeros((k,), bool))
+    _, _, sel, val = jax.lax.fori_loop(0, k, body, state)
+    return sel, val
+
+
+@functools.partial(jax.jit, static_argnames=("k", "max_centers"))
+def k_center_greedy_pool(z_pool: jnp.ndarray, avail: jnp.ndarray,
+                         z_all: jnp.ndarray, center_mask: jnp.ndarray,
+                         k: int, max_centers: int = 4096):
+    """k-center greedy restricted to a gathered candidate pool.
+
+    Only pool members are ever selectable, so the O(N) distance state of
+    the full-array variants is waste: distances matter only FROM the
+    ``[P, D]`` pool TO the (gathered) centers, giving a [P, C] matmul
+    + k steps of [P]-sized updates — O(P·C·D + k·P·D) instead of
+    O(N·C·D + k·N·D). Selection trajectory is identical to running
+    ``k_center_greedy_gathered`` and intersecting with the pool, because
+    every greedy pick (hence every new center) is a pool member.
+
+    Returns (local indices into the pool [k], valid [k])."""
+    idx = jnp.where(center_mask, size=max_centers, fill_value=0)[0]
+    c_valid = center_mask[idx]
+    centers = z_all[idx]  # [C, D]
+    sq = (
+        jnp.sum(z_pool * z_pool, -1)[:, None]
+        + jnp.sum(centers * centers, -1)[None, :]
+        - 2.0 * z_pool @ centers.T
+    )
+    sq = jnp.where(c_valid[None, :], jnp.maximum(sq, 0.0), jnp.inf)
+    min_sq = sq.min(axis=1)  # [P]
+
+    def body(i, state):
+        min_sq, avail, sel, val = state
+        score = jnp.where(avail, min_sq, NEG_INF)
+        j = jnp.argmax(score)
+        ok = score[j] > NEG_INF / 2
+        sel = sel.at[i].set(jnp.int32(j))
+        val = val.at[i].set(ok)
+        avail = avail.at[j].set(False)
+        d_new = jnp.maximum(jnp.sum((z_pool - z_pool[j]) ** 2, -1), 0.0)
+        return (jnp.minimum(min_sq, d_new), avail, sel, val)
+
+    state = (min_sq, avail, jnp.zeros((k,), jnp.int32),
              jnp.zeros((k,), bool))
     _, _, sel, val = jax.lax.fori_loop(0, k, body, state)
     return sel, val

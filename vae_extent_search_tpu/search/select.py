@@ -144,6 +144,28 @@ def z_grad_norms(params: Dict, z: jnp.ndarray) -> jnp.ndarray:
     return jnp.linalg.norm(grad, axis=-1)
 
 
+def _use_fused_head(params: Dict, cfg: "SelectionConfig") -> bool:
+    """Trace-time gate for the fused Pallas head kernel: TPU backends
+    only (the kernel's hardware-PRNG dropout has no CPU lowering), the
+    default 2-hidden-layer head shape, and an MC pass actually needed
+    (T >= 2 and an uncertainty budget; otherwise XLA's dead-code
+    elimination of the unused MC block beats running it)."""
+    if cfg.fused_head == "off":
+        return False
+    if jax.default_backend() == "cpu":
+        return False
+    head = params.get("cost_predictor")
+    if head is None or len(head) != 3:
+        return False
+    l, h = head[0]["w"].shape
+    if h % 128 != 0 or l % 8 != 0 or h != head[1]["w"].shape[0]:
+        return False
+    enc = params.get("encoder")
+    if enc is None or "fc_mu" not in params:
+        return False
+    return cfg.T_mc >= 2 and cfg.n_unc > 0
+
+
 class SelectionConfig(NamedTuple):
     num_select: int = 64
     w_cost: float = 0.5
@@ -161,6 +183,12 @@ class SelectionConfig(NamedTuple):
     # are computed from f32-accumulated matmul outputs either way, and
     # the top-k/selection logic always runs in f32
     compute_dtype: str = "float32"
+    # "auto" runs the encoder+cost-head+z-grad+MC-dropout block as ONE
+    # Pallas kernel on TPU backends (ops/fused_head_pallas.py: activations
+    # stay in VMEM, dropout masks come from the on-chip hardware PRNG —
+    # ~2.6x the XLA lowering at 262k candidates); "off" forces the XLA
+    # path (always used on CPU, where the TPU PRNG has no lowering)
+    fused_head: str = "auto"
 
     @property
     def budget(self) -> int:
@@ -211,57 +239,87 @@ def select_programs(params: Dict, X: jnp.ndarray, used_mask: jnp.ndarray,
         params = jax.tree_util.tree_map(
             lambda a: a.astype(ct) if a.dtype == jnp.float32 else a, params)
         X = X.astype(ct)
-    mu, logvar = pred_encode(params, X)
-    cost_pred = predict_cost(params, mu).astype(jnp.float32)
-    gnorm = z_grad_norms(params, mu).astype(jnp.float32)
-    # the encoder has no dropout: the T MC samples reuse mu
-    mc_mean, mc_var = mc_predict(params, X, k_mc, cfg.T_mc,
-                                 cfg.dropout_rate, mu=mu)
-    mc_mean = mc_mean.astype(jnp.float32)
-    mc_var = mc_var.astype(jnp.float32)
-    mu = mu.astype(jnp.float32)
+    if _use_fused_head(params, cfg):
+        from ..ops.fused_head_pallas import fused_head_stats
+
+        seed = jax.random.randint(k_mc, (), 0, jnp.iinfo(jnp.int32).max)
+        mu, cost_pred, gnorm, mc_mean, mc_var = fused_head_stats(
+            params["cost_predictor"], X, seed, T=cfg.T_mc,
+            rate=cfg.dropout_rate,
+            encoder=(params["encoder"], params["fc_mu"]),
+        )
+    else:
+        mu, logvar = pred_encode(params, X)
+        cost_pred = predict_cost(params, mu).astype(jnp.float32)
+        gnorm = z_grad_norms(params, mu).astype(jnp.float32)
+        # the encoder has no dropout: the T MC samples reuse mu
+        mc_mean, mc_var = mc_predict(params, X, k_mc, cfg.T_mc,
+                                     cfg.dropout_rate, mu=mu)
+        mc_mean = mc_mean.astype(jnp.float32)
+        mc_var = mc_var.astype(jnp.float32)
+        mu = mu.astype(jnp.float32)
 
     n = X.shape[0]
     k_pool = cfg.num_select * cfg.topk_factor
 
-    # 2. candidate pool
+    # 2. candidate pool — the ONE full-N top-k. Strategies 3-6 only ever
+    # pick from this pool, so their scores/latents are gathered to
+    # [k_pool] arrays once and every later top-k/argmax is pool-sized
+    # (at N=262k, k_pool=320 that removes three full-N lax.top_k calls
+    # and the O(N) k-center distance state from the phase)
     pool_idx, pool_valid = masked_top_k(cost_pred, remaining_mask, k_pool)
-    cand_mask = jnp.zeros((n,), bool).at[pool_idx].set(pool_valid)
+    avail = pool_valid  # [k_pool] local availability mask
+    cost_p = cost_pred[pool_idx]
+    gnorm_p = gnorm[pool_idx]
+    mcvar_p = mc_var[pool_idx]
 
     picked = jnp.zeros((n,), bool)
+    none = (jnp.zeros((0,), jnp.int32), jnp.zeros((0,), bool))
+
+    def pick_local(scores_p, avail, k):
+        """Pool-local masked top-k -> (global idx, valid, new avail)."""
+        li, lv = masked_top_k(scores_p, avail, k)
+        return pool_idx[li], lv, scatter_unset(avail, li, lv)
 
     # 3. predicted-cost top-k
-    ci, cv = masked_top_k(cost_pred, cand_mask, cfg.n_cost)
-    cand_mask = scatter_unset(cand_mask, ci, cv)
+    ci, cv, avail = pick_local(cost_p, avail, cfg.n_cost)
     picked = scatter_set(picked, ci, cv)
 
     # 4. z-grad top-k
-    gi, gv = masked_top_k(gnorm, cand_mask, cfg.grad_num) if cfg.grad_num \
-        else (jnp.zeros((0,), jnp.int32), jnp.zeros((0,), bool))
-    cand_mask = scatter_unset(cand_mask, gi, gv)
-    picked = scatter_set(picked, gi, gv)
+    if cfg.grad_num:
+        gi, gv, avail = pick_local(gnorm_p, avail, cfg.grad_num)
+        picked = scatter_set(picked, gi, gv)
+    else:
+        gi, gv = none
 
     # 5. uncertainty top-k
-    if gate_uncertainty_to_remaining:
-        unc_pool = remaining_mask & ~picked
+    if not cfg.n_unc:
+        ui, uv = none
+    elif gate_uncertainty_to_remaining:
+        # reference gating: while the measured set is small, variance
+        # ranks over ALL remaining, not just the pool — full-N top-k
+        ui, uv = masked_top_k(mc_var, remaining_mask & ~picked, cfg.n_unc)
+        picked = scatter_set(picked, ui, uv)
+        # drop any of those that were pool members from availability
+        avail = avail & ~picked[pool_idx]
     else:
-        unc_pool = cand_mask
-    ui, uv = masked_top_k(mc_var, unc_pool, cfg.n_unc) if cfg.n_unc \
-        else (jnp.zeros((0,), jnp.int32), jnp.zeros((0,), bool))
-    cand_mask = scatter_unset(cand_mask, ui, uv)
-    picked = scatter_set(picked, ui, uv)
+        ui, uv, avail = pick_local(mcvar_p, avail, cfg.n_unc)
+        picked = scatter_set(picked, ui, uv)
 
-    # 6. latent diversity (k-center greedy), centers = used + picked
-    # (gathered-centers variant: one [N, C] matmul, C = cfg.max_centers —
-    # see ops/kcenter.py)
-    from ..ops.kcenter import k_center_greedy_gathered
+    # 6. latent diversity (k-center greedy) restricted to the pool;
+    # centers = used + picked, gathered up to cfg.max_centers
+    if cfg.n_div:
+        from ..ops.kcenter import k_center_greedy_pool
 
-    z_norm = l2_normalize(mu)
-    di, dv = k_center_greedy_gathered(
-        z_norm, cand_mask, used_mask | picked, cfg.n_div,
-        max_centers=cfg.max_centers,
-    ) if cfg.n_div \
-        else (jnp.zeros((0,), jnp.int32), jnp.zeros((0,), bool))
+        z_norm = l2_normalize(mu)
+        zp_norm = z_norm[pool_idx]
+        dl, dv = k_center_greedy_pool(
+            zp_norm, avail, z_norm, used_mask | picked, cfg.n_div,
+            max_centers=cfg.max_centers,
+        )
+        di = pool_idx[dl]
+    else:
+        di, dv = none
     picked = scatter_set(picked, di, dv)
 
     # 7. eps-greedy random from remaining minus picked
