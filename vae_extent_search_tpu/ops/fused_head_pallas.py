@@ -91,8 +91,13 @@ def _body(*refs, T: int, rate: float, use_prng: bool, n_enc: int):
     h0c = h0.astype(ct)
     a1 = mm(h0c, w1) + b1.astype(f32)              # [B, H] f32
     h1 = jnp.maximum(a1, 0.0)
-    c = (mm(h1.astype(ct), w2) + b2.astype(f32))[:, 0]   # [B] f32
-    cost_ref[:] = c
+    # per-candidate scalars stay [B, 1] columns end to end: storing them
+    # as 1-D lane-major vectors would relayout sublanes->lanes per store
+    # (measured ~0.5 ms/phase at 262k candidates); the wrapper strips
+    # the trailing axis outside the kernel
+    cc = mm(h1.astype(ct), w2) + b2.astype(f32)          # [B, 1] f32
+    c = cc[:, 0]
+    cost_ref[:] = cc
 
     # backward to z: g1 = 1[a1>0] * w2^T ; g0 = (g1 @ W1^T) * 1[a0>0] ;
     # gz = g0 @ W0^T  (pure ReLU-MLP chain rule). The transposed weights
@@ -102,7 +107,7 @@ def _body(*refs, T: int, rate: float, use_prng: bool, n_enc: int):
     g1 = jnp.where(a1 > 0.0, w2r_ref[:].astype(f32), 0.0)
     g0 = jnp.where(a0 > 0.0, mm(g1.astype(ct), w1t_ref[:]), 0.0)
     gz = mm(g0.astype(ct), w0t_ref[:])             # [B, L]
-    gnorm_ref[:] = jnp.sqrt(jnp.sum(gz * gz, axis=1))
+    gnorm_ref[:] = jnp.sqrt(jnp.sum(gz * gz, axis=1, keepdims=True))
 
     # T MC-dropout forwards, masks on h0 only (predict_cost applies
     # dropout after the first hidden layer's relu only). The T passes are
@@ -129,14 +134,14 @@ def _body(*refs, T: int, rate: float, use_prng: bool, n_enc: int):
     h0d = jnp.where(bits >= thresh, h0_rep, jnp.zeros((), ct))
     a1t = mm(h0d, w1) + b1.astype(f32)             # [T*B, H]
     h1t = jnp.maximum(a1t, 0.0).astype(ct)
-    s = jnp.zeros(c.shape, f32)
-    s2 = jnp.zeros(c.shape, f32)
+    s = jnp.zeros(cc.shape, f32)
+    s2 = jnp.zeros(cc.shape, f32)
     for t in range(T):
         h1_t = h1t[t * b_rows:(t + 1) * b_rows]    # static row slice
-        dt = (mm(h1_t, w2) + b2.astype(f32))[:, 0] - c  # centered on c
+        dt = mm(h1_t, w2) + b2.astype(f32) - cc    # [B, 1] centered on c
         s = s + dt
         s2 = s2 + dt * dt
-    mean_ref[:] = c + s / T
+    mean_ref[:] = cc + s / T
     # sample variance (ddof=1), shift-invariant so centering is exact
     var_ref[:] = (s2 - s * s / T) / (T - 1) if T > 1 else s2 * 0.0
 
@@ -180,7 +185,6 @@ def fused_head_stats(head_layers: List[Dict], z: jnp.ndarray, seed,
     l = head_layers[0]["w"].shape[0]
     assert len(head_layers) == 3, "kernel is specialized to 2 hidden layers"
     assert h % _LANE == 0 and l % 8 == 0, (l, h)
-    # block must keep the 1-D f32 outputs on XLA's (1024,) tile
     assert block % 1024 == 0, block
     nb = -(-n // block)
     pad = nb * block - n
@@ -228,8 +232,8 @@ def fused_head_stats(head_layers: List[Dict], z: jnp.ndarray, seed,
     else:
         first = mask_bits
         first_spec = pl.BlockSpec((T, block, h), lambda i: (0, i, 0))
-    out_shape = [jax.ShapeDtypeStruct((nb * block,), jnp.float32)] * 4
-    out_specs = [pl.BlockSpec((block,), lambda i: (i,))] * 4
+    out_shape = [jax.ShapeDtypeStruct((nb * block, 1), jnp.float32)] * 4
+    out_specs = [pl.BlockSpec((block, 1), lambda i: (i, 0))] * 4
     if n_enc:
         out_shape = [jax.ShapeDtypeStruct((nb * block, l), jnp.float32)] \
             + out_shape
@@ -243,5 +247,6 @@ def fused_head_stats(head_layers: List[Dict], z: jnp.ndarray, seed,
         out_shape=out_shape,
         interpret=interpret,
     )(first, z, *enc_arrays, w0, b0, w1, b1, w2, b2, w0t, w1t, w2r)
-    unpad = lambda a: a[:n]
+    def unpad(a):
+        return a[:n, 0] if a.shape[-1] == 1 else a[:n]
     return tuple(unpad(o) for o in outs)
