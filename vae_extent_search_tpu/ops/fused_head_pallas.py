@@ -33,6 +33,12 @@ For CPU testing (Pallas interpret mode has no TPU PRNG lowering) the
 kernel optionally takes precomputed mask *bits* ``[T, N, H]`` uint32; the
 arithmetic path is identical, so interpret-mode tests pin the math and
 the on-chip path only swaps the bit source.
+
+Scope: single-device executable (the per-chip fast path). Under a
+device mesh, GSPMD has no partitioning rule for the custom call and
+would all-gather the candidate axis — mesh-sharded selection uses the
+XLA path instead (search/active_loop.py gates this); a shard_map
+wrapper running this kernel per shard is the route to pod-scale fusion.
 """
 
 from __future__ import annotations

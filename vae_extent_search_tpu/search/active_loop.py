@@ -151,6 +151,12 @@ def run_active_search(
     selected_order = list(init_idx)
 
     sel_cfg = selection or SelectionConfig(num_select=measure_size)
+    if mesh is not None and sel_cfg.fused_head == "auto":
+        # GSPMD has no partitioning rule for the fused Pallas head
+        # kernel: under a mesh it would all-gather the candidate axis
+        # around the custom call. The XLA scoring path shards cleanly
+        # (top-k/psum collectives ride ICI), so prefer it when sharded.
+        sel_cfg = sel_cfg._replace(fused_head="off")
     result = ActiveSearchResult(False, 0, 0, 0.0)
 
     # check immediate hit
