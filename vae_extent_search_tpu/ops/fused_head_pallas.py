@@ -52,7 +52,7 @@ import jax.numpy as jnp
 _LANE = 128
 
 
-def _body(*refs, T: int, rate: float, use_prng: bool, n_enc: int):
+def _body(*refs, T: int, tc: int, rate: float, use_prng: bool, n_enc: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -117,9 +117,12 @@ def _body(*refs, T: int, rate: float, use_prng: bool, n_enc: int):
 
     # T MC-dropout forwards, masks on h0 only (predict_cost applies
     # dropout after the first hidden layer's relu only). The T passes are
-    # independent given h0, so they run as ONE [T*B, H] stacked matmul
-    # instead of T sequential [B, H] ones — T-fold larger MXU tiles with
-    # no serial dependency chain.
+    # independent given h0, so they run as stacked [tc*B, H] matmuls
+    # (tc passes per chunk) instead of T sequential [B, H] ones —
+    # tc-fold larger MXU tiles with no serial dependency chain. The
+    # chunk size is capped by the wrapper so the stacked activations fit
+    # v5e's 16 MB scoped VMEM in any compute dtype (f32 at T=10 blew it
+    # by 4% unchunked).
     if use_prng:
         pltpu.prng_seed(seed_or_bits_ref[0] + pl.program_id(0))
     keep = 1.0 - rate
@@ -127,26 +130,29 @@ def _body(*refs, T: int, rate: float, use_prng: bool, n_enc: int):
     thresh = jnp.uint32(min(int(rate * 4294967296.0), 4294967295))
     scale = jnp.asarray(1.0 / keep, f32)
     b_rows, h_dim = h0.shape
-    if use_prng:
-        bits = pltpu.bitcast(
-            pltpu.prng_random_bits((T * b_rows, h_dim)), jnp.uint32)
-    else:
-        bits = jnp.concatenate(
-            [seed_or_bits_ref[t] for t in range(T)], axis=0)
-    # the [T*B, H] elementwise chain is the kernel's VPU hot spot — keep
+    # the [tc*B, H] elementwise chain is the kernel's VPU hot spot — keep
     # it in the compute dtype (half the lanes-bytes of f32 when bf16)
     h0s = (h0 * scale).astype(ct)
-    h0_rep = jnp.concatenate([h0s] * T, axis=0)    # [T*B, H]
-    h0d = jnp.where(bits >= thresh, h0_rep, jnp.zeros((), ct))
-    a1t = mm(h0d, w1) + b1.astype(f32)             # [T*B, H]
-    h1t = jnp.maximum(a1t, 0.0).astype(ct)
     s = jnp.zeros(cc.shape, f32)
     s2 = jnp.zeros(cc.shape, f32)
-    for t in range(T):
-        h1_t = h1t[t * b_rows:(t + 1) * b_rows]    # static row slice
-        dt = mm(h1_t, w2) + b2.astype(f32) - cc    # [B, 1] centered on c
-        s = s + dt
-        s2 = s2 + dt * dt
+    for t0 in range(0, T, tc):
+        tcur = min(tc, T - t0)
+        if use_prng:
+            bits = pltpu.bitcast(
+                pltpu.prng_random_bits((tcur * b_rows, h_dim)), jnp.uint32)
+        else:
+            bits = jnp.concatenate(
+                [seed_or_bits_ref[t0 + t] for t in range(tcur)], axis=0)
+        h0_rep = (h0s if tcur == 1
+                  else jnp.concatenate([h0s] * tcur, axis=0))
+        h0d = jnp.where(bits >= thresh, h0_rep, jnp.zeros((), ct))
+        a1t = mm(h0d, w1) + b1.astype(f32)         # [tc*B, H]
+        h1t = jnp.maximum(a1t, 0.0).astype(ct)
+        for t in range(tcur):
+            h1_t = h1t[t * b_rows:(t + 1) * b_rows]  # static row slice
+            dt = mm(h1_t, w2) + b2.astype(f32) - cc  # [B,1], centered
+            s = s + dt
+            s2 = s2 + dt * dt
     mean_ref[:] = cc + s / T
     # sample variance (ddof=1), shift-invariant so centering is exact
     var_ref[:] = (s2 - s * s / T) / (T - 1) if T > 1 else s2 * 0.0
@@ -244,8 +250,13 @@ def fused_head_stats(head_layers: List[Dict], z: jnp.ndarray, seed,
         out_shape = [jax.ShapeDtypeStruct((nb * block, l), jnp.float32)] \
             + out_shape
         out_specs = [pl.BlockSpec((block, l), lambda i: (i, 0))] + out_specs
+    # cap the stacked MC chunk so its [tc*block, H] activations fit the
+    # 16 MB scoped-VMEM budget: ~20480 bf16 rows of H=256 fit, so bound
+    # rows x itemsize
+    itemsize = jnp.dtype(z.dtype).itemsize
+    tc = max(1, min(T, (20480 // max(1, itemsize)) // block))
     outs = pl.pallas_call(
-        functools.partial(_body, T=T, rate=rate, use_prng=use_prng,
+        functools.partial(_body, T=T, tc=tc, rate=rate, use_prng=use_prng,
                           n_enc=n_enc),
         grid=(nb,),
         in_specs=[first_spec] + in_specs,
