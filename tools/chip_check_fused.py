@@ -31,6 +31,7 @@ def main():
     from vae_extent_search_tpu.models import init_predictor_params
     from vae_extent_search_tpu.search.select import (
         SelectionConfig,
+        _use_fused_head,
         select_programs,
     )
 
@@ -48,6 +49,11 @@ def main():
     def run(mode, k):
         cfg = SelectionConfig(num_select=64, T_mc=10,
                               compute_dtype="bfloat16", fused_head=mode)
+        if mode == "auto":
+            # guard against a vacuous XLA-vs-XLA PASS: the gate must
+            # actually accept this config on this backend
+            assert _use_fused_head(params, cfg), \
+                "fused gate declined the default config — check gate/shapes"
         sel, valid, _, aux = select_programs(params, X, used, rem, k, cfg)
         return (
             np.asarray(sel)[np.asarray(valid)],

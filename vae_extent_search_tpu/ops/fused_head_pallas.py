@@ -251,10 +251,12 @@ def fused_head_stats(head_layers: List[Dict], z: jnp.ndarray, seed,
             + out_shape
         out_specs = [pl.BlockSpec((block, l), lambda i: (i, 0))] + out_specs
     # cap the stacked MC chunk so its [tc*block, H] activations fit the
-    # 16 MB scoped-VMEM budget: ~20480 bf16 rows of H=256 fit, so bound
-    # rows x itemsize
+    # 16 MB scoped-VMEM budget. Empirical bound: 10240 bf16 rows at
+    # H=256 fit (5.2 MB per stacked buffer) while 10240 f32 rows do not,
+    # so cap the per-buffer footprint rows*H*itemsize at ~5.2 MB.
     itemsize = jnp.dtype(z.dtype).itemsize
-    tc = max(1, min(T, (20480 // max(1, itemsize)) // block))
+    rows_cap = 5_242_880 // max(1, h * itemsize)
+    tc = max(1, min(T, rows_cap // block))
     outs = pl.pallas_call(
         functools.partial(_body, T=T, tc=tc, rate=rate, use_prng=use_prng,
                           n_enc=n_enc),

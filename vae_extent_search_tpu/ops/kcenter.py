@@ -85,69 +85,18 @@ def k_center_greedy_blocked(z_norm: jnp.ndarray, cand_mask: jnp.ndarray,
     return sel, val
 
 
-@functools.partial(jax.jit, static_argnames=("max_centers", "chunk"))
-def min_sq_dists_to_centers_gathered(z: jnp.ndarray,
-                                     center_mask: jnp.ndarray,
-                                     max_centers: int = 4096,
-                                     chunk: int = 1024) -> jnp.ndarray:
-    """min over centers of ||z_i - c||^2 via gathering up to
-    ``max_centers`` center rows. Exact when the center count fits the
-    bound; beyond it, surplus centers are ignored (k-center diversity
-    degrades gracefully).
-
-    Squared distances: every consumer (greedy argmax / running min) is
-    monotonic in the distance, so the sqrt over the [N, C] block is pure
-    waste. The center axis is scanned in ``chunk``-column pieces with a
-    running [N] min so HBM holds [N, chunk] instead of [N, C] (at
-    N=262k, C=4096 that is 1 GB -> 268 MB of intermediate traffic)."""
-    idx = jnp.where(center_mask, size=max_centers, fill_value=0)[0]
-    valid = center_mask[idx]
-    centers = z[idx]  # [C, D]
-    z_sq = jnp.sum(z * z, -1)  # [N]
-    nc = -(-max_centers // chunk)
-    c_blocks = centers.reshape(nc, chunk, -1) if nc > 1 else centers[None]
-    v_blocks = valid.reshape(nc, chunk) if nc > 1 else valid[None]
-
-    def body(carry, cb_vb):
-        cb, vb = cb_vb
-        sq = (
-            z_sq[:, None]
-            + jnp.sum(cb * cb, -1)[None, :]
-            - 2.0 * z @ cb.T
-        )
-        sq = jnp.where(vb[None, :], jnp.maximum(sq, 0.0), jnp.inf)
-        return jnp.minimum(carry, sq.min(axis=1)), None
-
-    init = jnp.full(z.shape[:1], jnp.inf, z.dtype)
-    out, _ = jax.lax.scan(body, init, (c_blocks, v_blocks))
-    return out
-
-
-@functools.partial(jax.jit, static_argnames=("k", "max_centers"))
-def k_center_greedy_gathered(z_norm: jnp.ndarray, cand_mask: jnp.ndarray,
-                             center_mask: jnp.ndarray, k: int,
-                             max_centers: int = 4096):
-    """k-center greedy with gathered-center initialization. Runs on
-    squared distances throughout — the greedy trajectory is identical
-    (sqrt is monotonic), one [N] sqrt cheaper per step."""
-    min_sq = min_sq_dists_to_centers_gathered(z_norm, center_mask,
-                                              max_centers)
-
-    def body(i, state):
-        min_sq, avail, sel, val = state
-        score = jnp.where(avail, min_sq, NEG_INF)
-        j = jnp.argmax(score)
-        ok = score[j] > NEG_INF / 2
-        sel = sel.at[i].set(jnp.int32(j))
-        val = val.at[i].set(ok)
-        avail = avail.at[j].set(False)
-        d_new = jnp.maximum(jnp.sum((z_norm - z_norm[j]) ** 2, -1), 0.0)
-        return (jnp.minimum(min_sq, d_new), avail, sel, val)
-
-    state = (min_sq, cand_mask, jnp.zeros((k,), jnp.int32),
-             jnp.zeros((k,), bool))
-    _, _, sel, val = jax.lax.fori_loop(0, k, body, state)
-    return sel, val
+def _sq_dist_block(a: jnp.ndarray, b: jnp.ndarray,
+                   b_valid: jnp.ndarray) -> jnp.ndarray:
+    """Squared euclidean distances [n, m] via the matmul identity, with
+    invalid columns masked to +inf. Squared because every consumer
+    (greedy argmax / running min) is monotonic in the distance — the
+    sqrt would be pure waste."""
+    sq = (
+        jnp.sum(a * a, -1)[:, None]
+        + jnp.sum(b * b, -1)[None, :]
+        - 2.0 * a @ b.T
+    )
+    return jnp.where(b_valid[None, :], jnp.maximum(sq, 0.0), jnp.inf)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "max_centers"))
@@ -160,21 +109,18 @@ def k_center_greedy_pool(z_pool: jnp.ndarray, avail: jnp.ndarray,
     the full-array variants is waste: distances matter only FROM the
     ``[P, D]`` pool TO the (gathered) centers, giving a [P, C] matmul
     + k steps of [P]-sized updates — O(P·C·D + k·P·D) instead of
-    O(N·C·D + k·N·D). Selection trajectory is identical to running
-    ``k_center_greedy_gathered`` and intersecting with the pool, because
-    every greedy pick (hence every new center) is a pool member.
+    O(N·C·D + k·N·D). Selection trajectory is identical to a full-array
+    greedy intersected with the pool, because every greedy pick (hence
+    every new center) is a pool member. Centers are gathered up to
+    ``max_centers``; surplus centers beyond the bound are ignored
+    (diversity degrades gracefully). Runs on squared distances
+    throughout (sqrt is monotonic, the trajectory is identical).
 
     Returns (local indices into the pool [k], valid [k])."""
     idx = jnp.where(center_mask, size=max_centers, fill_value=0)[0]
     c_valid = center_mask[idx]
     centers = z_all[idx]  # [C, D]
-    sq = (
-        jnp.sum(z_pool * z_pool, -1)[:, None]
-        + jnp.sum(centers * centers, -1)[None, :]
-        - 2.0 * z_pool @ centers.T
-    )
-    sq = jnp.where(c_valid[None, :], jnp.maximum(sq, 0.0), jnp.inf)
-    min_sq = sq.min(axis=1)  # [P]
+    min_sq = _sq_dist_block(z_pool, centers, c_valid).min(axis=1)  # [P]
 
     def body(i, state):
         min_sq, avail, sel, val = state

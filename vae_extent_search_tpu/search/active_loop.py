@@ -150,13 +150,9 @@ def run_active_search(
     used_mask[init_idx] = True
     selected_order = list(init_idx)
 
+    # (select_programs itself forces the fused Pallas head off when the
+    # candidate matrix arrives sharded over >1 device — see select.py)
     sel_cfg = selection or SelectionConfig(num_select=measure_size)
-    if mesh is not None and sel_cfg.fused_head == "auto":
-        # GSPMD has no partitioning rule for the fused Pallas head
-        # kernel: under a mesh it would all-gather the candidate axis
-        # around the custom call. The XLA scoring path shards cleanly
-        # (top-k/psum collectives ride ICI), so prefer it when sharded.
-        sel_cfg = sel_cfg._replace(fused_head="off")
     result = ActiveSearchResult(False, 0, 0, 0.0)
 
     # check immediate hit

@@ -163,6 +163,13 @@ def _use_fused_head(params: Dict, cfg: "SelectionConfig") -> bool:
     enc = params.get("encoder")
     if enc is None or "fc_mu" not in params:
         return False
+    # the fused encoder's hidden widths land on the MXU lane tile and
+    # fc_mu must produce the head's latent width (l, 8-aligned above);
+    # anything else falls back to the XLA path
+    if any(layer["w"].shape[1] % 128 != 0 for layer in enc):
+        return False
+    if params["fc_mu"]["w"].shape != (enc[-1]["w"].shape[1], l):
+        return False
     return cfg.T_mc >= 2 and cfg.n_unc > 0
 
 
@@ -210,12 +217,28 @@ class SelectionConfig(NamedTuple):
         return int(self.budget * self.w_div)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "gate_uncertainty_to_remaining")
-)
 def select_programs(params: Dict, X: jnp.ndarray, used_mask: jnp.ndarray,
                     remaining_mask: jnp.ndarray, key, cfg: SelectionConfig,
                     gate_uncertainty_to_remaining: bool = False):
+    """Public entry: see _select_programs. When the candidate matrix is
+    sharded over more than one device, the fused Pallas head is forced
+    off — GSPMD has no partitioning rule for the custom call and would
+    all-gather the candidate axis around it, while the XLA scoring path
+    shards cleanly (top-k/psum collectives ride ICI)."""
+    sh = getattr(X, "sharding", None)
+    if (cfg.fused_head == "auto" and sh is not None
+            and len(getattr(sh, "device_set", ())) > 1):
+        cfg = cfg._replace(fused_head="off")
+    return _select_programs(params, X, used_mask, remaining_mask, key,
+                            cfg, gate_uncertainty_to_remaining)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "gate_uncertainty_to_remaining")
+)
+def _select_programs(params: Dict, X: jnp.ndarray, used_mask: jnp.ndarray,
+                     remaining_mask: jnp.ndarray, key, cfg: SelectionConfig,
+                     gate_uncertainty_to_remaining: bool = False):
     """One full selection phase on device.
 
     Flow (mirrors reference select_programs :1210-1309):
