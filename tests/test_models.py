@@ -297,3 +297,54 @@ def test_fused_head_kernel_interpret_matches_jax():
             scale = float(jnp.max(jnp.abs(ref))) + 1e-12
             err = float(jnp.max(jnp.abs(got - ref))) / scale
             assert err < 1e-5, (name, err)
+
+
+def test_fused_head_kernel_shape_grid():
+    """Interpret-mode fuzz of the fused head kernel across the gate's
+    admissible shape space: lane-aligned hidden widths, 8-aligned
+    latents, T values that exercise the VMEM chunking (f32 at block=1024
+    chunks at tc=5), and dropout-rate extremes."""
+    import jax
+    import jax.numpy as jnp
+
+    from vae_extent_search_tpu.models import init_predictor_params
+    from vae_extent_search_tpu.models.predictor import (
+        pred_encode,
+        predict_cost,
+    )
+    from vae_extent_search_tpu.ops.fused_head_pallas import fused_head_stats
+    from vae_extent_search_tpu.search.select import z_grad_norms
+
+    key = jax.random.PRNGKey(1)
+    for hidden, latent, T, rate in (
+        (128, 8, 2, 0.5),    # minimal aligned dims, heavy dropout
+        (256, 64, 7, 0.1),   # default dims, odd T (chunk 5 + 2 in f32)
+        (128, 32, 11, 0.0),  # rate 0: masks keep everything
+    ):
+        params = init_predictor_params(key, 10, hidden_dim=hidden,
+                                       latent_dim=latent,
+                                       predictor_hidden=hidden)
+        X = jax.random.normal(key, (200, 10), jnp.float32)
+        mu, _ = pred_encode(params, X)
+        head = params["cost_predictor"]
+        bits = jax.random.bits(key, (T, 200, hidden), jnp.uint32)
+        mu_k, cost, gnorm, mean, var = fused_head_stats(
+            head, X, 0, T=T, rate=rate, block=1024, interpret=True,
+            mask_bits=bits, encoder=(params["encoder"], params["fc_mu"]))
+
+        thresh = np.uint32(min(int(rate * 2**32), 2**32 - 1))
+        h0 = jax.nn.relu(mu @ head[0]["w"] + head[0]["b"])
+        preds = []
+        for t in range(T):
+            h0d = jnp.where(bits[t] >= thresh, h0 / (1 - rate), 0.0)
+            h1 = jax.nn.relu(h0d @ head[1]["w"] + head[1]["b"])
+            preds.append((h1 @ head[2]["w"] + head[2]["b"])[:, 0])
+        preds = jnp.stack(preds)
+        refs = (mu, predict_cost(params, mu), z_grad_norms(params, mu),
+                preds.mean(0), preds.var(0, ddof=1))
+        for got, ref in zip((mu_k, cost, gnorm, mean, var), refs):
+            # absolute floor 1e-6: at rate=0 the true variance is 0 and
+            # both sides carry only ~1e-16 float noise
+            scale = float(jnp.max(jnp.abs(ref))) + 1e-6
+            err = float(jnp.max(jnp.abs(got - ref))) / scale
+            assert err < 1e-5, (hidden, latent, T, rate, err)
