@@ -13,16 +13,27 @@ threefry on the VPU — at N=262k, T=10 that is ~2.7 GB of HBM traffic and
 ~670M threefry draws, ~19 ms/phase on v5e-1 (measured; the MXU work is
 only ~0.4 GFLOP/candidate ≈ 2 ms). This kernel fuses the whole head:
 
-  * grid over row blocks; each block keeps ``h0``/``h1`` and all T
-    dropout passes entirely in VMEM — HBM sees only ``z`` once (in) and
-    four ``[N]`` f32 vectors (out);
+  * grid over candidate blocks; each block keeps every activation
+    entirely in VMEM — HBM sees only the input once (in) and five
+    output vectors/matrices (out);
   * dropout masks come from the TPU hardware PRNG
     (``pltpu.prng_random_bits``), seeded per block, instead of threefry;
   * the deterministic forward, the hand-derived backward (2-hidden-layer
-    ReLU MLP), and the T dropout forwards share one weight load;
+    ReLU MLP), and the T dropout forwards share one weight load; the T
+    passes run as stacked matmuls (chunked to fit the 16 MB scoped-VMEM
+    budget in any compute dtype);
   * matmuls run in the input dtype (bf16 in the bench path) with f32
     accumulation (``preferred_element_type``); statistics accumulate in
     f32 centered on the deterministic cost for variance stability.
+
+Layout: candidates live on the LANE axis — activations are
+``[features, B]`` and every per-candidate scalar is a natural lane-major
+``[1, B]`` row. The row-major formulation (candidates on sublanes) pays
+a sublane->lane relayout for each scalar store and measured ~30% slower
+on the deterministic path. In this orientation the backward is the
+mirror image of the forward: forward contracts with ``W^T`` (stored
+``[out, in]``), backward with ``W`` (stored ``[in, out]``) — both
+orientations ship to the kernel so no in-kernel transpose exists.
 
 Head structure matched (models/predictor.py::predict_cost with
 ``predictor_layers == 2``):  z @ W0 + b0 → relu → dropout → @ W1 + b1 →
@@ -37,8 +48,8 @@ the on-chip path only swaps the bit source.
 Scope: single-device executable (the per-chip fast path). Under a
 device mesh, GSPMD has no partitioning rule for the custom call and
 would all-gather the candidate axis — mesh-sharded selection uses the
-XLA path instead (search/active_loop.py gates this); a shard_map
-wrapper running this kernel per shard is the route to pod-scale fusion.
+XLA path instead (search/select.py gates this); a shard_map wrapper
+running this kernel per shard is the route to pod-scale fusion.
 """
 
 from __future__ import annotations
@@ -57,81 +68,70 @@ def _body(*refs, T: int, tc: int, rate: float, use_prng: bool, n_enc: int):
     from jax.experimental.pallas import tpu as pltpu
 
     f32 = jnp.float32
-    seed_or_bits_ref, z_ref = refs[0], refs[1]
+    seed_or_bits_ref, xt_ref = refs[0], refs[1]
     enc_refs = refs[2:2 + 2 * n_enc]
-    (w0_ref, b0_ref, w1_ref, b1_ref, w2_ref, b2_ref, w0t_ref, w1t_ref,
-     w2r_ref) = refs[2 + 2 * n_enc:11 + 2 * n_enc]
+    # head weights, both orientations: *t = [out, in] (forward side in
+    # this layout), plain = [in, out] (backward side); w2c = [H, 1]
+    # column, b2 f32 (Mosaic cannot extract bf16 scalars)
+    (w0t_ref, b0_ref, w1t_ref, b1_ref, w2r_ref, b2_ref, w0_ref, w1_ref,
+     w2c_ref) = refs[2 + 2 * n_enc:11 + 2 * n_enc]
     out_refs = refs[11 + 2 * n_enc:]
     if n_enc:
         mu_ref, cost_ref, gnorm_ref, mean_ref, var_ref = out_refs
     else:
         cost_ref, gnorm_ref, mean_ref, var_ref = out_refs
 
-    w0, w1 = w0_ref[:], w1_ref[:]                  # [L, H], [H, H]
-    b0, b1 = b0_ref[:], b1_ref[:]                  # [1, H]
-    w2 = w2_ref[:]                                 # [H, 1]
-    b2 = b2_ref[0, 0]                              # f32 (bf16 scalar
-    # extracts are unsupported by Mosaic; the wrapper passes b2 as f32)
-    ct = w0.dtype
+    ct = w0t_ref.dtype
 
     def mm(a, b):
         return jax.lax.dot_general(
             a, b, (((1,), (0,)), ((), ())), preferred_element_type=f32)
 
     if n_enc:
-        # fused encoder: x -> relu MLP -> fc_mu (no dropout in the
+        # fused encoder: x^T -> relu MLP -> fc_mu (no dropout in the
         # encoder, so mu is shared by every downstream pass)
-        h = z_ref[:]
+        h = xt_ref[:]                              # [D, B]
         for j in range(n_enc - 1):
-            wj, bj = enc_refs[2 * j][:], enc_refs[2 * j + 1][:]
-            h = jnp.maximum(mm(h, wj) + bj.astype(f32), 0.0).astype(ct)
+            wt, b = enc_refs[2 * j][:], enc_refs[2 * j + 1][:]
+            h = jnp.maximum(mm(wt, h) + b.astype(f32), 0.0).astype(ct)
         wmu, bmu = enc_refs[-2][:], enc_refs[-1][:]
-        z = (mm(h, wmu) + bmu.astype(f32)).astype(ct)  # [B, L]
-        mu_ref[:] = z.astype(mu_ref.dtype)
+        z = (mm(wmu, h) + bmu.astype(f32)).astype(ct)  # [L, B]
+        mu_ref[:] = z.astype(f32)
     else:
-        z = z_ref[:]                               # [B, L]
+        z = xt_ref[:]                              # [L, B]
 
     # deterministic forward
-    a0 = mm(z, w0) + b0.astype(f32)                # [B, H] f32
+    b2 = b2_ref[0, 0]
+    a0 = mm(w0t_ref[:], z) + b0_ref[:].astype(f32)     # [H, B] f32
     h0 = jnp.maximum(a0, 0.0)
-    h0c = h0.astype(ct)
-    a1 = mm(h0c, w1) + b1.astype(f32)              # [B, H] f32
+    a1 = mm(w1t_ref[:], h0.astype(ct)) + b1_ref[:].astype(f32)
     h1 = jnp.maximum(a1, 0.0)
-    # per-candidate scalars stay [B, 1] columns end to end: storing them
-    # as 1-D lane-major vectors would relayout sublanes->lanes per store
-    # (measured ~0.5 ms/phase at 262k candidates); the wrapper strips
-    # the trailing axis outside the kernel
-    cc = mm(h1.astype(ct), w2) + b2.astype(f32)          # [B, 1] f32
-    c = cc[:, 0]
+    cc = mm(w2r_ref[:], h1.astype(ct)) + b2            # [1, B] f32
     cost_ref[:] = cc
 
-    # backward to z: g1 = 1[a1>0] * w2^T ; g0 = (g1 @ W1^T) * 1[a0>0] ;
-    # gz = g0 @ W0^T  (pure ReLU-MLP chain rule). The transposed weights
-    # come in pre-transposed (w1t/w0t) and w2 as a row vector (w2r) so
-    # every contraction is the natural (1),(0) layout — in-kernel
-    # transposes would relayout across lanes per grid step
-    g1 = jnp.where(a1 > 0.0, w2r_ref[:].astype(f32), 0.0)
-    g0 = jnp.where(a0 > 0.0, mm(g1.astype(ct), w1t_ref[:]), 0.0)
-    gz = mm(g0.astype(ct), w0t_ref[:])             # [B, L]
-    gnorm_ref[:] = jnp.sqrt(jnp.sum(gz * gz, axis=1, keepdims=True))
+    # backward to z (pure ReLU-MLP chain rule, mirror orientation):
+    # g1 = 1[a1>0] * w2 ; g0 = (W1 g1) * 1[a0>0] ; gz = W0 g0
+    g1 = jnp.where(a1 > 0.0, w2c_ref[:].astype(f32), 0.0)   # [H, B]
+    g0 = jnp.where(a0 > 0.0, mm(w1_ref[:], g1.astype(ct)), 0.0)
+    gz = mm(w0_ref[:], g0.astype(ct))                  # [L, B]
+    gnorm_ref[:] = jnp.sqrt(jnp.sum(gz * gz, axis=0, keepdims=True))
 
     # T MC-dropout forwards, masks on h0 only (predict_cost applies
-    # dropout after the first hidden layer's relu only). The T passes are
-    # independent given h0, so they run as stacked [tc*B, H] matmuls
-    # (tc passes per chunk) instead of T sequential [B, H] ones —
+    # dropout after the first hidden layer's relu only). The T passes
+    # are independent given h0, so they run as stacked [H, tc*B] matmuls
+    # (tc passes per chunk) instead of T sequential [H, B] ones —
     # tc-fold larger MXU tiles with no serial dependency chain. The
     # chunk size is capped by the wrapper so the stacked activations fit
-    # v5e's 16 MB scoped VMEM in any compute dtype (f32 at T=10 blew it
-    # by 4% unchunked).
+    # v5e's 16 MB scoped-VMEM budget in any compute dtype.
     if use_prng:
         pltpu.prng_seed(seed_or_bits_ref[0] + pl.program_id(0))
     keep = 1.0 - rate
     # drop when bits < rate * 2^32  <=>  keep with prob (1 - rate)
     thresh = jnp.uint32(min(int(rate * 4294967296.0), 4294967295))
     scale = jnp.asarray(1.0 / keep, f32)
-    b_rows, h_dim = h0.shape
-    # the [tc*B, H] elementwise chain is the kernel's VPU hot spot — keep
-    # it in the compute dtype (half the lanes-bytes of f32 when bf16)
+    h_dim, b_cols = h0.shape
+    # the [H, tc*B] elementwise chain is the kernel's VPU hot spot —
+    # keep it in the compute dtype (half the lane-bytes of f32 when bf16)
     h0s = (h0 * scale).astype(ct)
     s = jnp.zeros(cc.shape, f32)
     s2 = jnp.zeros(cc.shape, f32)
@@ -139,18 +139,20 @@ def _body(*refs, T: int, tc: int, rate: float, use_prng: bool, n_enc: int):
         tcur = min(tc, T - t0)
         if use_prng:
             bits = pltpu.bitcast(
-                pltpu.prng_random_bits((tcur * b_rows, h_dim)), jnp.uint32)
+                pltpu.prng_random_bits((h_dim, tcur * b_cols)), jnp.uint32)
         else:
+            # injected mask bits arrive candidate-major [B, H]; the
+            # transpose only exists on the interpret/test path
             bits = jnp.concatenate(
-                [seed_or_bits_ref[t0 + t] for t in range(tcur)], axis=0)
+                [seed_or_bits_ref[t0 + t].T for t in range(tcur)], axis=1)
         h0_rep = (h0s if tcur == 1
-                  else jnp.concatenate([h0s] * tcur, axis=0))
+                  else jnp.concatenate([h0s] * tcur, axis=1))
         h0d = jnp.where(bits >= thresh, h0_rep, jnp.zeros((), ct))
-        a1t = mm(h0d, w1) + b1.astype(f32)         # [tc*B, H]
+        a1t = mm(w1t_ref[:], h0d) + b1_ref[:].astype(f32)  # [H, tc*B]
         h1t = jnp.maximum(a1t, 0.0).astype(ct)
+        ct_all = mm(w2r_ref[:], h1t) + b2                  # [1, tc*B]
         for t in range(tcur):
-            h1_t = h1t[t * b_rows:(t + 1) * b_rows]  # static row slice
-            dt = mm(h1_t, w2) + b2.astype(f32) - cc  # [B,1], centered
+            dt = ct_all[:, t * b_cols:(t + 1) * b_cols] - cc  # centered
             s = s + dt
             s2 = s2 + dt * dt
     mean_ref[:] = cc + s / T
@@ -158,14 +160,11 @@ def _body(*refs, T: int, tc: int, rate: float, use_prng: bool, n_enc: int):
     var_ref[:] = (s2 - s * s / T) / (T - 1) if T > 1 else s2 * 0.0
 
 
-def _head_arrays(head_layers: List[Dict], dtype) -> Tuple:
-    w0 = head_layers[0]["w"].astype(dtype)
-    b0 = head_layers[0]["b"].astype(dtype).reshape(1, -1)
-    w1 = head_layers[1]["w"].astype(dtype)
-    b1 = head_layers[1]["b"].astype(dtype).reshape(1, -1)
-    w2 = head_layers[2]["w"].astype(dtype)
-    b2 = head_layers[2]["b"].astype(jnp.float32).reshape(1, 1)
-    return w0, b0, w1, b1, w2, b2
+def _wb(layer: Dict, dtype, transposed: bool, f32_bias: bool = False):
+    w = layer["w"]
+    w = (w.T if transposed else w).astype(dtype)
+    b = layer["b"].astype(jnp.float32 if f32_bias else dtype)
+    return w, b.reshape(-1, 1)
 
 
 @functools.partial(
@@ -193,11 +192,10 @@ def fused_head_stats(head_layers: List[Dict], z: jnp.ndarray, seed,
     from jax.experimental.pallas import tpu as pltpu
 
     n, d_in = z.shape
-    h = head_layers[0]["w"].shape[1]
-    l = head_layers[0]["w"].shape[0]
+    l, h = head_layers[0]["w"].shape
     assert len(head_layers) == 3, "kernel is specialized to 2 hidden layers"
     assert h % _LANE == 0 and l % 8 == 0, (l, h)
-    assert block % 1024 == 0, block
+    assert block % _LANE == 0, block
     nb = -(-n // block)
     pad = nb * block - n
     if pad:
@@ -205,10 +203,18 @@ def fused_head_stats(head_layers: List[Dict], z: jnp.ndarray, seed,
         if mask_bits is not None:
             mask_bits = jnp.concatenate(
                 [mask_bits, jnp.zeros((T, pad, h), jnp.uint32)], axis=1)
-    w0, b0, w1, b1, w2, b2 = _head_arrays(head_layers, z.dtype)
-    w0t, w1t, w2r = w0.T, w1.T, w2.reshape(1, -1)
+    n_pad = nb * block
+    zt = z.T  # [D, N]: candidates on lanes
 
     full = lambda i: (0, 0)
+    w0t, b0 = _wb(head_layers[0], z.dtype, transposed=True)
+    w1t, b1 = _wb(head_layers[1], z.dtype, transposed=True)
+    w2r, b2 = _wb(head_layers[2], z.dtype, transposed=True)
+    b2 = b2.astype(jnp.float32)
+    w0 = head_layers[0]["w"].astype(z.dtype)
+    w1 = head_layers[1]["w"].astype(z.dtype)
+    w2c = head_layers[2]["w"].astype(z.dtype)          # [H, 1] column
+
     enc_arrays, enc_specs = [], []
     n_enc = 0
     if encoder is not None:
@@ -216,27 +222,19 @@ def fused_head_stats(head_layers: List[Dict], z: jnp.ndarray, seed,
         stack = list(enc_layers) + [fc_mu]
         n_enc = len(stack)
         for layer in stack:
-            w = layer["w"].astype(z.dtype)
-            b = layer["b"].astype(z.dtype).reshape(1, -1)
-            enc_arrays += [w, b]
+            wt, b = _wb(layer, z.dtype, transposed=True)
+            enc_arrays += [wt, b]
             enc_specs += [
-                pl.BlockSpec(w.shape, full),
+                pl.BlockSpec(wt.shape, full),
                 pl.BlockSpec(b.shape, full),
             ]
 
     use_prng = mask_bits is None
+    head_arrays = [w0t, b0, w1t, b1, w2r, b2, w0, w1, w2c]
     in_specs = [
-        pl.BlockSpec((block, d_in), lambda i: (i, 0)),
+        pl.BlockSpec((d_in, block), lambda i: (0, i)),
         *enc_specs,
-        pl.BlockSpec((l, h), full),
-        pl.BlockSpec((1, h), full),
-        pl.BlockSpec((h, h), full),
-        pl.BlockSpec((1, h), full),
-        pl.BlockSpec((h, 1), full),
-        pl.BlockSpec((1, 1), full),
-        pl.BlockSpec((h, l), full),
-        pl.BlockSpec((h, h), full),
-        pl.BlockSpec((1, h), full),
+        *[pl.BlockSpec(a.shape, full) for a in head_arrays],
     ]
     if use_prng:
         first = jnp.asarray(seed, jnp.int32).reshape(1)
@@ -244,19 +242,19 @@ def fused_head_stats(head_layers: List[Dict], z: jnp.ndarray, seed,
     else:
         first = mask_bits
         first_spec = pl.BlockSpec((T, block, h), lambda i: (0, i, 0))
-    out_shape = [jax.ShapeDtypeStruct((nb * block, 1), jnp.float32)] * 4
-    out_specs = [pl.BlockSpec((block, 1), lambda i: (i, 0))] * 4
+    out_shape = [jax.ShapeDtypeStruct((1, n_pad), jnp.float32)] * 4
+    out_specs = [pl.BlockSpec((1, block), lambda i: (0, i))] * 4
     if n_enc:
-        out_shape = [jax.ShapeDtypeStruct((nb * block, l), jnp.float32)] \
+        out_shape = [jax.ShapeDtypeStruct((l, n_pad), jnp.float32)] \
             + out_shape
-        out_specs = [pl.BlockSpec((block, l), lambda i: (i, 0))] + out_specs
-    # cap the stacked MC chunk so its [tc*block, H] activations fit the
-    # 16 MB scoped-VMEM budget. Empirical bound: 10240 bf16 rows at
-    # H=256 fit (5.2 MB per stacked buffer) while 10240 f32 rows do not,
-    # so cap the per-buffer footprint rows*H*itemsize at ~5.2 MB.
+        out_specs = [pl.BlockSpec((l, block), lambda i: (0, i))] + out_specs
+    # cap the stacked MC chunk so its [H, tc*block] activations fit the
+    # 16 MB scoped-VMEM budget. Empirical bound: 10240 stacked bf16
+    # candidates at H=256 fit (5.2 MB per stacked buffer) while the same
+    # f32 footprint does not, so cap cols*H*itemsize at ~5.2 MB.
     itemsize = jnp.dtype(z.dtype).itemsize
-    rows_cap = 5_242_880 // max(1, h * itemsize)
-    tc = max(1, min(T, rows_cap // block))
+    cols_cap = 5_242_880 // max(1, h * itemsize)
+    tc = max(1, min(T, cols_cap // block))
     outs = pl.pallas_call(
         functools.partial(_body, T=T, tc=tc, rate=rate, use_prng=use_prng,
                           n_enc=n_enc),
@@ -265,7 +263,8 @@ def fused_head_stats(head_layers: List[Dict], z: jnp.ndarray, seed,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
-    )(first, z, *enc_arrays, w0, b0, w1, b1, w2, b2, w0t, w1t, w2r)
-    def unpad(a):
-        return a[:n, 0] if a.shape[-1] == 1 else a[:n]
-    return tuple(unpad(o) for o in outs)
+    )(first, zt, *enc_arrays, *head_arrays)
+    if n_enc:
+        mu = outs[0].T[:n]                             # [N, L] f32
+        return (mu,) + tuple(o[0, :n] for o in outs[1:])
+    return tuple(o[0, :n] for o in outs)
