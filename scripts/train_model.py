@@ -30,6 +30,14 @@ def evaluate_model(model, test_ds: Dataset):
     for task in test_ds.tasks():
         feats = [np.asarray(f, np.float32) for f in test_ds.features[task]]
         labels = test_ds.throughputs[task]
+        if getattr(model, "use_workload_embedding", False):
+            from vae_extent_search_tpu.models.embedding import (
+                append_workload_embedding,
+            )
+
+            feats = append_workload_embedding(
+                feats, [task.workload_key] * len(feats),
+                total_dim=getattr(model, "workload_embed_total_dim", 9))
         preds = model.predict_on_features(feats)
         finite = np.isfinite(preds)
         preds = np.where(finite, preds, 0.0)
@@ -79,7 +87,8 @@ def make_model(spec: str, in_dim: int):
 
 def train_zero_shot(dataset: Dataset, models: str, split_scheme: str,
                     seed: int = 0, verbose: bool = False,
-                    train_ratio: float = 0.9):
+                    train_ratio: float = 0.9,
+                    use_workload_embedding: bool = True):
     if split_scheme == "within_task":
         train_set, test_set = dataset.random_split_within_task(
             train_ratio, seed=seed)
@@ -108,9 +117,18 @@ def train_zero_shot(dataset: Dataset, models: str, split_scheme: str,
 
     results = {}
     for name in specs:
-        feats, labels, _ = train_set.flatten()
+        # reference default: models train with the workload embedding
+        # appended per row (MLP 10 dims, tree models 9 raw tags)
+        kind = name.split("@")[0]
+        emb_dim = 10 if kind in ("mlp", "lstm", "mha", "tabnet") else 9
+        feats, labels, _ = train_set.flatten(
+            with_workload_embedding=use_workload_embedding,
+            embed_total_dim=emb_dim,
+        )
         in_dim = feats[0].shape[1] if feats else 164
         model = make_model(name, in_dim)
+        model.use_workload_embedding = use_workload_embedding
+        model.workload_embed_total_dim = emb_dim
         model.fit_base_dataset(train_set, verbose=verbose) if hasattr(
             model, "fit_base_dataset"
         ) else model.fit_base(feats, labels, verbose=verbose)
@@ -134,6 +152,10 @@ def main():
                    choices=["within_task", "by_task", "by_target"])
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--train-ratio", type=float, default=0.9)
+    p.add_argument("--no-workload-embedding", action="store_true",
+                   help="train on raw per-store features without the "
+                        "per-task workload tag embedding (reference "
+                        "models default to embedding ON)")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args()
 
@@ -142,7 +164,8 @@ def main():
         with open(path, "rb") as f:
             dataset.update_from_dataset(pickle.load(f))
     train_zero_shot(dataset, args.models, args.split_scheme, args.seed,
-                    args.verbose, train_ratio=args.train_ratio)
+                    args.verbose, train_ratio=args.train_ratio,
+                    use_workload_embedding=not args.no_workload_embedding)
 
 
 if __name__ == "__main__":

@@ -263,7 +263,7 @@ def test_tenset_reconstruction_op_families(name, args):
         "depthwise": "DepthwiseConv2d",
         "group": "group_conv2d_nhwc",
         "tconv": "conv2d_transpose_nhwc",
-        "bmm": "T_batch_matmul_NT",
+        "bmm": "compute",
         "pool": "pool_max",
         "conv3d": "Conv3dOutput",
     }[name]

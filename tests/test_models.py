@@ -348,3 +348,54 @@ def test_fused_head_kernel_shape_grid():
             scale = float(jnp.max(jnp.abs(ref))) + 1e-6
             err = float(jnp.max(jnp.abs(got - ref))) / scale
             assert err < 1e-5, (hidden, latent, T, rate, err)
+
+
+def test_workload_embedding():
+    """9-tag workload embedding (reference xgb_model.py:79-87): tag hits
+    on known workloads, MLP 10-dim padding, and an in-search
+    LearnedCostModel fit/predict round-trip with the embedding appended
+    (matching the reference's use_workload_embedding=True default)."""
+    import json
+
+    from vae_extent_search_tpu.models.embedding import (
+        WORKLOAD_EMBED_TAGS,
+        append_workload_embedding,
+        get_workload_embedding,
+    )
+    import vae_extent_search_tpu.records.workload_library  # noqa: F401
+
+    soft = get_workload_embedding(
+        json.dumps(["softmax_nm_auto_scheduler_test", 64, 128]))
+    assert soft[WORKLOAD_EMBED_TAGS.index("max")] == 1.0
+    assert soft[WORKLOAD_EMBED_TAGS.index("softmax")] == 1.0
+    assert soft[WORKLOAD_EMBED_TAGS.index("dense")] == 0.0
+
+    bmm = get_workload_embedding(json.dumps(["batch_matmul", 4, 64, 64, 64]))
+    assert bmm[WORKLOAD_EMBED_TAGS.index("compute(b, i, j)")] == 1.0
+
+    # unregistered keys degrade to the zero embedding
+    assert not get_workload_embedding('["nonexistent_wkl", 1]').any()
+
+    feats = [np.random.rand(3, 164).astype(np.float32),
+             np.random.rand(5, 164).astype(np.float32)]
+    out = append_workload_embedding(
+        feats, [json.dumps(["batch_matmul", 4, 64, 64, 64])] * 2,
+        total_dim=10)
+    assert out[0].shape == (3, 174) and out[1].shape == (5, 174)
+    assert np.allclose(out[0][:, :164], feats[0])
+    assert np.allclose(out[0][0, 164:], np.concatenate([bmm, [0.0]]))
+
+    # MLP save/load keeps the embedding contract
+    from vae_extent_search_tpu.models.segment import MLPModelInternal
+
+    m = MLPModelInternal(in_dim=174, n_epoch=2)
+    m.use_workload_embedding = True
+    m.fit_base(out * 8, np.random.rand(16).astype(np.float32))
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "m.pkl")
+        m.save(p)
+        m2 = MLPModelInternal.load(p)
+    assert m2.use_workload_embedding and m2.workload_embed_total_dim == 10
+    preds = m2.predict_on_features(out)
+    assert preds.shape == (2,) and np.isfinite(preds).all()

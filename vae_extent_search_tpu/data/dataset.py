@@ -118,14 +118,28 @@ class Dataset:
 
     # flatten helpers -------------------------------------------------
 
-    def flatten(self) -> Tuple[List[np.ndarray], np.ndarray, np.ndarray]:
-        """(ragged feature list, labels, task_ids) across all tasks."""
-        feats, labels, task_ids = [], [], []
+    def flatten(self, with_workload_embedding: bool = False,
+                embed_total_dim: int = 10
+                ) -> Tuple[List[np.ndarray], np.ndarray, np.ndarray]:
+        """(ragged feature list, labels, task_ids) across all tasks.
+
+        ``with_workload_embedding`` tiles each task's workload embedding
+        onto its rows (reference SegmentDataLoader, mlp_model.py:52-80;
+        see models/embedding.py). ``embed_total_dim``: 10 for the
+        MLP-family models (9 tags + reserved target slot), 9 raw tags
+        for the tree models (xgb_model.py:301-304)."""
+        feats, labels, task_ids, keys = [], [], [], []
         for tid, task in enumerate(self.tasks()):
             for f in self.features[task]:
                 feats.append(np.asarray(f, np.float32))
+                keys.append(task.workload_key)
             labels.append(self.throughputs[task])
             task_ids.extend([tid] * len(self.throughputs[task]))
+        if with_workload_embedding and feats:
+            from ..models.embedding import append_workload_embedding
+
+            feats = append_workload_embedding(feats, keys,
+                                              total_dim=embed_total_dim)
         labels = np.concatenate(labels) if labels else np.zeros(0, np.float32)
         return feats, labels, np.asarray(task_ids, np.int32)
 

@@ -37,6 +37,22 @@ except ImportError:
     HAS_LGB = False
 
 
+def _invalid_rows_mask(model, features_list):
+    """Unlowerable states arrive as all-zero feature matrices
+    (feature.py:114-116 / mlp_model.py:842-845 -> score -inf). The
+    workload-embedding columns are appended AFTER that convention, so
+    only the base columns decide validity."""
+    emb = (
+        getattr(model, "workload_embed_total_dim", 0)
+        if getattr(model, "use_workload_embedding", False) else 0
+    )
+    out = []
+    for f in features_list:
+        base = f[:, : f.shape[1] - emb] if emb and len(f) else f
+        out.append(len(f) == 0 or not np.any(base))
+    return out
+
+
 def _pack_ids(features_list) -> np.ndarray:
     ids = []
     for i, f in enumerate(features_list):
@@ -74,18 +90,42 @@ class GBDTModelInternal:
         return self
 
     def _aggregate(self, features_list) -> np.ndarray:
+        # trailing workload-embedding columns (tiled per row, constant
+        # within a program) must NOT be summed — summing turns them into
+        # a noisy row-count proxy; keep the per-program constant instead
+        emb = (
+            getattr(self, "workload_embed_total_dim", 0)
+            if getattr(self, "use_workload_embedding", False) else 0
+        )
         out = np.zeros(
             (len(features_list), features_list[0].shape[1]), np.float32
         )
         for i, f in enumerate(features_list):
             if len(f):
                 out[i] = f.sum(axis=0)
+                if emb:
+                    out[i, -emb:] = f[0, -emb:]
         return out
+
+    def _drop_constant_cols(self, X: np.ndarray, fit: bool) -> np.ndarray:
+        """Constant columns carry no split gain, but their mere presence
+        shifts sklearn's random feature-visit order and re-breaks ties
+        between the heavily-correlated per-store features — a single-task
+        search with the (per-task-constant) workload embedding appended
+        would follow a different trajectory than one without for RNG
+        reasons alone. Dropping fit-time-constant columns makes the
+        aggregate backends invariant to them; varying columns (the
+        embedding across a multi-task dataset) are kept."""
+        if fit:
+            self._col_mask = (X != X[0:1]).any(axis=0)
+            if not self._col_mask.any():
+                self._col_mask[:] = True
+        return X[:, self._col_mask]
 
     def _fit_sklearn(self, features_list, labels):
         from sklearn.ensemble import GradientBoostingRegressor
 
-        X = self._aggregate(features_list)
+        X = self._drop_constant_cols(self._aggregate(features_list), True)
         self.model = GradientBoostingRegressor(
             max_depth=self.max_depth, learning_rate=self.learning_rate,
             n_estimators=self.n_estimators, random_state=self.seed,
@@ -96,7 +136,7 @@ class GBDTModelInternal:
         """LightGBM over per-program summed features (reference
         cost_model/lgbm_model.py LGBModelInternal; same aggregation
         trade-off as the sklearn fallback)."""
-        X = self._aggregate(features_list)
+        X = self._drop_constant_cols(self._aggregate(features_list), True)
         self.model = lgb.LGBMRegressor(
             max_depth=self.max_depth, learning_rate=self.learning_rate,
             n_estimators=self.n_estimators, random_state=self.seed,
@@ -138,10 +178,11 @@ class GBDTModelInternal:
                               minlength=len(features_list)).astype(np.float32)
         else:
             out = self.model.predict(
-                self._aggregate(features_list)
+                self._drop_constant_cols(self._aggregate(features_list),
+                                         False)
             ).astype(np.float32)
-        for i, f in enumerate(features_list):
-            if len(f) == 0 or not np.any(f):
+        for i, bad in enumerate(_invalid_rows_mask(self, features_list)):
+            if bad:
                 out[i] = -np.inf
         return out
 

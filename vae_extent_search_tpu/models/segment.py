@@ -332,8 +332,10 @@ class MLPModelInternal:
             k = int(np.asarray(b.valid).sum())
             preds[pos:pos + k] = out[:k]
             pos += k
-        for i, f in enumerate(features_list):
-            if len(f) == 0 or not np.any(f):
+        from .gbdt import _invalid_rows_mask
+
+        for i, bad in enumerate(_invalid_rows_mask(self, features_list)):
+            if bad:
                 preds[i] = -np.inf
         return preds
 
@@ -351,6 +353,13 @@ class MLPModelInternal:
                     },
                     "params": jax.tree_util.tree_map(np.asarray, self.params),
                     "fea_norm_vec": self.fea_norm_vec,
+                    # whether fit-time features carried the tiled 10-dim
+                    # workload embedding (models/embedding.py) — consumers
+                    # must featurize predictions the same way
+                    "use_workload_embedding": getattr(
+                        self, "use_workload_embedding", False),
+                    "workload_embed_total_dim": getattr(
+                        self, "workload_embed_total_dim", 10),
                 },
                 f,
             )
@@ -364,6 +373,10 @@ class MLPModelInternal:
         model = cls(**blob["config"])
         model.params = jax.tree_util.tree_map(jnp.asarray, blob["params"])
         model.fea_norm_vec = blob["fea_norm_vec"]
+        model.use_workload_embedding = blob.get(
+            "use_workload_embedding", False)
+        model.workload_embed_total_dim = blob.get(
+            "workload_embed_total_dim", 10)
         return model
 
 

@@ -259,8 +259,10 @@ class SequenceModelInternal:
              for f in features_list]
         )
         preds = np.asarray(self._forward(self.params, feats, mask))
-        for i, f in enumerate(features_list):
-            if len(f) == 0 or not np.any(f):
+        from .gbdt import _invalid_rows_mask
+
+        for i, bad in enumerate(_invalid_rows_mask(self, features_list)):
+            if bad:
                 preds[i] = -np.inf
         return preds
 
@@ -277,6 +279,10 @@ class SequenceModelInternal:
                     self.params,
                 ),
                 "fea_norm_vec": self.fea_norm_vec,
+                "use_workload_embedding": getattr(
+                    self, "use_workload_embedding", False),
+                "workload_embed_total_dim": getattr(
+                    self, "workload_embed_total_dim", 10),
             }, f)
 
     @classmethod
@@ -289,4 +295,6 @@ class SequenceModelInternal:
                 blob["lr"], blob["n_epoch"])
         m.params = blob["params"]
         m.fea_norm_vec = blob["fea_norm_vec"]
+        m.use_workload_embedding = blob.get("use_workload_embedding", False)
+        m.workload_embed_total_dim = blob.get("workload_embed_total_dim", 10)
         return m

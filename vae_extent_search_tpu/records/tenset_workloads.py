@@ -516,7 +516,9 @@ def batch_matmul_chain(x_shape, y_shape, out_shape) -> List[Tensor]:
         lambda b, i, j: sum_reduce(
             X[b.var, i.var, k.var] * Y[b.var, j.var, k.var], [k]
         ),
-        "T_batch_matmul_NT",
+        # unnamed te.compute in topi batch_matmul -> default "compute"
+        # (reference topi/nn/batch_matmul.py:70-75)
+        "compute",
     )
     return [X, Y, out]
 

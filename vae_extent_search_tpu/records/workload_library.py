@@ -393,7 +393,10 @@ def batch_matmul(B, N, M, K, dtype="float32"):
         lambda b, i, j: sum_reduce(
             X[b.var, i.var, k.var] * Y[b.var, j.var, k.var], [k]
         ),
-        "T_batch_matmul_NT",
+        # TVM 0.8 topi batch_matmul leaves te.compute unnamed -> default
+        # "compute" (reference topi/nn/batch_matmul.py:70-75); the 9-tag
+        # workload embedding keys on "compute(b, i, j)"
+        "compute",
     )
     return [X, Y, out]
 

@@ -24,12 +24,20 @@ class LearnedCostModel(PythonCostModel):
     SequenceModelInternal) behind the search-callback interface."""
 
     def __init__(self, internal=None, kind: str = "mlp",
-                 few_shot_learning: str = "base_only"):
+                 few_shot_learning: str = "base_only",
+                 use_workload_embedding: bool = True):
+        # reference default: MLP/XGB/LGB append a workload embedding to
+        # every feature row (mlp_model.py use_workload_embedding=True,
+        # xgb_model.py:108); the MLP pads it to 10 dims, the tree models
+        # use the raw 9 tags
+        self._embed_total = 10 if kind in ("mlp", "lstm", "mha",
+                                           "tabnet") else 9
         if internal is None:
+            extra = self._embed_total if use_workload_embedding else 0
             if kind == "mlp":
                 from ..models.segment import MLPModelInternal
 
-                internal = MLPModelInternal()
+                internal = MLPModelInternal(in_dim=164 + extra)
             elif kind == "gbdt":
                 from ..models.gbdt import GBDTModelInternal
 
@@ -41,11 +49,26 @@ class LearnedCostModel(PythonCostModel):
             else:
                 from ..models.variants import SequenceModelInternal
 
-                internal = SequenceModelInternal(arch=kind)
+                internal = SequenceModelInternal(arch=kind,
+                                                 in_dim=164 + extra)
+            internal.use_workload_embedding = use_workload_embedding
+            internal.workload_embed_total_dim = self._embed_total
+        else:
+            use_workload_embedding = getattr(
+                internal, "use_workload_embedding", False)
+        self.use_workload_embedding = use_workload_embedding
         self.internal = internal
         self.few_shot_learning = few_shot_learning
         self._inputs: List = []
         self._results: List = []
+
+    def _embed(self, features_list, workload_keys):
+        if not self.use_workload_embedding:
+            return features_list
+        from ..models.embedding import append_workload_embedding
+
+        return append_workload_embedding(features_list, workload_keys,
+                                         total_dim=self._embed_total)
 
     # ---------------- search-side interface -------------------------
 
@@ -70,7 +93,9 @@ class LearnedCostModel(PythonCostModel):
         if len(keep) < 8:
             return
         self.internal.fit_base(
-            [feats[i] for i in keep], throughputs[keep]
+            self._embed([feats[i] for i in keep],
+                        [self._inputs[i].task.workload_key for i in keep]),
+            throughputs[keep],
         )
 
     def update_from_file(self, path: str, max_lines: Optional[int] = None):
@@ -95,7 +120,8 @@ class LearnedCostModel(PythonCostModel):
             rng = np.random.default_rng(0)
             return rng.random(len(states)).astype(np.float32)
         feats = get_per_store_features_from_states(states, task)
-        return self.internal.predict_on_features(feats)
+        return self.internal.predict_on_features(
+            self._embed(feats, [task.workload_key] * len(feats)))
 
     def predict_on_feature_list(self, task, feats) -> np.ndarray:
         """Score pre-extracted per-store feature matrices (the native
@@ -104,7 +130,8 @@ class LearnedCostModel(PythonCostModel):
         if not self._is_fit():
             rng = np.random.default_rng(0)
             return rng.random(len(feats)).astype(np.float32)
-        return self.internal.predict_on_features(feats)
+        return self.internal.predict_on_features(
+            self._embed(feats, [task.workload_key] * len(feats)))
 
     def save(self, path: str):
         self.internal.save(path)
