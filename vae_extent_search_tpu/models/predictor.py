@@ -187,6 +187,12 @@ class PredictorConfig(NamedTuple):
     head_lr: float = 1e-4
     weight_decay: float = 1e-5
     grad_clip: float = 1.0
+    # linear warm-up of the pair-ranking weight over the first N epochs:
+    # lambda_pair(e) = lambda_pair * min(e, N) / N (reference
+    # lambda_pair_warmup, vae_extent_search.py:1406-1410, applied per
+    # epoch in train_regression :1433 with warmup_epochs=200; the hyper
+    # grid key is rank_warmup_epochs :1612)
+    rank_warmup_epochs: int = 200
 
     def as_dict(self) -> Dict:
         return self._asdict()
@@ -241,12 +247,21 @@ def fit_predictor(params: Dict, X: jnp.ndarray, y: jnp.ndarray,
     cfg_dict = config.as_dict()
     opt_state = optimizer.init(params)
 
-    def epoch_step(carry, _):
+    warmup = int(cfg_dict.pop("rank_warmup_epochs", 0))
+    lambda_pair_max = cfg_dict["lambda_pair"]
+
+    def epoch_step(carry, epoch):
         params, opt_state, key, best_loss, best_params = carry
         key, sub = jax.random.split(key)
+        # linear lambda_pair warm-up; reference epochs are 1-based
+        if warmup > 0:
+            lam = lambda_pair_max * jnp.minimum(epoch + 1.0, warmup) / warmup
+        else:
+            lam = lambda_pair_max
+        cfg_e = {**cfg_dict, "lambda_pair": lam}
         (loss, aux), grads = jax.value_and_grad(
             compute_total_loss, has_aux=True
-        )(params, X, y, sub, cfg_dict, sample_mask)
+        )(params, X, y, sub, cfg_e, sample_mask)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         better = loss < best_loss
@@ -258,7 +273,7 @@ def fit_predictor(params: Dict, X: jnp.ndarray, y: jnp.ndarray,
 
     init = (params, opt_state, key, jnp.inf, params)
     (params, _, _, best_loss, best_params), losses = jax.lax.scan(
-        epoch_step, init, None, length=epochs
+        epoch_step, init, jnp.arange(epochs, dtype=jnp.float32)
     )
     return best_params, {"best_loss": best_loss, "losses": losses}
 
