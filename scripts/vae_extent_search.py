@@ -45,7 +45,7 @@ def run_experiment(record_file, out_dir, measure_size=64, seeds=(2000,),
                    weights=(0.5, 0.3, 0.2), grad_num=2, rand_num=0,
                    uncertainty_topk=128, max_phases=60, vae_epochs=500,
                    reg_epochs=1000, latent_dim=64, hidden_dim=256,
-                   verbose=False):
+                   init_mode="random", verbose=False):
     records = load_records(record_file)
     feats, labels, kept = extent_features_from_records(records)
     print(f"{len(records)} records -> {feats.shape} features "
@@ -68,6 +68,7 @@ def run_experiment(record_file, out_dir, measure_size=64, seeds=(2000,),
                 uncertainty_topk=uncertainty_topk,
             ),
             sampling_seed=seed,
+            init_mode=init_mode,
             verbose=verbose,
         )
         rows.append({
@@ -179,6 +180,11 @@ def main():
     p.add_argument("--reg-epochs", type=int, default=1000)
     p.add_argument("--latent-dim", type=int, default=64)
     p.add_argument("--hidden-dim", type=int, default=256)
+    p.add_argument("--init-mode", type=str, default="random",
+                   choices=["random", "diversity", "kmeans"],
+                   help="initial measured-set selection: random (the "
+                        "reference default), farthest-point latent "
+                        "diversity, or kmeans++ representatives")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args()
 
@@ -197,7 +203,7 @@ def main():
             max_phases=args.max_phases,
             vae_epochs=args.vae_epochs, reg_epochs=args.reg_epochs,
             latent_dim=args.latent_dim, hidden_dim=args.hidden_dim,
-            verbose=args.verbose,
+            init_mode=args.init_mode, verbose=args.verbose,
         )
 
 

@@ -399,3 +399,44 @@ def test_workload_embedding():
     assert m2.use_workload_embedding and m2.workload_embed_total_dim == 10
     preds = m2.predict_on_features(out)
     assert preds.shape == (2,) and np.isfinite(preds).all()
+
+
+def test_init_mode_alternatives():
+    """farthest-point and kmeans++ representative inits (reference
+    select_init_latent_diversity :1112-1153 /
+    select_representative_kmeans :1156-1208): distinct valid indices,
+    spread wider than a random draw, and the active loop runs with each
+    init_mode."""
+    import jax
+    import jax.numpy as jnp
+
+    from vae_extent_search_tpu.search.active_loop import run_active_search
+    from vae_extent_search_tpu.search.select import (
+        farthest_point_init,
+        kmeans_representative_init,
+    )
+
+    key = jax.random.PRNGKey(0)
+    # three tight clusters; representative inits must touch all three
+    centers = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]], np.float32)
+    pts = np.concatenate(
+        [centers[i] + 0.1 * np.random.default_rng(i).standard_normal((20, 2))
+         for i in range(3)]).astype(np.float32)
+    z = jnp.asarray(pts)
+
+    sel_k = np.asarray(kmeans_representative_init(key, z, 3))
+    assert len(set(sel_k.tolist())) == 3
+    assert {int(i) // 20 for i in sel_k} == {0, 1, 2}
+
+    sel_f = np.asarray(
+        farthest_point_init(key, z, jnp.ones(len(pts), bool), 3))
+    assert {int(i) // 20 for i in sel_f} == {0, 1, 2}
+
+    feats = np.random.default_rng(0).random((60, 8)).astype(np.float32)
+    labels = np.random.default_rng(1).random(60).astype(np.float32)
+    for mode in ("diversity", "kmeans"):
+        res = run_active_search(
+            feats, labels, measure_size=6, max_phases=3, latent_dim=4,
+            hidden_dim=16, vae_epochs=5, reg_epochs=5, init_mode=mode,
+        )
+        assert res.train_size >= 6

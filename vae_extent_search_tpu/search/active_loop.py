@@ -73,6 +73,7 @@ def run_active_search(
     pretrained_vae_params=None,
     mesh=None,
     bucket_shapes: bool = False,
+    init_mode: str = "random",
     verbose: bool = False,
 ) -> ActiveSearchResult:
     """Search until the true-best schedule is measured.
@@ -143,9 +144,30 @@ def run_active_search(
     else:
         vae_params = pretrained_vae_params
 
-    # ---- init measured set: random measure_size indices ----
+    # ---- init measured set (reference init alternatives: random /
+    # farthest-point latent diversity :1112-1153 / kmeans++
+    # representatives :1156-1208) ----
     rng = np.random.default_rng(sampling_seed)
-    init_idx = rng.choice(N, size=min(measure_size, N), replace=False)
+    k_init_sel = jax.random.PRNGKey(sampling_seed)
+    if init_mode == "random":
+        init_idx = rng.choice(N, size=min(measure_size, N), replace=False)
+    else:
+        from ..models.vae import vae_encode
+        from .select import farthest_point_init, kmeans_representative_init
+
+        mu_all, _ = jax.jit(vae_encode)(vae_params, X)
+        k = min(measure_size, N)
+        if init_mode == "diversity":
+            rem0 = jnp.arange(N_pad) < N
+            init_idx = np.asarray(
+                farthest_point_init(k_init_sel, mu_all, rem0, k))
+        elif init_mode == "kmeans":
+            # cluster real rows only (padding would form fake clusters)
+            init_idx = np.asarray(
+                kmeans_representative_init(k_init_sel, mu_all[:N], k))
+        else:
+            raise ValueError(f"unknown init_mode {init_mode!r}")
+        init_idx = np.unique(init_idx)[:k]
     used_mask = np.zeros(N_pad, bool)
     used_mask[init_idx] = True
     selected_order = list(init_idx)

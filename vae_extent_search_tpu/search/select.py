@@ -129,6 +129,61 @@ def farthest_point_init(key, z: jnp.ndarray, remaining_mask: jnp.ndarray,
     return sel
 
 
+@functools.partial(jax.jit, static_argnames=("k", "iters"))
+def kmeans_representative_init(key, z: jnp.ndarray, k: int,
+                               iters: int = 10) -> jnp.ndarray:
+    """k-means++ seeding + Lloyd iterations + nearest-real-point
+    dedup — the reference's representative init selection
+    (select_representative_kmeans, vae_extent_search.py:1156-1208). Like
+    the reference, it clusters ALL points (not just remaining) and
+    returns the per-center nearest distinct data indices [k]."""
+    n = z.shape[0]
+    k1, k2 = jax.random.split(key)
+    first = jax.random.randint(k1, (), 0, n)
+    cidx0 = jnp.zeros((k,), jnp.int32).at[0].set(jnp.int32(first))
+    d0 = jnp.sum((z - z[first]) ** 2, -1)  # squared = reference's dist**2
+
+    def seed_body(i, st):
+        dist, cidx, kk = st
+        kk, sub = jax.random.split(kk)
+        # sample proportional to squared distance (kmeans++)
+        idx = jax.random.categorical(
+            sub, jnp.log(jnp.maximum(dist, 1e-12)))
+        cidx = cidx.at[i].set(jnp.int32(idx))
+        dist = jnp.minimum(dist, jnp.sum((z - z[idx]) ** 2, -1))
+        return dist, cidx, kk
+
+    _, cidx, _ = jax.lax.fori_loop(1, k, seed_body, (d0, cidx0, k2))
+    centers = z[cidx]  # [k, D]
+
+    def sq_d(c):
+        return (
+            jnp.sum(z * z, -1)[:, None]
+            + jnp.sum(c * c, -1)[None, :]
+            - 2.0 * z @ c.T
+        )
+
+    def lloyd(_, centers):
+        assign = jnp.argmin(sq_d(centers), axis=1)  # [N]
+        sums = jax.ops.segment_sum(z, assign, num_segments=k)
+        cnts = jax.ops.segment_sum(
+            jnp.ones((n, 1), z.dtype), assign, num_segments=k)
+        return jnp.where(cnts > 0, sums / jnp.maximum(cnts, 1.0), centers)
+
+    centers = jax.lax.fori_loop(0, iters, lloyd, centers)
+    d = sq_d(centers)  # [N, k]
+
+    def pick(j, st):
+        taken, sel = st
+        dj = jnp.where(taken, jnp.inf, d[:, j])
+        i = jnp.argmin(dj)
+        return taken.at[i].set(True), sel.at[j].set(jnp.int32(i))
+
+    _, sel = jax.lax.fori_loop(
+        0, k, pick, (jnp.zeros((n,), bool), jnp.zeros((k,), jnp.int32)))
+    return sel
+
+
 def random_select(key, remaining_mask: jnp.ndarray, k: int):
     """eps-greedy random pick without replacement from the remaining set
     (reference random_select_indices, :869-877)."""
