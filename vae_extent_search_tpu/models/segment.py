@@ -577,12 +577,29 @@ def fit_segment_predictor(params, features, segment_ids, labels, valid, key,
     return best_params, {"best_loss": best_loss, "losses": losses}
 
 
-@functools.partial(jax.jit, static_argnames=("n_seg", "epochs"))
+def _sgdr_schedule(lr: float, epochs: int, t0: int = 30, t_mult: int = 2):
+    """CosineAnnealingWarmRestarts(T_0=30, T_mult=2) equivalent
+    (reference vae_experiments/trainer.py:43): cosine cycles of length
+    30, 60, 120, ... stepped once per epoch."""
+    cycles = []
+    t = t0
+    total = 0
+    while total < epochs:
+        cycles.append({"init_value": lr, "peak_value": lr,
+                       "decay_steps": t, "warmup_steps": 0,
+                       "end_value": 0.0})
+        total += t
+        t *= t_mult
+    return optax.sgdr_schedule(cycles)
+
+
+@functools.partial(jax.jit, static_argnames=("n_seg", "epochs", "lr"))
 def fit_segment_vae(params, features, segment_ids, valid, key, n_seg: int,
                     epochs: int = 200, lr: float = 2e-4, beta: float = 1e-4):
     """SegmentVAE pretraining as one compiled scan (reference
-    VAE_Trainer.train_vae defaults: 200 epochs, lr 2e-4, beta 1e-4)."""
-    tx = optax.adamw(lr)
+    VAE_Trainer.train_vae defaults: 200 epochs, lr 2e-4, beta 1e-4,
+    AdamW with cosine-warm-restart LR cycles)."""
+    tx = optax.adamw(_sgdr_schedule(lr, epochs))
     opt_state = tx.init(params)
 
     def step(carry, _):
