@@ -28,14 +28,9 @@ def eval_cost_model_on_weighted_tasks(model, task_datasets, weights, top_ks):
         feats = [np.asarray(f, np.float32) for f in ds.features[tsk]]
         labels = ds.throughputs[tsk]
         min_latency = ds.min_latency[tsk]
-        if getattr(model, "use_workload_embedding", False):
-            from vae_extent_search_tpu.models.embedding import (
-                append_workload_embedding,
-            )
+        from vae_extent_search_tpu.models.embedding import embed_for_model
 
-            feats = append_workload_embedding(
-                feats, [tsk.workload_key] * len(feats),
-                total_dim=getattr(model, "workload_embed_total_dim", 10))
+        feats = embed_for_model(model, feats, tsk.workload_key)
         preds = model.predict_on_features(feats)
         real_values = labels[np.argsort(-preds)]
         real_latency = min_latency / np.maximum(real_values, 1e-10)

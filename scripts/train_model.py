@@ -30,14 +30,9 @@ def evaluate_model(model, test_ds: Dataset):
     for task in test_ds.tasks():
         feats = [np.asarray(f, np.float32) for f in test_ds.features[task]]
         labels = test_ds.throughputs[task]
-        if getattr(model, "use_workload_embedding", False):
-            from vae_extent_search_tpu.models.embedding import (
-                append_workload_embedding,
-            )
+        from vae_extent_search_tpu.models.embedding import embed_for_model
 
-            feats = append_workload_embedding(
-                feats, [task.workload_key] * len(feats),
-                total_dim=getattr(model, "workload_embed_total_dim", 9))
+        feats = embed_for_model(model, feats, task.workload_key)
         preds = model.predict_on_features(feats)
         finite = np.isfinite(preds)
         preds = np.where(finite, preds, 0.0)

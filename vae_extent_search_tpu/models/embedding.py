@@ -36,6 +36,41 @@ MLP_EMBED_DIM = 10
 _CACHE: Dict[str, np.ndarray] = {}
 
 
+def _body_op_tokens(e, out) -> None:
+    """Collect max/min operator tokens appearing in a compute body —
+    TVM's DAG printer emits full expressions, so e.g. a relu body
+    ``max(T_add[...], 0f)`` makes the 'max' tag fire in the reference;
+    eliding bodies would lose those hits for every relu/clip workload."""
+    from ..ir import expr as E
+
+    if isinstance(e, (E.Max, E.Min)):
+        out.add(e.op)
+    if isinstance(e, E._Bin):
+        _body_op_tokens(e.a, out)
+        _body_op_tokens(e.b, out)
+    elif isinstance(e, E.Cmp):
+        _body_op_tokens(e.a, out)
+        _body_op_tokens(e.b, out)
+    elif isinstance(e, (E.And, E.Or)):
+        for p in e.parts:
+            _body_op_tokens(p, out)
+    elif isinstance(e, E.Select):
+        _body_op_tokens(e.cond, out)
+        _body_op_tokens(e.true_value, out)
+        _body_op_tokens(e.false_value, out)
+    elif isinstance(e, E.Cast):
+        _body_op_tokens(e.value, out)
+    elif isinstance(e, E.Call):
+        out.add(e.func)
+        for a in e.args:
+            _body_op_tokens(a, out)
+    elif isinstance(e, E.TensorRead):
+        for i in e.indices:
+            _body_op_tokens(i, out)
+    elif isinstance(e, E.Reduce):
+        _body_op_tokens(e.value, out)
+
+
 def workload_dag_str(workload_key: str) -> str:
     """TVM-flavored DAG text for tag matching (see module docstring)."""
     from ..ir.dag import ComputeDAG
@@ -54,7 +89,11 @@ def workload_dag_str(workload_key: str) -> str:
                 body.combiner, "=")
         else:
             comb = "="
-        lines.append(f"{op.name}({axes}) {comb} ..")
+        toks: set = set()
+        if body is not None:
+            _body_op_tokens(body, toks)
+        body_txt = " ".join(f"{t}(..)" for t in sorted(toks)) or ".."
+        lines.append(f"{op.name}({axes}) {comb} {body_txt}")
     return "\n".join(lines)
 
 
@@ -95,3 +134,16 @@ def append_workload_embedding(features_list: Sequence[np.ndarray],
         out.append(np.concatenate([feats, tiled], axis=1)
                    if len(feats) else feats)
     return out
+
+
+def embed_for_model(model, features_list, workload_key: str):
+    """Featurize a task's programs the way ``model`` was fitted: append
+    the workload embedding iff the model carries the contract
+    (``use_workload_embedding`` / ``workload_embed_total_dim`` persisted
+    by save/load). The single call site for prediction-side embedding —
+    scripts must not reimplement this with diverging defaults."""
+    if not getattr(model, "use_workload_embedding", False):
+        return features_list
+    total = getattr(model, "workload_embed_total_dim", MLP_EMBED_DIM)
+    return append_workload_embedding(
+        features_list, [workload_key] * len(features_list), total_dim=total)

@@ -120,7 +120,11 @@ class GBDTModelInternal:
             self._col_mask = (X != X[0:1]).any(axis=0)
             if not self._col_mask.any():
                 self._col_mask[:] = True
-        return X[:, self._col_mask]
+        mask = getattr(self, "_col_mask", None)
+        if mask is None or len(mask) != X.shape[1]:
+            # model fitted before column dropping existed (old pickle)
+            return X
+        return X[:, mask]
 
     def _fit_sklearn(self, features_list, labels):
         from sklearn.ensemble import GradientBoostingRegressor

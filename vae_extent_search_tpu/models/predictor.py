@@ -264,6 +264,17 @@ def fit_predictor(params: Dict, X: jnp.ndarray, y: jnp.ndarray,
         )(params, X, y, sub, cfg_e, sample_mask)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        # best-checkpoint selection must compare epochs on FIXED loss
+        # weights: the per-epoch warm-up loss is incomparable across
+        # epochs (a tiny early lambda_pair would make near-init params
+        # look "best" forever)
+        fixed_loss = (
+            cfg_dict.get("lambda_reg", 0.01) * aux["reg"]
+            + lambda_pair_max * aux["pair"]
+            + cfg_dict.get("gamma", 0.01) * aux["smooth"]
+            + cfg_dict.get("beta", 0.01) * aux["kld"]
+        )
+        loss = fixed_loss
         better = loss < best_loss
         best_params = jax.tree_util.tree_map(
             lambda b, p: jnp.where(better, p, b), best_params, params

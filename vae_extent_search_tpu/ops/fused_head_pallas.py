@@ -209,8 +209,9 @@ def fused_head_stats(head_layers: List[Dict], z: jnp.ndarray, seed,
     full = lambda i: (0, 0)
     w0t, b0 = _wb(head_layers[0], z.dtype, transposed=True)
     w1t, b1 = _wb(head_layers[1], z.dtype, transposed=True)
-    w2r, b2 = _wb(head_layers[2], z.dtype, transposed=True)
-    b2 = b2.astype(jnp.float32)
+    # b2 stays f32 end to end (Mosaic cannot extract bf16 scalars, and a
+    # bf16 round-trip would offset every cost output)
+    w2r, b2 = _wb(head_layers[2], z.dtype, transposed=True, f32_bias=True)
     w0 = head_layers[0]["w"].astype(z.dtype)
     w1 = head_layers[1]["w"].astype(z.dtype)
     w2c = head_layers[2]["w"].astype(z.dtype)          # [H, 1] column

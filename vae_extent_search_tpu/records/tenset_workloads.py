@@ -289,7 +289,10 @@ def dense_chain(data_shape, weight_shape, out_shape,
         (B, O),
         lambda i, j: sum_reduce(data[i.var, k.var] * weight[j.var, k.var],
                                 [k]),
-        "T_matmul_NT",
+        # topi nn.dense names its output "T_dense"
+        # (reference topi/nn/dense.py:66-70); the workload-embedding tag
+        # "dense" keys on it
+        "T_dense",
     )
     extras, cur = _broadcast_chain(mm, tuple(out_shape), extra_shapes, relu)
     return [data, weight] + extras + [cur]

@@ -167,7 +167,9 @@ def run_active_search(
                 kmeans_representative_init(k_init_sel, mu_all[:N], k))
         else:
             raise ValueError(f"unknown init_mode {init_mode!r}")
-        init_idx = np.unique(init_idx)[:k]
+        # both inits guarantee distinct indices via availability masks;
+        # keep the pick ORDER (selected_order records it)
+        assert len(set(init_idx.tolist())) == len(init_idx), init_idx
     used_mask = np.zeros(N_pad, bool)
     used_mask[init_idx] = True
     selected_order = list(init_idx)

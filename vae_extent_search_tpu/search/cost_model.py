@@ -54,8 +54,12 @@ class LearnedCostModel(PythonCostModel):
             internal.use_workload_embedding = use_workload_embedding
             internal.workload_embed_total_dim = self._embed_total
         else:
+            # trained internals carry the authoritative contract — the
+            # kind-derived default must not override it
             use_workload_embedding = getattr(
                 internal, "use_workload_embedding", False)
+            self._embed_total = getattr(
+                internal, "workload_embed_total_dim", self._embed_total)
         self.use_workload_embedding = use_workload_embedding
         self.internal = internal
         self.few_shot_learning = few_shot_learning

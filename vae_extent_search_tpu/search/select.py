@@ -108,24 +108,26 @@ def farthest_point_init(key, z: jnp.ndarray, remaining_mask: jnp.ndarray,
                         k: int):
     """Farthest-point-first init selection (reference
     select_init_latent_diversity, :1112-1153): first point random, then
-    greedy farthest (un-normalized z)."""
+    greedy farthest (un-normalized z). Incremental min-distance updates
+    (O(k*N*D)): each step only needs distances to the newest pick, so no
+    [N, N] matrix exists — the reference's cdist formulation would be
+    275 GB at the 262k-candidate bench scale."""
     n = z.shape[0]
     probs = remaining_mask / jnp.maximum(remaining_mask.sum(), 1)
     first = jax.random.choice(key, n, p=probs)
-    d = pairwise_dist(z, z)
-    min_dists = d[:, first]
+    min_sq = jnp.sum((z - z[first]) ** 2, -1)
     sel0 = jnp.zeros((k,), jnp.int32).at[0].set(jnp.int32(first))
     avail = remaining_mask.at[first].set(False)
 
     def body(i, state):
-        min_dists, avail, sel = state
-        j = jnp.argmax(jnp.where(avail, min_dists, NEG_INF))
+        min_sq, avail, sel = state
+        j = jnp.argmax(jnp.where(avail, min_sq, NEG_INF))
         sel = sel.at[i].set(jnp.int32(j))
         avail = avail.at[j].set(False)
-        min_dists = jnp.minimum(min_dists, d[:, j])
-        return (min_dists, avail, sel)
+        min_sq = jnp.minimum(min_sq, jnp.sum((z - z[j]) ** 2, -1))
+        return (min_sq, avail, sel)
 
-    _, avail, sel = jax.lax.fori_loop(1, k, body, (min_dists, avail, sel0))
+    _, avail, sel = jax.lax.fori_loop(1, k, body, (min_sq, avail, sel0))
     return sel
 
 
