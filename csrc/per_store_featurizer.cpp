@@ -451,6 +451,8 @@ std::pair<long, bool> coefficient_of(const Arena& ar, int e, long uid) {
 }
 
 double slog(double x) {
+  if (x == 0.0) return 0.0;  // log2(1) exactly; zeros dominate the
+                             // one-hot and absent-buffer fields
   double v = std::log2(std::fabs(x) + 1.0);
   return x >= 0 ? v : -v;
 }

@@ -765,38 +765,70 @@ struct SLF {
 struct SymCtx {
   std::vector<SAtom> atoms;
   std::vector<SLF> lfs;
-  std::unordered_map<uint64_t, std::vector<int>> atom_idx, lf_idx;
+  // open-addressing intern tables (hash, id+1); id 0 == empty slot.
+  // A SymCtx lives for ONE infer_bounds call (~tens of interns), so the
+  // tables start tiny; the previous unordered_map<uint64_t, vector<int>>
+  // cost a heap-allocated bucket vector per distinct hash and dominated
+  // the symbolic-machinery profile (intern + map ops ~12% of the
+  // featurizer).
+  std::vector<std::pair<uint64_t, int>> atom_tab, lf_tab;
+  size_t atom_cnt = 0, lf_cnt = 0;
   int zero;
 
-  SymCtx() { zero = intern_lf(SLF{}); }
+  SymCtx() : atom_tab(64), lf_tab(64) { zero = intern_lf(SLF{}); }
 
   static uint64_t mix(uint64_t h, uint64_t v) {
     h ^= v + 0x9e3779b97f4a7c15ULL + (h << 6) + (h >> 2);
     return h;
   }
 
+  static void grow_tab(std::vector<std::pair<uint64_t, int>>& tab) {
+    std::vector<std::pair<uint64_t, int>> nt(tab.size() * 2);
+    const size_t mask = nt.size() - 1;
+    for (auto& e : tab) {
+      if (e.second == 0) continue;
+      size_t p = e.first & mask;
+      while (nt[p].second != 0) p = (p + 1) & mask;
+      nt[p] = e;
+    }
+    tab.swap(nt);
+  }
+
   int intern_atom(SAtom a) {
     uint64_t h = mix(mix(mix(mix(a.kind, a.var_key), a.f1), a.f2), a.c);
-    auto& bucket = atom_idx[h];
-    for (int id : bucket) {
-      const SAtom& b = atoms[id];
-      if (b.kind == a.kind && b.var_key == a.var_key && b.f1 == a.f1 &&
-          b.f2 == a.f2 && b.c == a.c) {
-        return id;
+    size_t mask = atom_tab.size() - 1;
+    size_t p = h & mask;
+    while (true) {
+      auto& e = atom_tab[p];
+      if (e.second == 0) break;
+      if (e.first == h) {
+        const SAtom& b = atoms[e.second - 1];
+        if (b.kind == a.kind && b.var_key == a.var_key && b.f1 == a.f1 &&
+            b.f2 == a.f2 && b.c == a.c) {
+          return e.second - 1;
+        }
       }
+      p = (p + 1) & mask;
     }
     atoms.push_back(a);
-    bucket.push_back(static_cast<int>(atoms.size()) - 1);
+    atom_tab[p] = {h, static_cast<int>(atoms.size())};
+    if (++atom_cnt * 10 > atom_tab.size() * 7) grow_tab(atom_tab);
     return static_cast<int>(atoms.size()) - 1;
   }
 
   int intern_lf(SLF f) {
     uint64_t h = mix(0, f.cst);
     for (auto& t : f.terms) h = mix(mix(h, t.first), t.second);
-    auto& bucket = lf_idx[h];
-    for (int id : bucket) {
-      const SLF& b = lfs[id];
-      if (b.cst == f.cst && b.terms == f.terms) return id;
+    size_t mask = lf_tab.size() - 1;
+    size_t p = h & mask;
+    while (true) {
+      auto& e = lf_tab[p];
+      if (e.second == 0) break;
+      if (e.first == h) {
+        const SLF& b = lfs[e.second - 1];
+        if (b.cst == f.cst && b.terms == f.terms) return e.second - 1;
+      }
+      p = (p + 1) & mask;
     }
     // numeric bounds
     f.nlo = f.nhi = f.cst;
@@ -811,7 +843,8 @@ struct SymCtx {
       }
     }
     lfs.push_back(std::move(f));
-    bucket.push_back(static_cast<int>(lfs.size()) - 1);
+    lf_tab[p] = {h, static_cast<int>(lfs.size())};
+    if (++lf_cnt * 10 > lf_tab.size() * 7) grow_tab(lf_tab);
     return static_cast<int>(lfs.size()) - 1;
   }
 
