@@ -166,6 +166,14 @@ inline void init_state(State& st, const TaskDesc& td) {
     Stage& s = st.stages[i];
     s.op = static_cast<int>(i);
     if (td.ops[i].kind == 0) continue;  // placeholder: no iters
+    // capacity hints: Ansor schedules split/fuse every tiled dim, so
+    // iters/rels grow well past the root count — pre-sizing removes
+    // the doubling reallocs that showed up in the replay profile
+    const size_t nd = td.ops[i].dims.size() + td.ops[i].reduce.size();
+    s.iters.reserve(4 * nd + 8);
+    s.rels.reserve(3 * nd + 8);
+    s.roots.reserve(nd);
+    s.root_is_reduce.reserve(nd);
     for (size_t d = 0; d < td.ops[i].dims.size(); ++d) {
       int u = st.fresh();
       s.iters.push_back({u, td.ops[i].dims[d], 0, ANN_NONE});
