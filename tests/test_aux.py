@@ -279,3 +279,42 @@ def test_tenset_reconstruction_op_families(name, args):
     assert states
     feats = get_per_store_features_from_states(states, task)
     assert all(np.isfinite(f).all() for f in feats)
+
+
+def test_dispatcher_model_table_and_override():
+    """best_by_model (-model= target attr) takes precedence over target
+    keys, and user-defined overrides beat both (reference
+    dispatcher.py:156-158, 298-317)."""
+    import json
+
+    from vae_extent_search_tpu.records import SearchTask
+    from vae_extent_search_tpu.records.dispatcher import ApplyHistoryBest
+    from vae_extent_search_tpu.records.serde import (
+        MeasureInput,
+        MeasureRecord,
+        MeasureResult,
+    )
+
+    wkl = json.dumps(["matmul_auto_scheduler_test", 64, 64, 64])
+
+    def rec(target, cost):
+        return MeasureRecord(
+            MeasureInput(SearchTask(wkl, target), []),
+            MeasureResult([cost], 0, cost, 0.0),
+        )
+
+    disp = ApplyHistoryBest()
+    # generic llvm record (cheap) + model-specific record (expensive)
+    disp.update([rec("llvm", 0.001),
+                 rec("llvm -model=e5-2673", 0.002)])
+    # a model-matching query must pick the model table despite the
+    # cheaper generic entry under the same target key
+    got = disp.query("llvm -model=e5-2673", wkl)
+    assert got.inp.task.target == "llvm -model=e5-2673"
+    # plain llvm query falls back to the target-key table (min cost)
+    got2 = disp.query("llvm", wkl)
+    assert got2.res.mean_cost == 0.001
+    # user-defined override wins over everything
+    disp.override("llvm -model=e5-2673", wkl, rec("llvm", 9.9))
+    got3 = disp.query("llvm -model=e5-2673", wkl)
+    assert got3.res.mean_cost == 9.9

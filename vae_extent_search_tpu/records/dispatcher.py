@@ -70,13 +70,26 @@ def target_keys_of(target: str):
     return keys
 
 
+def target_model_of(target: str) -> str:
+    """The -model=xxx attribute of a target string ("unknown" when absent
+    — TVM's default Target.model)."""
+    for p in target.split():
+        if p.startswith("-model="):
+            return p[len("-model="):]
+    return "unknown"
+
+
 class ApplyHistoryBest:
     """Min-cost schedule lookup over record logs."""
 
     def __init__(self, records: Optional[Iterable] = None,
                  include_compatible: bool = True):
-        # (target_key, wkl_hash, args) -> (record, cost)
+        # (key, wkl_name, args) -> (record, cost); three tables with the
+        # reference precedence (dispatcher.py:156-158, 298-317):
+        # user-defined overrides > by target -model= attr > by target key
         self.best_by_targetkey: Dict[Tuple, Tuple[MeasureRecord, float]] = {}
+        self.best_by_model: Dict[Tuple, Tuple[MeasureRecord, float]] = {}
+        self._best_user_defined: Dict[Tuple, Tuple[MeasureRecord, float]] = {}
         self.include_compatible = include_compatible
         if records is not None:
             self.update(records)
@@ -91,31 +104,66 @@ class ApplyHistoryBest:
                 continue
             cost = rec.res.mean_cost
             name, args = decode_workload_key_flat(rec.inp.task.workload_key)
+            model = target_model_of(rec.inp.task.target)
+            if model != "unknown":
+                key = (model, name, args)
+                cur = self.best_by_model.get(key)
+                if cur is None or cost < cur[1]:
+                    self.best_by_model[key] = (rec, cost)
             for tkey in target_keys_of(rec.inp.task.target):
                 key = (tkey, name, args)
                 cur = self.best_by_targetkey.get(key)
                 if cur is None or cost < cur[1]:
                     self.best_by_targetkey[key] = (rec, cost)
 
-    def query(self, target: str, workload_key: str):
-        """Best record for (target, workload): exact args first, else the
-        closest compatible workload scaled by its distance factor."""
+    def override(self, target: str, workload_key: str, record: MeasureRecord,
+                 cost: float = 0.0):
+        """User-defined best entry, queried before any loaded record
+        (reference DispatchContext.update -> _best_user_defined)."""
         name, args = decode_workload_key_flat(workload_key)
+        model = target_model_of(target)
+        if model != "unknown":
+            self._best_user_defined[(model, name, args)] = (record, cost)
         for tkey in target_keys_of(target):
-            exact = self.best_by_targetkey.get((tkey, name, args))
-            if exact is not None:
-                return exact[0]
+            self._best_user_defined[(tkey, name, args)] = (record, cost)
+
+    def _match(self, table: Dict, key: str, name, args):
+        """Exact args first, else the closest compatible workload under
+        the same first key, scaled by its distance factor."""
+        exact = table.get((key, name, args))
+        if exact is not None:
+            return exact[0]
         if not self.include_compatible:
             return None
-        best, best_factor = None, float("inf")
-        for (tkey, k_name, k_args), (rec, cost) in \
-                self.best_by_targetkey.items():
-            if tkey not in target_keys_of(target):
+        best, best_cost = None, float("inf")
+        for (k, k_name, k_args), (rec, cost) in table.items():
+            if k != key:
                 continue
             f = calc_workload_dis_factor((name, args), (k_name, k_args))
-            if f < best_factor:
-                best_factor, best = f, rec
+            if f == float("inf"):
+                continue
+            scaled = cost * f
+            if scaled < best_cost:
+                best_cost, best = scaled, rec
         return best
+
+    def query(self, target: str, workload_key: str):
+        """Best record for (target, workload) — precedence: user-defined
+        by model, records by model, user-defined by target key, records
+        by target key (reference _query_inside :298-317)."""
+        name, args = decode_workload_key_flat(workload_key)
+        model = target_model_of(target)
+        if model != "unknown":
+            for table in (self._best_user_defined, self.best_by_model):
+                rec = self._match(table, model, name, args)
+                if rec is not None:
+                    return rec
+        for tkey in target_keys_of(target):
+            for table in (self._best_user_defined, self.best_by_targetkey):
+                rec = self._match(table, tkey, name, args)
+                if rec is not None:
+                    return rec
+        return None
 
     def best_cost(self, target: str, workload_key: str) -> float:
         rec = self.query(target, workload_key)
