@@ -440,3 +440,20 @@ def test_init_mode_alternatives():
             hidden_dim=16, vae_epochs=5, reg_epochs=5, init_mode=mode,
         )
         assert res.train_size >= 6
+
+
+def test_fused_head_chip_agreement():
+    """On a TPU backend, the fused-kernel selection must be statistically
+    indistinguishable from the XLA path (tools/chip_check_fused.py).
+    Skipped on CPU, where the fused path gates off by design."""
+    import jax
+    import pytest
+
+    if jax.default_backend() == "cpu":
+        pytest.skip("fused Pallas path is TPU-only")
+    import importlib
+    import sys as _sys
+
+    _sys.path.insert(0, "tools")
+    mod = importlib.import_module("chip_check_fused")
+    assert mod.main() == 0
