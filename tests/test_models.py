@@ -224,25 +224,32 @@ def test_select_bf16_agrees_with_f32():
         select_programs,
     )
 
-    key = jax.random.PRNGKey(0)
+    # Multi-seed: bf16 runs matmul INPUTS in bf16 with f32 accumulation
+    # and f32 intermediates (models/modules.py dense), so rankings only
+    # see one input rounding per matmul. Measured range with that policy:
+    # overlap 0.94-0.98, corr > 0.9999 over seeds 0-5; the thresholds
+    # below leave margin for cross-machine reduction-order jitter.
     N, D = 4096, 24
-    params = init_predictor_params(key, D)
-    X = jax.random.normal(key, (N, D), jnp.float32)
-    used = jnp.zeros(N, bool).at[:64].set(True)
-    rem = ~used
-    res = {}
-    for dt in ("float32", "bfloat16"):
-        cfg = SelectionConfig(num_select=64, T_mc=10, compute_dtype=dt)
-        sel, valid, _, aux = select_programs(params, X, used, rem, key,
-                                             cfg)
-        res[dt] = (np.asarray(sel)[np.asarray(valid)],
-                   np.asarray(aux["cost_pred"]))
-    s32, c32 = res["float32"]
-    s16, c16 = res["bfloat16"]
-    overlap = len(set(s32.tolist()) & set(s16.tolist())) / max(1, len(s32))
-    corr = np.corrcoef(c32, c16)[0, 1]
-    assert int(np.argmax(c32)) == int(np.argmax(c16))
-    assert overlap > 0.8 and corr > 0.999
+    for seed in range(3):
+        key = jax.random.PRNGKey(seed)
+        params = init_predictor_params(key, D)
+        X = jax.random.normal(key, (N, D), jnp.float32)
+        used = jnp.zeros(N, bool).at[:64].set(True)
+        rem = ~used
+        res = {}
+        for dt in ("float32", "bfloat16"):
+            cfg = SelectionConfig(num_select=64, T_mc=10, compute_dtype=dt)
+            sel, valid, _, aux = select_programs(params, X, used, rem,
+                                                 key, cfg)
+            res[dt] = (np.asarray(sel)[np.asarray(valid)],
+                       np.asarray(aux["cost_pred"]))
+        s32, c32 = res["float32"]
+        s16, c16 = res["bfloat16"]
+        overlap = len(set(s32.tolist()) & set(s16.tolist())) \
+            / max(1, len(s32))
+        corr = np.corrcoef(c32, c16)[0, 1]
+        assert int(np.argmax(c32)) == int(np.argmax(c16)), seed
+        assert overlap > 0.85 and corr > 0.999, (seed, overlap, corr)
 
 
 def test_fused_head_kernel_interpret_matches_jax():

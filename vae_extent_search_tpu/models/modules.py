@@ -26,7 +26,19 @@ def dense_init(key, in_dim: int, out_dim: int, dtype=jnp.float32) -> Dict:
 
 
 def dense(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
-    return x @ params["w"] + params["b"]
+    w, b = params["w"], params["b"]
+    if w.dtype == jnp.bfloat16:
+        # Mixed precision: bf16 matmul INPUTS (MXU-native rate) with f32
+        # accumulation and f32 outputs. Bias-add/activations/reductions
+        # downstream stay f32, so selection-critical rankings (top-k
+        # scores, MC variance, k-center distances) never round through
+        # bf16 intermediates — only matmul inputs are rounded, matching
+        # the fused Pallas kernel's numerics (Mosaic requires 32-bit
+        # matmul accumulators).
+        y = jnp.dot(x.astype(jnp.bfloat16), w,
+                    preferred_element_type=jnp.float32)
+        return y + b.astype(jnp.float32)
+    return x @ w + b
 
 
 def mlp_init(key, dims: Sequence[int], dtype=jnp.float32) -> List[Dict]:
