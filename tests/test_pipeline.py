@@ -278,6 +278,108 @@ def test_active_search_on_device_mesh():
     assert res.found, (res.phase, res.train_size)
 
 
+def test_sharded_fused_selection_matches_single_device():
+    """Pod-scale selection (select_sharded.py): the fused Pallas kernel
+    shard_mapped per candidate shard + cross-shard top-k merges must
+    reproduce the single-device phase bit-for-bit when fed the same
+    injected dropout mask bits (the PRNG-free seam — interpret mode has
+    no TPU hardware PRNG)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vae_extent_search_tpu.models import init_predictor_params
+    from vae_extent_search_tpu.parallel.mesh import make_mesh
+    from vae_extent_search_tpu.search import (
+        SelectionConfig,
+        select_programs,
+    )
+
+    key = jax.random.PRNGKey(0)
+    N, D, T, H = 1024, 24, 6, 256
+    params = init_predictor_params(key, D)
+    X = jax.random.normal(key, (N, D), jnp.float32)
+    used = jnp.zeros(N, bool).at[:64].set(True)
+    rem = ~used
+    bits = jax.random.bits(jax.random.fold_in(key, 7), (T, N, H),
+                           jnp.uint32)
+    cfg = SelectionConfig(num_select=64, T_mc=T, rand_num=4,
+                          fused_interpret=True)
+
+    sel1, val1, rem1, aux1 = select_programs(params, X, used, rem, key,
+                                             cfg, mask_bits=bits)
+
+    mesh = make_mesh(8, data=8, model=1)
+    sh1 = NamedSharding(mesh, P("data"))
+    sh2 = NamedSharding(mesh, P("data", None))
+    sel2, val2, rem2, aux2 = select_programs(
+        params,
+        jax.device_put(X, sh2),
+        jax.device_put(used, sh1),
+        jax.device_put(rem, sh1),
+        key, cfg,
+        mask_bits=jax.device_put(
+            bits, NamedSharding(mesh, P(None, "data", None))),
+    )
+    v1, v2 = np.asarray(val1), np.asarray(val2)
+    assert (v1 == v2).all()
+    assert (np.asarray(sel1)[v1] == np.asarray(sel2)[v2]).all()
+    assert (np.asarray(rem1) == np.asarray(rem2)).all()
+    assert np.allclose(np.asarray(aux1["cost_pred"]),
+                       np.asarray(aux2["cost_pred"]))
+    assert np.allclose(np.asarray(aux1["mc_var"]),
+                       np.asarray(aux2["mc_var"]), atol=1e-5)
+
+
+def test_sharded_topk_and_gathers_match_reference():
+    """The collective primitives of select_sharded.py agree with their
+    single-device counterparts on random inputs, including bf16 scores
+    with duplicate values (tie-breaking toward the lower global index)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vae_extent_search_tpu.parallel.mesh import make_mesh
+    from vae_extent_search_tpu.search.select import masked_top_k
+    from vae_extent_search_tpu.search.select_sharded import (
+        gather_masked_rows_sharded,
+        gather_rows_sharded,
+        masked_top_k_sharded,
+    )
+
+    mesh = make_mesh(8, data=8, model=1)
+    shard = NamedSharding(mesh, P("data"))
+    shard2 = NamedSharding(mesh, P("data", None))
+    key = jax.random.PRNGKey(3)
+    n, k = 512, 37
+    # bf16 round-trip forces duplicates -> exercises tie-breaking
+    scores = jax.random.normal(key, (n,)).astype(jnp.bfloat16) \
+        .astype(jnp.float32)
+    mask = jax.random.bernoulli(jax.random.fold_in(key, 1), 0.7, (n,))
+    i1, v1 = masked_top_k(scores, mask, k)
+    i2, v2 = masked_top_k_sharded(jax.device_put(scores, shard),
+                                  jax.device_put(mask, shard), k,
+                                  mesh, "data")
+    assert (np.asarray(v1) == np.asarray(v2)).all()
+    assert (np.asarray(i1)[np.asarray(v1)]
+            == np.asarray(i2)[np.asarray(v2)]).all()
+
+    z = jax.random.normal(jax.random.fold_in(key, 2), (n, 16))
+    idx = jnp.asarray([0, 5, 511, 63, 64, 200], jnp.int32)
+    g = gather_rows_sharded(jax.device_put(z, shard2), idx, mesh, "data")
+    assert np.allclose(np.asarray(g), np.asarray(z[idx]))
+
+    cmask = jax.random.bernoulli(jax.random.fold_in(key, 4), 0.1, (n,))
+    rows, valid = gather_masked_rows_sharded(
+        jax.device_put(z, shard2), jax.device_put(cmask, shard), 64,
+        mesh, "data")
+    ref_idx = jnp.where(cmask, size=64, fill_value=0)[0]
+    ref_valid = cmask[ref_idx]
+    assert (np.asarray(valid) == np.asarray(ref_valid)).all()
+    assert np.allclose(np.asarray(rows)[np.asarray(valid)],
+                       np.asarray(z[ref_idx])[np.asarray(ref_valid)])
+
+
 def test_active_search_bucketed_shapes():
     """bucket_shapes pads (candidates -> x256, features -> x8) so a
     multi-task sweep reuses compiled programs; padding must be masked out

@@ -120,6 +120,16 @@ def k_center_greedy_pool(z_pool: jnp.ndarray, avail: jnp.ndarray,
     idx = jnp.where(center_mask, size=max_centers, fill_value=0)[0]
     c_valid = center_mask[idx]
     centers = z_all[idx]  # [C, D]
+    return k_center_greedy_pool_core(z_pool, avail, centers, c_valid, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def k_center_greedy_pool_core(z_pool: jnp.ndarray, avail: jnp.ndarray,
+                              centers: jnp.ndarray, c_valid: jnp.ndarray,
+                              k: int):
+    """Greedy core of :func:`k_center_greedy_pool` over pre-gathered
+    centers [C, D] + validity [C] (the sharded selection path gathers
+    centers with a cross-shard compaction instead of jnp.where)."""
     min_sq = _sq_dist_block(z_pool, centers, c_valid).min(axis=1)  # [P]
 
     def body(i, state):

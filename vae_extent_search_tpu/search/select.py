@@ -201,15 +201,19 @@ def z_grad_norms(params: Dict, z: jnp.ndarray) -> jnp.ndarray:
     return jnp.linalg.norm(grad, axis=-1)
 
 
-def _use_fused_head(params: Dict, cfg: "SelectionConfig") -> bool:
+def _use_fused_head(params: Dict, cfg: "SelectionConfig",
+                    mask_bits=None) -> bool:
     """Trace-time gate for the fused Pallas head kernel: TPU backends
     only (the kernel's hardware-PRNG dropout has no CPU lowering), the
     default 2-hidden-layer head shape, and an MC pass actually needed
     (T >= 2 and an uncertainty budget; otherwise XLA's dead-code
-    elimination of the unused MC block beats running it)."""
+    elimination of the unused MC block beats running it). The
+    CPU/interpret seam (cfg.fused_interpret + injected ``mask_bits``)
+    lets tests run the kernel arithmetic without the TPU PRNG."""
     if cfg.fused_head == "off":
         return False
-    if jax.default_backend() == "cpu":
+    if jax.default_backend() == "cpu" and not (
+            cfg.fused_interpret and mask_bits is not None):
         return False
     head = params.get("cost_predictor")
     if head is None or len(head) != 3:
@@ -253,6 +257,9 @@ class SelectionConfig(NamedTuple):
     # ~2.6x the XLA lowering at 262k candidates); "off" forces the XLA
     # path (always used on CPU, where the TPU PRNG has no lowering)
     fused_head: str = "auto"
+    # test seam: run the Pallas kernel in interpret mode (CPU) with
+    # injected dropout mask bits instead of the TPU hardware PRNG
+    fused_interpret: bool = False
 
     @property
     def budget(self) -> int:
@@ -276,18 +283,35 @@ class SelectionConfig(NamedTuple):
 
 def select_programs(params: Dict, X: jnp.ndarray, used_mask: jnp.ndarray,
                     remaining_mask: jnp.ndarray, key, cfg: SelectionConfig,
-                    gate_uncertainty_to_remaining: bool = False):
+                    gate_uncertainty_to_remaining: bool = False,
+                    mask_bits=None):
     """Public entry: see _select_programs. When the candidate matrix is
-    sharded over more than one device, the fused Pallas head is forced
-    off — GSPMD has no partitioning rule for the custom call and would
-    all-gather the candidate axis around it, while the XLA scoring path
-    shards cleanly (top-k/psum collectives ride ICI)."""
+    sharded over more than one device along a named mesh axis, the phase
+    runs on the pod-scale path (search/select_sharded.py): the fused
+    Pallas head runs per candidate shard under shard_map and every
+    full-N top-k is a per-shard lax.top_k merged across shards with an
+    all_gather — GSPMD alone has no partitioning rule for the custom
+    call and would all-gather the candidate axis around it."""
+    from jax.sharding import NamedSharding
+
     sh = getattr(X, "sharding", None)
-    if (cfg.fused_head == "auto" and sh is not None
-            and len(getattr(sh, "device_set", ())) > 1):
+    if (sh is not None and isinstance(sh, NamedSharding)
+            and len(sh.device_set) > 1 and len(sh.spec) >= 1
+            and sh.spec[0] is not None):
+        from .select_sharded import select_programs_sharded
+
+        axis = sh.spec[0]
+        axis = axis if isinstance(axis, str) else axis[0]
+        return select_programs_sharded(
+            params, X, used_mask, remaining_mask, key, cfg, sh.mesh,
+            axis, gate_uncertainty_to_remaining, mask_bits)
+    if cfg.fused_head == "auto" and sh is not None \
+            and len(getattr(sh, "device_set", ())) > 1:
+        # sharded but not along a named axis we can shard_map over:
+        # fall back to the GSPMD XLA path
         cfg = cfg._replace(fused_head="off")
     return _select_programs(params, X, used_mask, remaining_mask, key,
-                            cfg, gate_uncertainty_to_remaining)
+                            cfg, gate_uncertainty_to_remaining, mask_bits)
 
 
 @functools.partial(
@@ -295,7 +319,8 @@ def select_programs(params: Dict, X: jnp.ndarray, used_mask: jnp.ndarray,
 )
 def _select_programs(params: Dict, X: jnp.ndarray, used_mask: jnp.ndarray,
                      remaining_mask: jnp.ndarray, key, cfg: SelectionConfig,
-                     gate_uncertainty_to_remaining: bool = False):
+                     gate_uncertainty_to_remaining: bool = False,
+                     mask_bits=None):
     """One full selection phase on device.
 
     Flow (mirrors reference select_programs :1210-1309):
@@ -319,13 +344,14 @@ def _select_programs(params: Dict, X: jnp.ndarray, used_mask: jnp.ndarray,
         params = jax.tree_util.tree_map(
             lambda a: a.astype(ct) if a.dtype == jnp.float32 else a, params)
         X = X.astype(ct)
-    if _use_fused_head(params, cfg):
+    if _use_fused_head(params, cfg, mask_bits):
         from ..ops.fused_head_pallas import fused_head_stats
 
         seed = jax.random.randint(k_mc, (), 0, jnp.iinfo(jnp.int32).max)
         mu, cost_pred, gnorm, mc_mean, mc_var = fused_head_stats(
             params["cost_predictor"], X, seed, T=cfg.T_mc,
             rate=cfg.dropout_rate,
+            interpret=cfg.fused_interpret, mask_bits=mask_bits,
             encoder=(params["encoder"], params["fc_mu"]),
         )
     else:
