@@ -18,31 +18,40 @@ from .workload import make_workload_key
 _RESNET50_CONVS = [
     # (H, W, CO, CI, KH, KW, stride, pad, weight)
     (224, 224, 64, 3, 7, 7, 2, 3, 1),
+    (56, 56, 256, 64, 1, 1, 1, 0, 4),
     (56, 56, 64, 64, 1, 1, 1, 0, 1),
     (56, 56, 64, 64, 3, 3, 1, 1, 3),
-    (56, 56, 256, 64, 1, 1, 1, 0, 4),
     (56, 56, 64, 256, 1, 1, 1, 0, 2),
-    (56, 56, 128, 256, 1, 1, 2, 0, 1),
-    (28, 28, 128, 128, 3, 3, 1, 1, 4),
+    (56, 56, 512, 256, 1, 1, 2, 0, 1),
+    (56, 56, 128, 256, 1, 1, 1, 0, 1),
+    (56, 56, 128, 128, 3, 3, 2, 1, 1),
     (28, 28, 512, 128, 1, 1, 1, 0, 4),
     (28, 28, 128, 512, 1, 1, 1, 0, 3),
-    (28, 28, 256, 512, 1, 1, 2, 0, 1),
-    (14, 14, 256, 256, 3, 3, 1, 1, 6),
+    (28, 28, 128, 128, 3, 3, 1, 1, 3),
+    (28, 28, 1024, 512, 1, 1, 2, 0, 1),
+    (28, 28, 256, 512, 1, 1, 1, 0, 1),
+    (28, 28, 256, 256, 3, 3, 2, 1, 1),
     (14, 14, 1024, 256, 1, 1, 1, 0, 6),
     (14, 14, 256, 1024, 1, 1, 1, 0, 5),
-    (14, 14, 512, 1024, 1, 1, 2, 0, 1),
-    (7, 7, 512, 512, 3, 3, 1, 1, 3),
+    (14, 14, 256, 256, 3, 3, 1, 1, 5),
+    (14, 14, 2048, 1024, 1, 1, 2, 0, 1),
+    (14, 14, 512, 1024, 1, 1, 1, 0, 1),
+    (14, 14, 512, 512, 3, 3, 2, 1, 1),
     (7, 7, 2048, 512, 1, 1, 1, 0, 3),
     (7, 7, 512, 2048, 1, 1, 1, 0, 2),
+    (7, 7, 512, 512, 3, 3, 1, 1, 2),
 ]
 
 _RESNET18_CONVS = [
     (224, 224, 64, 3, 7, 7, 2, 3, 1),
     (56, 56, 64, 64, 3, 3, 1, 1, 4),
+    (56, 56, 128, 64, 1, 1, 2, 0, 1),
     (56, 56, 128, 64, 3, 3, 2, 1, 1),
     (28, 28, 128, 128, 3, 3, 1, 1, 3),
+    (28, 28, 256, 128, 1, 1, 2, 0, 1),
     (28, 28, 256, 128, 3, 3, 2, 1, 1),
     (14, 14, 256, 256, 3, 3, 1, 1, 3),
+    (14, 14, 512, 256, 1, 1, 2, 0, 1),
     (14, 14, 512, 256, 3, 3, 2, 1, 1),
     (7, 7, 512, 512, 3, 3, 1, 1, 3),
 ]
@@ -55,10 +64,10 @@ _MOBILENET_V2_DEPTHWISE = [
     (56, 56, 144, 3, 3, 2, 1, 1),
     (28, 28, 192, 3, 3, 1, 1, 2),
     (28, 28, 192, 3, 3, 2, 1, 1),
-    (14, 14, 384, 3, 3, 1, 1, 3),
+    (14, 14, 384, 3, 3, 1, 1, 4),
     (14, 14, 576, 3, 3, 1, 1, 2),
     (14, 14, 576, 3, 3, 2, 1, 1),
-    (7, 7, 960, 3, 3, 1, 1, 2),
+    (7, 7, 960, 3, 3, 1, 1, 3),
 ]
 
 _MOBILENET_V2_CONVS = [
@@ -67,14 +76,19 @@ _MOBILENET_V2_CONVS = [
     (112, 112, 96, 16, 1, 1, 1, 0, 1),
     (56, 56, 24, 96, 1, 1, 1, 0, 1),
     (56, 56, 144, 24, 1, 1, 1, 0, 2),
+    (56, 56, 24, 144, 1, 1, 1, 0, 1),
     (28, 28, 32, 144, 1, 1, 1, 0, 1),
     (28, 28, 192, 32, 1, 1, 1, 0, 3),
-    (14, 14, 64, 192, 1, 1, 1, 0, 2),
+    (28, 28, 32, 192, 1, 1, 1, 0, 2),
+    (14, 14, 64, 192, 1, 1, 1, 0, 1),
     (14, 14, 384, 64, 1, 1, 1, 0, 4),
-    (14, 14, 96, 384, 1, 1, 1, 0, 2),
+    (14, 14, 64, 384, 1, 1, 1, 0, 3),
+    (14, 14, 96, 384, 1, 1, 1, 0, 1),
     (14, 14, 576, 96, 1, 1, 1, 0, 3),
-    (7, 7, 160, 576, 1, 1, 1, 0, 2),
+    (14, 14, 96, 576, 1, 1, 1, 0, 2),
+    (7, 7, 160, 576, 1, 1, 1, 0, 1),
     (7, 7, 960, 160, 1, 1, 1, 0, 3),
+    (7, 7, 160, 960, 1, 1, 1, 0, 2),
     (7, 7, 320, 960, 1, 1, 1, 0, 1),
     (7, 7, 1280, 320, 1, 1, 1, 0, 1),
 ]
@@ -244,16 +258,6 @@ _DENSENET_121_CONVS = [
 ]
 
 
-def _widen(convs, factor=2):
-    """wide_resnet: double the bottleneck 3x3 conv channels."""
-    out = []
-    for (h, w, co, ci, kh, kw, s, p, wt) in convs:
-        if kh == 3 and kw == 3 and h <= 56:
-            co, ci = co * factor, ci * factor if ci > 64 else ci
-        out.append((h, w, co, ci, kh, kw, s, p, wt))
-    return out
-
-
 # resnet3d_18 (16-frame clips): (D, H, W, CO, CI, KD, KH, KW, stride,
 # pad, weight) for conv3d_layer
 _RESNET3D_18_CONVS = [
@@ -267,10 +271,41 @@ _RESNET3D_18_CONVS = [
     (2, 7, 7, 512, 512, 3, 3, 3, 1, 1, 3),
 ]
 
+_WIDE_RESNET50_CONVS = [
+    # wide_resnet50_2: bottleneck inner width doubled, expansion
+    # channels unchanged (Zagoruyko & Komodakis 2016; torchvision
+    # width_per_group=128) — traced via frontend/zoo.py
+    (224, 224, 64, 3, 7, 7, 2, 3, 1),
+    (56, 56, 256, 64, 1, 1, 1, 0, 1),
+    (56, 56, 128, 64, 1, 1, 1, 0, 1),
+    (56, 56, 128, 128, 3, 3, 1, 1, 3),
+    (56, 56, 256, 128, 1, 1, 1, 0, 3),
+    (56, 56, 128, 256, 1, 1, 1, 0, 2),
+    (56, 56, 512, 256, 1, 1, 2, 0, 1),
+    (56, 56, 256, 256, 1, 1, 1, 0, 1),
+    (56, 56, 256, 256, 3, 3, 2, 1, 1),
+    (28, 28, 512, 256, 1, 1, 1, 0, 4),
+    (28, 28, 256, 512, 1, 1, 1, 0, 3),
+    (28, 28, 256, 256, 3, 3, 1, 1, 3),
+    (28, 28, 1024, 512, 1, 1, 2, 0, 1),
+    (28, 28, 512, 512, 1, 1, 1, 0, 1),
+    (28, 28, 512, 512, 3, 3, 2, 1, 1),
+    (14, 14, 1024, 512, 1, 1, 1, 0, 6),
+    (14, 14, 512, 1024, 1, 1, 1, 0, 5),
+    (14, 14, 512, 512, 3, 3, 1, 1, 5),
+    (14, 14, 2048, 1024, 1, 1, 2, 0, 1),
+    (14, 14, 1024, 1024, 1, 1, 1, 0, 1),
+    (14, 14, 1024, 1024, 3, 3, 2, 1, 1),
+    (7, 7, 2048, 1024, 1, 1, 1, 0, 3),
+    (7, 7, 1024, 2048, 1, 1, 1, 0, 2),
+    (7, 7, 1024, 1024, 3, 3, 1, 1, 2),
+]
+
+
 NETWORK_CONVS = {
     "resnet_50": _RESNET50_CONVS,
     "resnet_18": _RESNET18_CONVS,
-    "wide_resnet_50": _widen(_RESNET50_CONVS),
+    "wide_resnet_50": _WIDE_RESNET50_CONVS,
     "mobilenet_v2": _MOBILENET_V2_CONVS,
     "mobilenet_v3": _MOBILENET_V3_CONVS,
     "inception_v3": _INCEPTION_V3_CONVS,
