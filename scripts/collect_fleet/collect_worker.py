@@ -30,10 +30,11 @@ def main():
 
     shard_idx, num_shards = args.shard_idx, args.num_shards
     if args.auto_shard:
-        import jax
+        from vae_extent_search_tpu.parallel.multihost import (
+            maybe_initialize_distributed,
+        )
 
-        shard_idx = jax.process_index()
-        num_shards = jax.process_count()
+        shard_idx, num_shards = maybe_initialize_distributed()
 
     files = sorted(glob.glob(args.to_measure_glob))[shard_idx::num_shards]
     runner = AnalyticRunner(noise=0.2)

@@ -137,9 +137,13 @@ def main():
 
     shard_idx, num_shards = args.shard_idx, args.num_shards
     if args.auto_shard:
-        import jax
+        from vae_extent_search_tpu.parallel.multihost import (
+            maybe_initialize_distributed,
+        )
 
-        shard_idx, num_shards = jax.process_index(), jax.process_count()
+        # joins the pod when VES_COORDINATOR/NUM_PROCESSES/PROCESS_ID
+        # are set (or jax auto-detects one); no-op on a single host
+        shard_idx, num_shards = maybe_initialize_distributed()
     tasks = tasks[shard_idx::num_shards]
     if args.max_tasks:
         tasks = tasks[: args.max_tasks]

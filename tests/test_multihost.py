@@ -1,0 +1,98 @@
+"""Multi-host plumbing: jax.distributed init, disjoint task shards,
+record-log merge (parallel/multihost.py; SURVEY §5 distributed
+communication backend — the reference's collect_aws SSH fleet)."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CORPUS = os.path.join(REPO, "resnet_18-B1-llvm.json")
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_distributed_shard_and_merge(tmp_path):
+    """Spawn a real two-process jax.distributed cluster on CPU: both
+    processes must join, see the same global device count, take
+    disjoint round-robin task shards that cover the corpus, and the
+    per-host logs must merge back losslessly."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env["VES_COORDINATOR"] = f"127.0.0.1:{port}"
+    env["VES_NUM_PROCESSES"] = "2"
+
+    procs, logs, reports = [], [], []
+    for pid in range(2):
+        e = dict(env, VES_PROCESS_ID=str(pid))
+        log = str(tmp_path / f"records_{pid}.json")
+        rep = str(tmp_path / f"report_{pid}.json")
+        logs.append(log)
+        reports.append(rep)
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tests", "_mh_worker.py"),
+             CORPUS, log, rep],
+            env=e, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+    outs = [p.communicate(timeout=120) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    reps = [json.load(open(r)) for r in reports]
+    assert {r["pid"] for r in reps} == {0, 1}
+    assert all(r["count"] == 2 for r in reps)
+    # the cluster actually formed: global devices = sum of locals
+    assert all(r["global_devices"]
+               == sum(x["local_devices"] for x in reps) for r in reps)
+
+    with open(CORPUS) as f:
+        all_lines = [ln.rstrip("\n") for ln in f if ln.strip()][:8]
+    shard_lines = [open(lg).read().splitlines() for lg in logs]
+    # disjoint and covering
+    assert not (set(shard_lines[0]) & set(shard_lines[1]))
+    assert set(shard_lines[0]) | set(shard_lines[1]) == set(all_lines)
+    assert abs(len(shard_lines[0]) - len(shard_lines[1])) <= 1
+
+    from vae_extent_search_tpu.parallel.multihost import merge_record_logs
+
+    merged = str(tmp_path / "merged.json")
+    # merge twice: the dedup must absorb the duplicate pass
+    n1 = merge_record_logs(logs, merged)
+    assert n1 == len(all_lines)
+    assert set(open(merged).read().splitlines()) == set(all_lines)
+
+
+def test_shard_tasks_explicit_indices():
+    from vae_extent_search_tpu.parallel.multihost import shard_tasks
+
+    tasks = list(range(10))
+    shards = [shard_tasks(tasks, i, 3) for i in range(3)]
+    assert sorted(sum(shards, [])) == tasks
+    assert all(not (set(a) & set(b))
+               for i, a in enumerate(shards) for b in shards[i + 1:])
+
+
+def test_merge_record_logs_dedup(tmp_path):
+    from vae_extent_search_tpu.parallel.multihost import merge_record_logs
+
+    a = tmp_path / "a.json"
+    b = tmp_path / "b.json"
+    a.write_text("x\ny\n")
+    b.write_text("y\nz\n")
+    out = str(tmp_path / "out.json")
+    n = merge_record_logs([str(a), str(b), str(tmp_path / "nope.json")],
+                          out)
+    assert n == 3
+    assert open(out).read().splitlines() == ["x", "y", "z"]

@@ -4,3 +4,8 @@ from .mesh import (
     shard_batch,
     sharded_score_candidates,
 )
+from .multihost import (
+    maybe_initialize_distributed,
+    merge_record_logs,
+    shard_tasks,
+)
