@@ -60,7 +60,10 @@ def main():
                         "(reference measure_programs.py:88-91)")
     p.add_argument("--out-file", type=str, default=None)
     p.add_argument("--runner", type=str, default="analytic",
-                   choices=["analytic", "replay"])
+                   help="analytic | replay | command:<external timer "
+                        "invoked as '<cmd> in.json out.json'> (the "
+                        "real-hardware bridge, reference "
+                        "measure.py:375-611)")
     p.add_argument("--replay-log", type=str, default=None)
     p.add_argument("--noise", type=float, default=0.3)
     p.add_argument("--seed", type=int, default=0)
@@ -72,8 +75,14 @@ def main():
 
     if args.runner == "analytic":
         runner = AnalyticRunner(noise=args.noise, seed=args.seed)
-    else:
+    elif args.runner.startswith("command:"):
+        from vae_extent_search_tpu.search.measure import CommandRunner
+
+        runner = CommandRunner(args.runner.split(":", 1)[1])
+    elif args.runner == "replay":
         runner = RecordReplayRunner(load_records(args.replay_log))
+    else:
+        raise SystemExit(f"unknown --runner {args.runner}")
 
     if args.in_file:
         files = [args.in_file]

@@ -174,6 +174,9 @@ def main():
                    choices=["random", "model"])
     p.add_argument("--log-file", type=str, default="tune_vae.json")
     p.add_argument("--seed", type=int, default=2023)
+    p.add_argument("--runner", type=str, default="analytic",
+                   help="analytic | command:<external timer cmd> "
+                        "(out-of-process hardware timing bridge)")
     p.add_argument("--tune-vae-hparams", action="store_true",
                    help="KL/dim-targeted VAE config search before the "
                         "phase loop (reference hyperparameter_search)")
@@ -183,9 +186,15 @@ def main():
         "conv2d_layer", (1, 14, 14, 128, 128, 3, 3, [1, 1], [1, 1])
     )
     task = SearchTask(wk, args.target)
+    runner = None
+    if args.runner.startswith("command:"):
+        from vae_extent_search_tpu.search.measure import CommandRunner
+
+        runner = CommandRunner(args.runner.split(":", 1)[1])
     best, wall = run_tuning(
         task, args.n_candidates, args.measure_size, args.n_phases,
         select=args.select, log_file=args.log_file, seed=args.seed,
+        runner=runner,
         tune_vae_hparams=args.tune_vae_hparams,
     )
     print(f"best cost: {best:.6g}  wall: {wall:.1f}s")

@@ -81,7 +81,12 @@ def run_experiment(record_file, out_dir, measure_size=64, seeds=(2000,),
             "used_time": round(res.used_time, 2),
             "train_size": res.train_size,
             "val_reg_r2": str([round(r, 4) for r in res.reg_r2_history]),
-            "top-1": int(res.found),
+            # reference column semantics (vae_extent_search.py:1874):
+            # the FINAL model's Recall@1 over the full pool, not the
+            # search's found rate — that lives in "found"
+            "top-1": 0 if res.final_recall_topk is None
+            else int(res.final_recall_topk),
+            "found": int(res.found),
             "sampling_seed": seed,
         })
         print(f"seed {seed}: found={res.found} phase={res.phase} "
@@ -101,6 +106,7 @@ def run_experiment(record_file, out_dir, measure_size=64, seeds=(2000,),
         "train_size": np.mean([r["train_size"] for r in rows]),
         "used_time": np.mean([r["used_time"] for r in rows]),
         "top-1": np.mean([r["top-1"] for r in rows]),
+        "found": np.mean([r["found"] for r in rows]),
         "n_seeds": len(rows),
     }
     avg_csv = os.path.join(out_dir, "vae_extent_total_avg.csv")
@@ -130,7 +136,9 @@ def run_gbdt_arm(record_file, out_dir, measure_size=64, seeds=(2000,),
             "measure_size": measure_size, "phase": res.phase,
             "train_size": res.train_size,
             "used_time": round(res.used_time, 2),
-            "top-1": int(res.found), "sampling_seed": seed,
+            "top-1": 0 if res.final_recall_topk is None
+            else int(res.final_recall_topk),
+            "found": int(res.found), "sampling_seed": seed,
         })
         print(f"gbdt seed {seed}: found={res.found} phase={res.phase} "
               f"train_size={res.train_size} time={res.used_time:.1f}s")

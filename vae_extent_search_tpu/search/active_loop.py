@@ -52,6 +52,14 @@ class ActiveSearchResult:
     reg_r2_history: List[float] = field(default_factory=list)
     top1_hits: List[int] = field(default_factory=list)
     selected_order: List[int] = field(default_factory=list)
+    # the reference CSV's ``top-{k}`` column (vae_extent_search.py:1874,
+    # recall_at_k :833-837): does the FINAL model's top-k *prediction*
+    # over the whole pool contain the true optimum — a model-quality
+    # recall (reference averages 0.15-0.25), NOT the search's found
+    # rate (which the stop rule drives to ~1.0 and which lives in
+    # ``found``). None when the optimum was hit before any model was
+    # trained (phase-0 init hit).
+    final_recall_topk: Optional[int] = None
 
 
 def run_active_search(
@@ -226,6 +234,10 @@ def run_active_search(
             np.asarray(all_pred)[rem_np], np.asarray(y_all)[rem_np]
         )
         result.reg_r2_history.append(r2)
+        # reference's per-phase Recall@k over the FULL pool (:1480);
+        # the last phase's value lands in the CSV top-k column
+        result.final_recall_topk = recall_at_k(
+            np.asarray(all_pred)[:N], labels, k=stop_top_k)
 
         # ---- select next batch on device ----
         k_sel, sub = jax.random.split(k_sel)
@@ -305,6 +317,8 @@ def run_gbdt_baseline_search(
         measured[sel] = True
         result.phase = phase
         result.top1_hits.append(int(bool(true_top & set(sel))))
+        result.final_recall_topk = recall_at_k(preds, labels,
+                                               k=stop_top_k)
         if true_top & set(sel):
             result.found = True
             break
