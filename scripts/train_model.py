@@ -70,7 +70,10 @@ def make_model(spec: str, in_dim: int):
     if kind in ("gbdt", "xgb"):
         from vae_extent_search_tpu.models.gbdt import GBDTModelInternal
 
-        return GBDTModelInternal()
+        # "xgb" = the reference pack-sum protocol (real xgboost, or the
+        # in-repo booster when absent); "gbdt" = fast aggregate backend
+        return GBDTModelInternal(
+            backend="xgb" if kind == "xgb" else "auto")
     if kind in ("lstm", "mha", "tabnet"):
         from vae_extent_search_tpu.models.variants import (
             SequenceModelInternal,

@@ -71,7 +71,9 @@ class GBDTModelInternal:
         if backend == "auto":
             backend = "xgb" if HAS_XGB else ("lgb" if HAS_LGB else "sklearn")
         if backend == "xgb" and not HAS_XGB:
-            backend = "sklearn"
+            # no xgboost in the image: run the SAME pack-sum training
+            # protocol on the in-repo histogram booster (models/boost.py)
+            backend = "native"
         if backend == "lgb" and not HAS_LGB:
             backend = "sklearn"
         self.backend = backend
@@ -83,6 +85,8 @@ class GBDTModelInternal:
         labels = np.asarray(labels, np.float32)
         if self.use_xgb:
             self._fit_xgb(features_list, labels)
+        elif self.backend == "native":
+            self._fit_native(features_list, labels, verbose)
         elif self.backend == "lgb":
             self._fit_lgb(features_list, labels)
         else:
@@ -170,11 +174,45 @@ class GBDTModelInternal:
         )
         self._train_shape = rows.shape[1]
 
+    def _fit_native(self, features_list, labels, verbose=False):
+        """The reference's full pack-sum protocol (xgb_model.py:120-250)
+        on the in-repo booster: per-store rows, pack_sum_square_error
+        objective, pack_sum_rmse + a-peak@N eval callbacks every 25
+        rounds, best-iteration early stopping after 100."""
+        from . import boost
+
+        rows = np.concatenate(features_list)
+        pack_ids = _pack_ids(features_list)
+        dtrain = boost.DMatrix(
+            rows, label=labels[pack_ids], pack_ids=pack_ids,
+            group_sizes=[len(features_list)])
+        self.model = boost.train(
+            {
+                "max_depth": self.max_depth, "eta": self.learning_rate,
+                "gamma": 0.003, "min_child_weight": 2,
+                "seed": self.seed,
+            },
+            dtrain, num_boost_round=self.n_estimators,
+            obj=boost.pack_sum_square_error,
+            fevals=[boost.pack_sum_rmse,
+                    boost.pack_sum_average_peak_score(1)],
+            evals=[(dtrain, "tr")], metric="tr-rmse",
+            stopping_rounds=100,
+            verbose_eval=25 if verbose else 0,
+        )
+        self._train_shape = rows.shape[1]
+
     # ------------------------------------------------------------------
     def predict_on_features(self, features_list) -> np.ndarray:
         if not features_list:
             return np.zeros(0, np.float32)
-        if self.use_xgb:
+        if self.backend == "native":
+            rows = np.concatenate(features_list)
+            pack_ids = _pack_ids(features_list)
+            preds = self.model.predict(rows)
+            out = np.bincount(pack_ids, weights=preds,
+                              minlength=len(features_list)).astype(np.float32)
+        elif self.use_xgb:
             rows = np.concatenate(features_list)
             pack_ids = _pack_ids(features_list)
             preds = self.model.predict(xgb.DMatrix(rows))
