@@ -113,3 +113,33 @@ def test_final_state_shared_cache_semantics():
     snap = dag.infer_bound(st, relax_threads=False)
     snap_exts = [it.range[1] for it in snap.stages[3].iters]
     assert snap_exts[0] * snap_exts[1] * snap_exts[2] <= 16 * 50
+
+
+def test_stale_extent_mismatches_have_premutation_ancestors():
+    """Every SP-extent oracle mismatch on the stale-prone GPU corpus
+    must be explainable as a pre-mutation InferBound snapshot: one
+    inverse MutateTileSize move on an earlier consumer split reproduces
+    the recorded extent (tools/stale_extent_forensic.py; full-corpus
+    result: 20/20 explained). This pins two known-stale records so the
+    mechanism claim stays regression-tested without the full sweep."""
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.stale_extent_forensic import explain, find_mismatches
+    from vae_extent_search_tpu.records import load_records
+
+    path = os.path.join(
+        "/root/reference/tutorials/auto_scheduler/ci_logs",
+        "resnet-18-NHWC-B1-cuda.json")
+    if not os.path.exists(path):
+        import pytest
+
+        pytest.skip("reference ci_logs unavailable")
+    records = load_records(path)
+    for ri in (1, 12):
+        mis = find_mismatches(records[ri])
+        assert mis, f"record {ri} no longer mismatches (corpus moved?)"
+        for mm in mis:
+            hit = explain(records[ri], mm, max_depth=1)
+            assert hit, (ri, mm)
