@@ -29,12 +29,17 @@ def _task_dict(tasks, weights):
     ("wide_resnet_50", (1, 3, 224, 224)),
     ("resnext_50", (1, 3, 224, 224)),
     ("mobilenet_v2", (1, 3, 224, 224)),
+    ("mobilenet_v3", (1, 3, 224, 224)),
+    ("densenet_121", (1, 3, 224, 224)),
+    ("inception_v3", (1, 3, 299, 299)),
+    ("resnet3d_18", (1, 3, 16, 112, 112)),
     ("dcgan", (1, 100)),
 ])
 def test_traced_model_matches_static_table(name, shape):
     traced = _task_dict(*extract_tasks_from_module(
         build_zoo_model(name), shape))
-    size = 224 if name != "dcgan" else 64
+    size = {"dcgan": 64, "inception_v3": 299,
+            "resnet3d_18": 112}.get(name, 224)
     static = _task_dict(*get_network_tasks(name, 1, size))
     assert traced == static, {
         "traced_only": {k: v for k, v in traced.items()

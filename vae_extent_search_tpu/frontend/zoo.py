@@ -188,6 +188,344 @@ def _make_dcgan(image_size: int = 64):
     return DCGAN()
 
 
+def _make_mobilenet_v3_large():
+    """MobileNetV3-Large (Howard et al. 2019 table 1, torchvision
+    layout incl. squeeze-excite 1x1 convs and hardswish)."""
+    import torch.nn as nn
+
+    def _make_div(v, divisor=8):
+        new = max(divisor, int(v + divisor / 2) // divisor * divisor)
+        if new < 0.9 * v:
+            new += divisor
+        return new
+
+    class SE(nn.Module):
+        def __init__(self, ch):
+            super().__init__()
+            sq = _make_div(ch // 4)
+            self.pool = nn.AdaptiveAvgPool2d(1)
+            self.fc1 = nn.Conv2d(ch, sq, 1)
+            self.relu = nn.ReLU(inplace=True)
+            self.fc2 = nn.Conv2d(sq, ch, 1)
+            self.hsig = nn.Hardsigmoid()
+
+        def forward(self, x):
+            s = self.hsig(self.fc2(self.relu(self.fc1(self.pool(x)))))
+            return x * s
+
+    class Bneck(nn.Module):
+        def __init__(self, inp, k, exp, out, se, hs, stride):
+            super().__init__()
+            act = nn.Hardswish if hs else nn.ReLU
+            layers = []
+            if exp != inp:
+                layers += [nn.Conv2d(inp, exp, 1, bias=False),
+                           nn.BatchNorm2d(exp), act()]
+            layers += [nn.Conv2d(exp, exp, k, stride, k // 2,
+                                 groups=exp, bias=False),
+                       nn.BatchNorm2d(exp), act()]
+            if se:
+                layers.append(SE(exp))
+            layers += [nn.Conv2d(exp, out, 1, bias=False),
+                       nn.BatchNorm2d(out)]
+            self.block = nn.Sequential(*layers)
+            self.use_res = stride == 1 and inp == out
+
+        def forward(self, x):
+            return x + self.block(x) if self.use_res else self.block(x)
+
+    # (k, exp, out, SE, HS, stride)
+    spec = [
+        (3, 16, 16, False, False, 1),
+        (3, 64, 24, False, False, 2),
+        (3, 72, 24, False, False, 1),
+        (5, 72, 40, True, False, 2),
+        (5, 120, 40, True, False, 1),
+        (5, 120, 40, True, False, 1),
+        (3, 240, 80, False, True, 2),
+        (3, 200, 80, False, True, 1),
+        (3, 184, 80, False, True, 1),
+        (3, 184, 80, False, True, 1),
+        (3, 480, 112, True, True, 1),
+        (3, 672, 112, True, True, 1),
+        (5, 672, 160, True, True, 2),
+        (5, 960, 160, True, True, 1),
+        (5, 960, 160, True, True, 1),
+    ]
+
+    class MobileNetV3(nn.Module):
+        def __init__(self):
+            super().__init__()
+            feats = [nn.Sequential(
+                nn.Conv2d(3, 16, 3, 2, 1, bias=False),
+                nn.BatchNorm2d(16), nn.Hardswish())]
+            c_in = 16
+            for k, exp, out, se, hs, s in spec:
+                feats.append(Bneck(c_in, k, exp, out, se, hs, s))
+                c_in = out
+            feats.append(nn.Sequential(
+                nn.Conv2d(c_in, 960, 1, bias=False),
+                nn.BatchNorm2d(960), nn.Hardswish()))
+            self.features = nn.Sequential(*feats)
+            self.pool = nn.AdaptiveAvgPool2d(1)
+            self.fc1 = nn.Linear(960, 1280)
+            self.hs = nn.Hardswish()
+            self.fc2 = nn.Linear(1280, 1000)
+
+        def forward(self, x):
+            x = self.pool(self.features(x)).flatten(1)
+            return self.fc2(self.hs(self.fc1(x)))
+
+    return MobileNetV3()
+
+
+def _make_densenet_121():
+    """DenseNet-121 (Huang et al. 2016; growth 32, blocks 6/12/24/16,
+    bottleneck 4x growth, half-channel transitions)."""
+    import torch
+    import torch.nn as nn
+
+    growth = 32
+
+    class DenseLayer(nn.Module):
+        def __init__(self, c_in):
+            super().__init__()
+            self.bn1 = nn.BatchNorm2d(c_in)
+            self.conv1 = nn.Conv2d(c_in, 4 * growth, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(4 * growth)
+            self.conv2 = nn.Conv2d(4 * growth, growth, 3, 1, 1,
+                                   bias=False)
+            self.relu = nn.ReLU(inplace=True)
+
+        def forward(self, x):
+            y = self.conv1(self.relu(self.bn1(x)))
+            y = self.conv2(self.relu(self.bn2(y)))
+            return torch.cat([x, y], 1)
+
+    class Transition(nn.Module):
+        def __init__(self, c_in):
+            super().__init__()
+            self.bn = nn.BatchNorm2d(c_in)
+            self.relu = nn.ReLU(inplace=True)
+            self.conv = nn.Conv2d(c_in, c_in // 2, 1, bias=False)
+            self.pool = nn.AvgPool2d(2, 2)
+
+        def forward(self, x):
+            return self.pool(self.conv(self.relu(self.bn(x))))
+
+    class DenseNet(nn.Module):
+        def __init__(self):
+            super().__init__()
+            layers = [nn.Conv2d(3, 64, 7, 2, 3, bias=False),
+                      nn.BatchNorm2d(64), nn.ReLU(inplace=True),
+                      nn.MaxPool2d(3, 2, 1)]
+            c = 64
+            for bi, n in enumerate([6, 12, 24, 16]):
+                for _ in range(n):
+                    layers.append(DenseLayer(c))
+                    c += growth
+                if bi < 3:
+                    layers.append(Transition(c))
+                    c //= 2
+            layers += [nn.BatchNorm2d(c), nn.ReLU(inplace=True)]
+            self.features = nn.Sequential(*layers)
+            self.pool = nn.AdaptiveAvgPool2d(1)
+            self.classifier = nn.Linear(c, 1000)
+
+        def forward(self, x):
+            return self.classifier(
+                self.pool(self.features(x)).flatten(1))
+
+    return DenseNet()
+
+
+def _make_inception_v3():
+    """Inception-V3 (Szegedy et al. 2015, torchvision graph at 299 px,
+    eval mode — no aux head)."""
+    import torch
+    import torch.nn as nn
+
+    class C(nn.Module):  # conv-bn-relu
+        def __init__(self, cin, cout, **kw):
+            super().__init__()
+            self.conv = nn.Conv2d(cin, cout, bias=False, **kw)
+            self.bn = nn.BatchNorm2d(cout)
+            self.relu = nn.ReLU(inplace=True)
+
+        def forward(self, x):
+            return self.relu(self.bn(self.conv(x)))
+
+    class IncA(nn.Module):
+        def __init__(self, cin, pool_feats):
+            super().__init__()
+            self.b1 = C(cin, 64, kernel_size=1)
+            self.b5 = nn.Sequential(C(cin, 48, kernel_size=1),
+                                    C(48, 64, kernel_size=5, padding=2))
+            self.b3 = nn.Sequential(
+                C(cin, 64, kernel_size=1),
+                C(64, 96, kernel_size=3, padding=1),
+                C(96, 96, kernel_size=3, padding=1))
+            self.pool = nn.Sequential(
+                nn.AvgPool2d(3, 1, 1), C(cin, pool_feats, kernel_size=1))
+
+        def forward(self, x):
+            return torch.cat(
+                [self.b1(x), self.b5(x), self.b3(x), self.pool(x)], 1)
+
+    class IncB(nn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            self.b3 = C(cin, 384, kernel_size=3, stride=2)
+            self.b3dbl = nn.Sequential(
+                C(cin, 64, kernel_size=1),
+                C(64, 96, kernel_size=3, padding=1),
+                C(96, 96, kernel_size=3, stride=2))
+            self.pool = nn.MaxPool2d(3, 2)
+
+        def forward(self, x):
+            return torch.cat(
+                [self.b3(x), self.b3dbl(x), self.pool(x)], 1)
+
+    class IncC(nn.Module):
+        def __init__(self, cin, c7):
+            super().__init__()
+            self.b1 = C(cin, 192, kernel_size=1)
+            self.b7 = nn.Sequential(
+                C(cin, c7, kernel_size=1),
+                C(c7, c7, kernel_size=(1, 7), padding=(0, 3)),
+                C(c7, 192, kernel_size=(7, 1), padding=(3, 0)))
+            self.b7dbl = nn.Sequential(
+                C(cin, c7, kernel_size=1),
+                C(c7, c7, kernel_size=(7, 1), padding=(3, 0)),
+                C(c7, c7, kernel_size=(1, 7), padding=(0, 3)),
+                C(c7, c7, kernel_size=(7, 1), padding=(3, 0)),
+                C(c7, 192, kernel_size=(1, 7), padding=(0, 3)))
+            self.pool = nn.Sequential(
+                nn.AvgPool2d(3, 1, 1), C(cin, 192, kernel_size=1))
+
+        def forward(self, x):
+            return torch.cat(
+                [self.b1(x), self.b7(x), self.b7dbl(x), self.pool(x)], 1)
+
+    class IncD(nn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            self.b3 = nn.Sequential(
+                C(cin, 192, kernel_size=1),
+                C(192, 320, kernel_size=3, stride=2))
+            self.b7x3 = nn.Sequential(
+                C(cin, 192, kernel_size=1),
+                C(192, 192, kernel_size=(1, 7), padding=(0, 3)),
+                C(192, 192, kernel_size=(7, 1), padding=(3, 0)),
+                C(192, 192, kernel_size=3, stride=2))
+            self.pool = nn.MaxPool2d(3, 2)
+
+        def forward(self, x):
+            return torch.cat(
+                [self.b3(x), self.b7x3(x), self.pool(x)], 1)
+
+    class IncE(nn.Module):
+        def __init__(self, cin):
+            super().__init__()
+            self.b1 = C(cin, 320, kernel_size=1)
+            self.b3_1 = C(cin, 384, kernel_size=1)
+            self.b3_2a = C(384, 384, kernel_size=(1, 3), padding=(0, 1))
+            self.b3_2b = C(384, 384, kernel_size=(3, 1), padding=(1, 0))
+            self.bd_1 = nn.Sequential(
+                C(cin, 448, kernel_size=1),
+                C(448, 384, kernel_size=3, padding=1))
+            self.bd_2a = C(384, 384, kernel_size=(1, 3), padding=(0, 1))
+            self.bd_2b = C(384, 384, kernel_size=(3, 1), padding=(1, 0))
+            self.pool = nn.Sequential(
+                nn.AvgPool2d(3, 1, 1), C(cin, 192, kernel_size=1))
+
+        def forward(self, x):
+            b3 = self.b3_1(x)
+            bd = self.bd_1(x)
+            return torch.cat(
+                [self.b1(x), self.b3_2a(b3), self.b3_2b(b3),
+                 self.bd_2a(bd), self.bd_2b(bd), self.pool(x)], 1)
+
+    class InceptionV3(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stem = nn.Sequential(
+                C(3, 32, kernel_size=3, stride=2),
+                C(32, 32, kernel_size=3),
+                C(32, 64, kernel_size=3, padding=1),
+                nn.MaxPool2d(3, 2),
+                C(64, 80, kernel_size=1),
+                C(80, 192, kernel_size=3),
+                nn.MaxPool2d(3, 2),
+            )
+            self.blocks = nn.Sequential(
+                IncA(192, 32), IncA(256, 64), IncA(288, 64),
+                IncB(288),
+                IncC(768, 128), IncC(768, 160), IncC(768, 160),
+                IncC(768, 192),
+                IncD(768),
+                IncE(1280), IncE(2048),
+            )
+            self.pool = nn.AdaptiveAvgPool2d(1)
+            self.fc = nn.Linear(2048, 1000)
+
+        def forward(self, x):
+            return self.fc(
+                self.pool(self.blocks(self.stem(x))).flatten(1))
+
+    return InceptionV3()
+
+
+def _make_resnet3d_18():
+    """R3D-18 (Tran et al. 2017; torchvision r3d_18: all-3D stem
+    (3,7,7)/s(1,2,2), BasicBlock3d layers 64/128/256/512)."""
+    import torch.nn as nn
+
+    class Basic3d(nn.Module):
+        def __init__(self, cin, cout, stride=1, downsample=None):
+            super().__init__()
+            self.conv1 = nn.Conv3d(cin, cout, 3, stride, 1, bias=False)
+            self.bn1 = nn.BatchNorm3d(cout)
+            self.conv2 = nn.Conv3d(cout, cout, 3, 1, 1, bias=False)
+            self.bn2 = nn.BatchNorm3d(cout)
+            self.relu = nn.ReLU(inplace=True)
+            self.downsample = downsample
+
+        def forward(self, x):
+            idn = x if self.downsample is None else self.downsample(x)
+            y = self.relu(self.bn1(self.conv1(x)))
+            y = self.bn2(self.conv2(y))
+            return self.relu(y + idn)
+
+    class R3D18(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stem = nn.Sequential(
+                nn.Conv3d(3, 64, (3, 7, 7), (1, 2, 2), (1, 3, 3),
+                          bias=False),
+                nn.BatchNorm3d(64), nn.ReLU(inplace=True))
+            layers = []
+            cin = 64
+            for cout, stride in [(64, 1), (128, 2), (256, 2), (512, 2)]:
+                ds = None
+                if stride != 1 or cin != cout:
+                    ds = nn.Sequential(
+                        nn.Conv3d(cin, cout, 1, stride, bias=False),
+                        nn.BatchNorm3d(cout))
+                layers += [Basic3d(cin, cout, stride, ds),
+                           Basic3d(cout, cout)]
+                cin = cout
+            self.layers = nn.Sequential(*layers)
+            self.pool = nn.AdaptiveAvgPool3d(1)
+            self.fc = nn.Linear(512, 400)
+
+        def forward(self, x):
+            return self.fc(
+                self.pool(self.layers(self.stem(x))).flatten(1))
+
+    return R3D18()
+
+
 ZOO_BUILDERS: Dict[str, Callable] = {
     "resnet_18": lambda: _make_resnet("basic", [2, 2, 2, 2]),
     "resnet_50": lambda: _make_resnet("bottleneck", [3, 4, 6, 3]),
@@ -196,6 +534,10 @@ ZOO_BUILDERS: Dict[str, Callable] = {
     "resnext_50": lambda: _make_resnet(
         "bottleneck", [3, 4, 6, 3], width_per_group=4, groups=32),
     "mobilenet_v2": _make_mobilenet_v2,
+    "mobilenet_v3": _make_mobilenet_v3_large,
+    "densenet_121": _make_densenet_121,
+    "inception_v3": _make_inception_v3,
+    "resnet3d_18": _make_resnet3d_18,
     "dcgan": _make_dcgan,
 }
 

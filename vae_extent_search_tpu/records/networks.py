@@ -93,37 +93,6 @@ _MOBILENET_V2_CONVS = [
     (7, 7, 1280, 320, 1, 1, 1, 0, 1),
 ]
 
-# mobilenet_v3_large: stem + inverted-residual expand/project 1x1 convs
-_MOBILENET_V3_CONVS = [
-    (224, 224, 16, 3, 3, 3, 2, 1, 1),
-    (112, 112, 16, 16, 1, 1, 1, 0, 1),
-    (112, 112, 64, 16, 1, 1, 1, 0, 1),
-    (56, 56, 24, 64, 1, 1, 1, 0, 1),
-    (56, 56, 72, 24, 1, 1, 1, 0, 2),
-    (28, 28, 40, 72, 1, 1, 1, 0, 1),
-    (28, 28, 120, 40, 1, 1, 1, 0, 2),
-    (28, 28, 240, 40, 1, 1, 1, 0, 1),
-    (14, 14, 80, 240, 1, 1, 1, 0, 1),
-    (14, 14, 200, 80, 1, 1, 1, 0, 3),
-    (14, 14, 480, 80, 1, 1, 1, 0, 1),
-    (14, 14, 112, 480, 1, 1, 1, 0, 1),
-    (14, 14, 672, 112, 1, 1, 1, 0, 2),
-    (7, 7, 160, 672, 1, 1, 1, 0, 1),
-    (7, 7, 960, 160, 1, 1, 1, 0, 2),
-]
-
-_MOBILENET_V3_DEPTHWISE = [
-    (112, 112, 16, 3, 3, 1, 1, 1),
-    (112, 112, 64, 3, 3, 2, 1, 1),
-    (56, 56, 72, 3, 3, 2, 1, 1),
-    (28, 28, 120, 5, 5, 1, 2, 2),
-    (28, 28, 240, 3, 3, 2, 1, 1),
-    (14, 14, 200, 3, 3, 1, 1, 3),
-    (14, 14, 672, 5, 5, 2, 2, 2),
-    (7, 7, 960, 5, 5, 1, 2, 2),
-]
-
-
 # bert scales: hidden size x layer count (reference dump_network_info
 # grid: bert_{tiny,medium,base,large}); per layer the dense workloads are
 # QKV/attn-out projections (4 per layer) and the two FFN matmuls
@@ -218,59 +187,6 @@ def _scale_hw(convs, image_size: int, base: int = 224):
     return out
 
 
-# inception_v3 distinct conv shapes (299 input; representative branches)
-_INCEPTION_V3_CONVS = [
-    (299, 299, 32, 3, 3, 3, 2, 0, 1),
-    (149, 149, 32, 32, 3, 3, 1, 0, 1),
-    (147, 147, 64, 32, 3, 3, 1, 1, 1),
-    (73, 73, 80, 64, 1, 1, 1, 0, 1),
-    (73, 73, 192, 80, 3, 3, 1, 0, 1),
-    (35, 35, 64, 192, 1, 1, 1, 0, 3),
-    (35, 35, 96, 64, 3, 3, 1, 1, 6),
-    (35, 35, 64, 256, 1, 1, 1, 0, 4),
-    (35, 35, 48, 288, 1, 1, 1, 0, 2),
-    (35, 35, 64, 48, 5, 5, 1, 2, 3),
-    (17, 17, 192, 768, 1, 1, 1, 0, 8),
-    (17, 17, 128, 768, 1, 1, 1, 0, 2),
-    (17, 17, 192, 128, 1, 7, 1, 0, 4),
-    (17, 17, 192, 192, 7, 1, 1, 0, 4),
-    (8, 8, 320, 1280, 1, 1, 1, 0, 2),
-    (8, 8, 384, 1280, 1, 1, 1, 0, 4),
-    (8, 8, 448, 1280, 1, 1, 1, 0, 2),
-    (8, 8, 384, 448, 3, 3, 1, 1, 2),
-]
-
-# densenet_121: stem + per-block 1x1 bottleneck / 3x3 growth convs +
-# transitions (growth rate 32; representative channel counts per block)
-_DENSENET_121_CONVS = [
-    (224, 224, 64, 3, 7, 7, 2, 3, 1),
-    (56, 56, 128, 64, 1, 1, 1, 0, 2),
-    (56, 56, 32, 128, 3, 3, 1, 1, 6),
-    (56, 56, 128, 256, 1, 1, 1, 0, 1),
-    (28, 28, 128, 128, 1, 1, 1, 0, 4),
-    (28, 28, 32, 128, 3, 3, 1, 1, 12),
-    (28, 28, 256, 512, 1, 1, 1, 0, 1),
-    (14, 14, 128, 256, 1, 1, 1, 0, 8),
-    (14, 14, 32, 128, 3, 3, 1, 1, 24),
-    (14, 14, 512, 1024, 1, 1, 1, 0, 1),
-    (7, 7, 128, 512, 1, 1, 1, 0, 5),
-    (7, 7, 32, 128, 3, 3, 1, 1, 16),
-]
-
-
-# resnet3d_18 (16-frame clips): (D, H, W, CO, CI, KD, KH, KW, stride,
-# pad, weight) for conv3d_layer
-_RESNET3D_18_CONVS = [
-    (16, 112, 112, 64, 3, 3, 7, 7, 2, 1, 1),
-    (16, 56, 56, 64, 64, 3, 3, 3, 1, 1, 4),
-    (16, 56, 56, 128, 64, 3, 3, 3, 2, 1, 1),
-    (8, 28, 28, 128, 128, 3, 3, 3, 1, 1, 3),
-    (8, 28, 28, 256, 128, 3, 3, 3, 2, 1, 1),
-    (4, 14, 14, 256, 256, 3, 3, 3, 1, 1, 3),
-    (4, 14, 14, 512, 256, 3, 3, 3, 2, 1, 1),
-    (2, 7, 7, 512, 512, 3, 3, 3, 1, 1, 3),
-]
-
 _WIDE_RESNET50_CONVS = [
     # wide_resnet50_2: bottleneck inner width doubled, expansion
     # channels unchanged (Zagoruyko & Komodakis 2016; torchvision
@@ -307,11 +223,259 @@ NETWORK_CONVS = {
     "resnet_18": _RESNET18_CONVS,
     "wide_resnet_50": _WIDE_RESNET50_CONVS,
     "mobilenet_v2": _MOBILENET_V2_CONVS,
-    "mobilenet_v3": _MOBILENET_V3_CONVS,
-    "inception_v3": _INCEPTION_V3_CONVS,
-    "densenet_121": _DENSENET_121_CONVS,
     "resnext_50": _RESNEXT50_CONVS,
 }
+
+
+# Full traced task tables (op, args-with-batch-1, weight) at each
+# family's native input size, generated by tracing frontend/zoo.py
+# models with frontend/torch_fx.py (the reference extracts these
+# through relay from the same torchvision graphs,
+# dump_network_info.py:27-62). Regenerate with
+# ``dump_network_info.py --from-model <name>`` after zoo changes.
+_TRACED_TASKS = {
+    "mobilenet_v3": [
+        ('conv2d_layer', (1, 224, 224, 16, 3, 3, 3, (2, 2), (1, 1)), 1),
+        ('depthwise_conv2d_layer', (1, 112, 112, 16, 3, 3, (1, 1), (1, 1)), 1),
+        ('conv2d_layer', (1, 112, 112, 16, 16, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 112, 112, 64, 16, 1, 1, (1, 1), (0, 0)), 1),
+        ('depthwise_conv2d_layer', (1, 112, 112, 64, 3, 3, (2, 2), (1, 1)), 1),
+        ('conv2d_layer', (1, 56, 56, 24, 64, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 56, 56, 72, 24, 1, 1, (1, 1), (0, 0)), 2),
+        ('depthwise_conv2d_layer', (1, 56, 56, 72, 3, 3, (1, 1), (1, 1)), 1),
+        ('conv2d_layer', (1, 56, 56, 24, 72, 1, 1, (1, 1), (0, 0)), 1),
+        ('depthwise_conv2d_layer', (1, 56, 56, 72, 5, 5, (2, 2), (2, 2)), 1),
+        ('avg_pool2d_layer', (1, 28, 28, 72, 28, 1, 0), 1),
+        ('conv2d_layer', (1, 1, 1, 24, 72, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 1, 1, 72, 24, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 28, 28, 40, 72, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 28, 28, 120, 40, 1, 1, (1, 1), (0, 0)), 2),
+        ('depthwise_conv2d_layer', (1, 28, 28, 120, 5, 5, (1, 1), (2, 2)), 2),
+        ('avg_pool2d_layer', (1, 28, 28, 120, 28, 1, 0), 2),
+        ('conv2d_layer', (1, 1, 1, 32, 120, 1, 1, (1, 1), (0, 0)), 2),
+        ('conv2d_layer', (1, 1, 1, 120, 32, 1, 1, (1, 1), (0, 0)), 2),
+        ('conv2d_layer', (1, 28, 28, 40, 120, 1, 1, (1, 1), (0, 0)), 2),
+        ('conv2d_layer', (1, 28, 28, 240, 40, 1, 1, (1, 1), (0, 0)), 1),
+        ('depthwise_conv2d_layer', (1, 28, 28, 240, 3, 3, (2, 2), (1, 1)), 1),
+        ('conv2d_layer', (1, 14, 14, 80, 240, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 14, 14, 200, 80, 1, 1, (1, 1), (0, 0)), 1),
+        ('depthwise_conv2d_layer', (1, 14, 14, 200, 3, 3, (1, 1), (1, 1)), 1),
+        ('conv2d_layer', (1, 14, 14, 80, 200, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 14, 14, 184, 80, 1, 1, (1, 1), (0, 0)), 2),
+        ('depthwise_conv2d_layer', (1, 14, 14, 184, 3, 3, (1, 1), (1, 1)), 2),
+        ('conv2d_layer', (1, 14, 14, 80, 184, 1, 1, (1, 1), (0, 0)), 2),
+        ('conv2d_layer', (1, 14, 14, 480, 80, 1, 1, (1, 1), (0, 0)), 1),
+        ('depthwise_conv2d_layer', (1, 14, 14, 480, 3, 3, (1, 1), (1, 1)), 1),
+        ('avg_pool2d_layer', (1, 14, 14, 480, 14, 1, 0), 1),
+        ('conv2d_layer', (1, 1, 1, 120, 480, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 1, 1, 480, 120, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 14, 14, 112, 480, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 14, 14, 672, 112, 1, 1, (1, 1), (0, 0)), 2),
+        ('depthwise_conv2d_layer', (1, 14, 14, 672, 3, 3, (1, 1), (1, 1)), 1),
+        ('avg_pool2d_layer', (1, 14, 14, 672, 14, 1, 0), 1),
+        ('conv2d_layer', (1, 1, 1, 168, 672, 1, 1, (1, 1), (0, 0)), 2),
+        ('conv2d_layer', (1, 1, 1, 672, 168, 1, 1, (1, 1), (0, 0)), 2),
+        ('conv2d_layer', (1, 14, 14, 112, 672, 1, 1, (1, 1), (0, 0)), 1),
+        ('depthwise_conv2d_layer', (1, 14, 14, 672, 5, 5, (2, 2), (2, 2)), 1),
+        ('avg_pool2d_layer', (1, 7, 7, 672, 7, 1, 0), 1),
+        ('conv2d_layer', (1, 7, 7, 160, 672, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 7, 7, 960, 160, 1, 1, (1, 1), (0, 0)), 3),
+        ('depthwise_conv2d_layer', (1, 7, 7, 960, 5, 5, (1, 1), (2, 2)), 2),
+        ('avg_pool2d_layer', (1, 7, 7, 960, 7, 1, 0), 3),
+        ('conv2d_layer', (1, 1, 1, 240, 960, 1, 1, (1, 1), (0, 0)), 2),
+        ('conv2d_layer', (1, 1, 1, 960, 240, 1, 1, (1, 1), (0, 0)), 2),
+        ('conv2d_layer', (1, 7, 7, 160, 960, 1, 1, (1, 1), (0, 0)), 2),
+        ('matmul_add', (1, 960, 1280, 'float32'), 1),
+        ('matmul_add', (1, 1280, 1000, 'float32'), 1),
+    ],
+    "densenet_121": [
+        ('conv2d_layer', (1, 224, 224, 64, 3, 7, 7, (2, 2), (3, 3)), 1),
+        ('max_pool2d_layer', (1, 112, 112, 64, 3, 2, 1), 1),
+        ('conv2d_layer', (1, 56, 56, 128, 64, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 56, 56, 32, 128, 3, 3, (1, 1), (1, 1)), 6),
+        ('conv2d_layer', (1, 56, 56, 128, 96, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 56, 56, 128, 128, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 56, 56, 128, 160, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 56, 56, 128, 192, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 56, 56, 128, 224, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 56, 56, 128, 256, 1, 1, (1, 1), (0, 0)), 1),
+        ('avg_pool2d_layer', (1, 56, 56, 128, 2, 2, 0), 1),
+        ('conv2d_layer', (1, 28, 28, 128, 128, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 28, 28, 32, 128, 3, 3, (1, 1), (1, 1)), 12),
+        ('conv2d_layer', (1, 28, 28, 128, 160, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 28, 28, 128, 192, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 28, 28, 128, 224, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 28, 28, 128, 256, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 28, 28, 128, 288, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 28, 28, 128, 320, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 28, 28, 128, 352, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 28, 28, 128, 384, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 28, 28, 128, 416, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 28, 28, 128, 448, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 28, 28, 128, 480, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 28, 28, 256, 512, 1, 1, (1, 1), (0, 0)), 1),
+        ('avg_pool2d_layer', (1, 28, 28, 256, 2, 2, 0), 1),
+        ('conv2d_layer', (1, 14, 14, 128, 256, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 14, 14, 32, 128, 3, 3, (1, 1), (1, 1)), 24),
+        ('conv2d_layer', (1, 14, 14, 128, 288, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 14, 14, 128, 320, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 14, 14, 128, 352, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 14, 14, 128, 384, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 14, 14, 128, 416, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 14, 14, 128, 448, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 14, 14, 128, 480, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 14, 14, 128, 512, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 14, 14, 128, 544, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 14, 14, 128, 576, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 14, 14, 128, 608, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 14, 14, 128, 640, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 14, 14, 128, 672, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 14, 14, 128, 704, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 14, 14, 128, 736, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 14, 14, 128, 768, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 14, 14, 128, 800, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 14, 14, 128, 832, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 14, 14, 128, 864, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 14, 14, 128, 896, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 14, 14, 128, 928, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 14, 14, 128, 960, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 14, 14, 128, 992, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 14, 14, 512, 1024, 1, 1, (1, 1), (0, 0)), 1),
+        ('avg_pool2d_layer', (1, 14, 14, 512, 2, 2, 0), 1),
+        ('conv2d_layer', (1, 7, 7, 128, 512, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 7, 7, 32, 128, 3, 3, (1, 1), (1, 1)), 16),
+        ('conv2d_layer', (1, 7, 7, 128, 544, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 7, 7, 128, 576, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 7, 7, 128, 608, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 7, 7, 128, 640, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 7, 7, 128, 672, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 7, 7, 128, 704, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 7, 7, 128, 736, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 7, 7, 128, 768, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 7, 7, 128, 800, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 7, 7, 128, 832, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 7, 7, 128, 864, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 7, 7, 128, 896, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 7, 7, 128, 928, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 7, 7, 128, 960, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 7, 7, 128, 992, 1, 1, (1, 1), (0, 0)), 1),
+        ('avg_pool2d_layer', (1, 7, 7, 1024, 7, 1, 0), 1),
+        ('matmul_add', (1, 1024, 1000, 'float32'), 1),
+    ],
+    "inception_v3": [
+        ('conv2d_layer', (1, 299, 299, 32, 3, 3, 3, (2, 2), (0, 0)), 1),
+        ('conv2d_layer', (1, 149, 149, 32, 32, 3, 3, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 147, 147, 64, 32, 3, 3, (1, 1), (1, 1)), 1),
+        ('max_pool2d_layer', (1, 147, 147, 64, 3, 2, 0), 1),
+        ('conv2d_layer', (1, 73, 73, 80, 64, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 73, 73, 192, 80, 3, 3, (1, 1), (0, 0)), 1),
+        ('max_pool2d_layer', (1, 71, 71, 192, 3, 2, 0), 1),
+        ('conv2d_layer', (1, 35, 35, 64, 192, 1, 1, (1, 1), (0, 0)), 2),
+        ('conv2d_layer', (1, 35, 35, 48, 192, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 35, 35, 64, 48, 5, 5, (1, 1), (2, 2)), 3),
+        ('conv2d_layer', (1, 35, 35, 96, 64, 3, 3, (1, 1), (1, 1)), 4),
+        ('conv2d_layer', (1, 35, 35, 96, 96, 3, 3, (1, 1), (1, 1)), 3),
+        ('avg_pool2d_layer', (1, 35, 35, 192, 3, 1, 1), 1),
+        ('conv2d_layer', (1, 35, 35, 32, 192, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 35, 35, 64, 256, 1, 1, (1, 1), (0, 0)), 3),
+        ('conv2d_layer', (1, 35, 35, 48, 256, 1, 1, (1, 1), (0, 0)), 1),
+        ('avg_pool2d_layer', (1, 35, 35, 256, 3, 1, 1), 1),
+        ('conv2d_layer', (1, 35, 35, 64, 288, 1, 1, (1, 1), (0, 0)), 4),
+        ('conv2d_layer', (1, 35, 35, 48, 288, 1, 1, (1, 1), (0, 0)), 1),
+        ('avg_pool2d_layer', (1, 35, 35, 288, 3, 1, 1), 1),
+        ('conv2d_layer', (1, 35, 35, 384, 288, 3, 3, (2, 2), (0, 0)), 1),
+        ('conv2d_layer', (1, 35, 35, 96, 96, 3, 3, (2, 2), (0, 0)), 1),
+        ('max_pool2d_layer', (1, 35, 35, 288, 3, 2, 0), 1),
+        ('conv2d_layer', (1, 17, 17, 192, 768, 1, 1, (1, 1), (0, 0)), 12),
+        ('conv2d_layer', (1, 17, 17, 128, 768, 1, 1, (1, 1), (0, 0)), 2),
+        ('conv2d_layer', (1, 17, 17, 128, 128, 1, 7, (1, 1), (0, 3)), 2),
+        ('conv2d_layer', (1, 17, 17, 192, 128, 7, 1, (1, 1), (3, 0)), 1),
+        ('conv2d_layer', (1, 17, 17, 128, 128, 7, 1, (1, 1), (3, 0)), 2),
+        ('conv2d_layer', (1, 17, 17, 192, 128, 1, 7, (1, 1), (0, 3)), 1),
+        ('avg_pool2d_layer', (1, 17, 17, 768, 3, 1, 1), 4),
+        ('conv2d_layer', (1, 17, 17, 160, 768, 1, 1, (1, 1), (0, 0)), 4),
+        ('conv2d_layer', (1, 17, 17, 160, 160, 1, 7, (1, 1), (0, 3)), 4),
+        ('conv2d_layer', (1, 17, 17, 192, 160, 7, 1, (1, 1), (3, 0)), 2),
+        ('conv2d_layer', (1, 17, 17, 160, 160, 7, 1, (1, 1), (3, 0)), 4),
+        ('conv2d_layer', (1, 17, 17, 192, 160, 1, 7, (1, 1), (0, 3)), 2),
+        ('conv2d_layer', (1, 17, 17, 192, 192, 1, 7, (1, 1), (0, 3)), 4),
+        ('conv2d_layer', (1, 17, 17, 192, 192, 7, 1, (1, 1), (3, 0)), 4),
+        ('conv2d_layer', (1, 17, 17, 320, 192, 3, 3, (2, 2), (0, 0)), 1),
+        ('conv2d_layer', (1, 17, 17, 192, 192, 3, 3, (2, 2), (0, 0)), 1),
+        ('max_pool2d_layer', (1, 17, 17, 768, 3, 2, 0), 1),
+        ('conv2d_layer', (1, 8, 8, 384, 1280, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 8, 8, 448, 1280, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 8, 8, 384, 448, 3, 3, (1, 1), (1, 1)), 2),
+        ('conv2d_layer', (1, 8, 8, 320, 1280, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 8, 8, 384, 384, 1, 3, (1, 1), (0, 1)), 4),
+        ('conv2d_layer', (1, 8, 8, 384, 384, 3, 1, (1, 1), (1, 0)), 4),
+        ('avg_pool2d_layer', (1, 8, 8, 1280, 3, 1, 1), 1),
+        ('conv2d_layer', (1, 8, 8, 192, 1280, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 8, 8, 384, 2048, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 8, 8, 448, 2048, 1, 1, (1, 1), (0, 0)), 1),
+        ('conv2d_layer', (1, 8, 8, 320, 2048, 1, 1, (1, 1), (0, 0)), 1),
+        ('avg_pool2d_layer', (1, 8, 8, 2048, 3, 1, 1), 1),
+        ('conv2d_layer', (1, 8, 8, 192, 2048, 1, 1, (1, 1), (0, 0)), 1),
+        ('avg_pool2d_layer', (1, 8, 8, 2048, 8, 1, 0), 1),
+        ('matmul_add', (1, 2048, 1000, 'float32'), 1),
+    ],
+    "resnet3d_18": [
+        ('conv3d_layer', (1, 16, 112, 112, 64, 3, 3, 7, 7, (1, 2, 2), (1, 3, 3)), 1),
+        ('conv3d_layer', (1, 16, 56, 56, 64, 64, 3, 3, 3, (1, 1, 1), (1, 1, 1)), 4),
+        ('conv3d_layer', (1, 16, 56, 56, 128, 64, 1, 1, 1, (2, 2, 2), (0, 0, 0)), 1),
+        ('conv3d_layer', (1, 16, 56, 56, 128, 64, 3, 3, 3, (2, 2, 2), (1, 1, 1)), 1),
+        ('conv3d_layer', (1, 8, 28, 28, 128, 128, 3, 3, 3, (1, 1, 1), (1, 1, 1)), 3),
+        ('conv3d_layer', (1, 8, 28, 28, 256, 128, 1, 1, 1, (2, 2, 2), (0, 0, 0)), 1),
+        ('conv3d_layer', (1, 8, 28, 28, 256, 128, 3, 3, 3, (2, 2, 2), (1, 1, 1)), 1),
+        ('conv3d_layer', (1, 4, 14, 14, 256, 256, 3, 3, 3, (1, 1, 1), (1, 1, 1)), 3),
+        ('conv3d_layer', (1, 4, 14, 14, 512, 256, 1, 1, 1, (2, 2, 2), (0, 0, 0)), 1),
+        ('conv3d_layer', (1, 4, 14, 14, 512, 256, 3, 3, 3, (2, 2, 2), (1, 1, 1)), 1),
+        ('conv3d_layer', (1, 2, 7, 7, 512, 512, 3, 3, 3, (1, 1, 1), (1, 1, 1)), 3),
+        ('matmul_add', (1, 512, 400, 'float32'), 1),
+    ],
+}
+
+# native input size per traced family (the 224 default sentinel maps
+# here; other grid sizes scale spatial dims like _scale_hw)
+_TRACED_BASE = {"mobilenet_v3": 224, "densenet_121": 224,
+                "inception_v3": 299, "resnet3d_18": 112}
+
+
+def _scale_traced(op, args, scale):
+    """Scale a traced task's spatial dims for an off-base image size,
+    mirroring _scale_hw's conventions (maps under 7 px and non-spatial
+    ops unscaled; global-pool kernels follow the map)."""
+    a = list(args)
+
+    def sc(v):
+        return max(1, int(round(v * scale)))
+
+    if op in ("conv2d_layer", "depthwise_conv2d_layer",
+              "group_conv2d_layer"):
+        if a[1] >= 7:
+            a[1], a[2] = sc(a[1]), sc(a[2])
+    elif op == "conv3d_layer":
+        if a[2] >= 7:
+            a[2], a[3] = sc(a[2]), sc(a[3])
+    elif op in ("max_pool2d_layer", "avg_pool2d_layer"):
+        h = a[1]
+        if h >= 7:
+            a[1], a[2] = sc(a[1]), sc(a[2])
+            if a[4] == h:  # global pool: kernel spans the map
+                a[4] = a[1]
+    return a
+
+
+def _traced_task_keys(name, batch_size, image_size):
+    base = _TRACED_BASE[name]
+    if image_size == 224 and base != 224:
+        image_size = base
+    scale = image_size / float(base)
+    for op, args, wt in _TRACED_TASKS[name]:
+        a = _scale_traced(op, args, scale)
+        a[0] = batch_size  # matmul_add rows are batch x feat for heads
+        a = [list(x) if isinstance(x, tuple) else x for x in a]
+        yield make_workload_key(op, tuple(a)), float(wt)
 
 
 def build_network_keys() -> List[Tuple[str, Tuple]]:
@@ -390,29 +554,16 @@ def get_network_tasks(name: str, batch_size: int = 1, image_size: int = 224,
             weights.append(1.0)
         return tasks, weights
 
-    if name in ("resnet3d_18",):
-        # 224 sentinel -> the family's native 112 input
-        scale = 1.0 if image_size == 224 else image_size / 112.0
-        for (d, h, w, co, ci, kd, kh, kw, s_, p_,
-             wt) in _RESNET3D_18_CONVS:
-            h2 = max(1, int(round(h * scale)))
-            w2 = max(1, int(round(w * scale)))
-            key = make_workload_key(
-                "conv3d_layer",
-                (batch_size, d, h2, w2, co, ci, kd, kh, kw, [s_, s_, s_],
-                 [p_, p_, p_]),
-            )
+    if name in _TRACED_TASKS:
+        for key, wt in _traced_task_keys(name, batch_size, image_size):
             tasks.append(SearchTask(key, target))
-            weights.append(float(wt))
+            weights.append(wt)
         return tasks, weights
 
     base = NETWORK_CONVS.get(name)
     if base is None:
         raise ValueError(f"unknown network {name}")
-    base_size = {"inception_v3": 299}.get(name, 224)
-    if image_size == 224 and base_size != 224:
-        image_size = base_size  # default size means the family's native one
-    convs = _scale_hw(base, image_size, base_size)
+    convs = _scale_hw(base, image_size, 224)
     for (h, w, co, ci, kh, kw, s, p, wt) in convs:
         key = make_workload_key(
             "conv2d_layer", (batch_size, h, w, co, ci, kh, kw, [s, s], [p, p])
@@ -430,11 +581,9 @@ def get_network_tasks(name: str, batch_size: int = 1, image_size: int = 224,
             )
             tasks.append(SearchTask(key, target))
             weights.append(float(wt))
-    if name in ("mobilenet_v2", "mobilenet_v3"):
+    if name == "mobilenet_v2":
         scale = image_size / 224.0
-        dw = _MOBILENET_V2_DEPTHWISE if name == "mobilenet_v2" \
-            else _MOBILENET_V3_DEPTHWISE
-        for (h, w, c, kh, kw, s, p, wt) in dw:
+        for (h, w, c, kh, kw, s, p, wt) in _MOBILENET_V2_DEPTHWISE:
             h2 = max(1, int(round(h * scale)))
             w2 = max(1, int(round(w * scale)))
             key = make_workload_key(
@@ -463,11 +612,6 @@ _NETWORK_HEADS = {
     "inception_v3": (False, 2048, None),
     "densenet_121": (True, 1024, None),
 }
-
-# densenet transition layers: 2x2/stride-2 average pools after each
-# dense block (torchvision densenet121 _Transition); (H, C) at 224 px
-_DENSENET_TRANSITION_POOLS = [(56, 128), (28, 256), (14, 512)]
-
 
 def _head_task_keys(name: str, batch_size: int, image_size: int):
     """Workload keys for the non-conv layers of a conv-family network:
