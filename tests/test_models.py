@@ -464,3 +464,90 @@ def test_fused_head_chip_agreement():
     _sys.path.insert(0, "tools")
     mod = importlib.import_module("chip_check_fused")
     assert mod.main() == 0
+
+
+def test_entmax15_properties():
+    """entmax-1.5 (variants.py; reference Entmax15 mask): simplex
+    output, sparser than softmax, uniform on tied logits, and matching
+    sparsemax/softmax limits qualitatively."""
+    import jax
+    import jax.numpy as jnp
+
+    from vae_extent_search_tpu.models.variants import entmax15, sparsemax
+
+    z = jax.random.normal(jax.random.PRNGKey(0), (64, 16)) * 3
+    p = np.asarray(entmax15(z))
+    assert np.allclose(p.sum(-1), 1.0, atol=1e-5)
+    assert (p >= 0).all()
+    soft = np.asarray(jax.nn.softmax(z, axis=-1))
+    sp = np.asarray(sparsemax(z))
+    # sparsity ordering: sparsemax >= entmax15 >= softmax zero counts
+    assert (sp == 0).sum() >= (p == 0).sum() > (soft == 0).sum()
+    tied = np.asarray(entmax15(jnp.ones((1, 8))))
+    assert np.allclose(tied, 1.0 / 8, atol=1e-6)
+    # gradients stay finite (the sqrt-at-zero clamp)
+    g = jax.grad(lambda z: entmax15(z).sum() ** 2)(z)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+@pytest.mark.parametrize("arch", ["lstm", "mha", "tabnet"])
+def test_sequence_model_variants_learn(arch, tmp_path):
+    """All three alternative cost models (reference mlp_model.py
+    LSTMModuel/MHAModule + tabnet_model.py SegmentSumMLPModule) fit a
+    synthetic segment-sum objective and round-trip through save/load."""
+    from vae_extent_search_tpu.models.variants import (
+        SequenceModelInternal,
+    )
+
+    rng = np.random.default_rng(1)
+    feats = [rng.random((int(rng.integers(2, 9)), 12)).astype(np.float32)
+             for _ in range(96)]
+    w = rng.normal(size=12).astype(np.float32)
+    labels = np.asarray([f.sum(0) @ w for f in feats], np.float32)
+    labels = (labels - labels.mean()) / labels.std()
+
+    # tabnet's 7-step encoder needs a hotter schedule to fit in-test
+    lr = 5e-3 if arch == "tabnet" else 7e-4
+    epochs = 300 if arch == "tabnet" else 120
+    m = SequenceModelInternal(arch=arch, in_dim=12, n_epoch=epochs,
+                              hidden_dim=64, lr=lr)
+    m.fit_base(feats, labels)
+    pred = m.predict_on_features(feats)
+    corr = np.corrcoef(pred, labels)[0, 1]
+    assert corr > 0.6, (arch, corr)
+
+    path = str(tmp_path / f"{arch}.pkl")
+    m.save(path)
+    m2 = SequenceModelInternal.load(path)
+    assert np.allclose(m2.predict_on_features(feats), pred)
+
+
+def test_tabnet_ghost_batchnorm_state():
+    """Ghost batch-norm: training uses per-virtual-batch statistics and
+    advances the running stats; eval uses the running stats (so the
+    same inputs score differently before vs after training-mode
+    passes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vae_extent_search_tpu.models.variants import (
+        init_tabnet_params,
+        pad_segments,
+        tabnet_forward,
+    )
+
+    rng = np.random.default_rng(0)
+    feats = [rng.random((4, 8)).astype(np.float32) * 10 + 5
+             for _ in range(32)]
+    fe, mask = pad_segments(feats)
+    params, state = init_tabnet_params(jax.random.PRNGKey(0), 8,
+                                       hidden_dim=32)
+    _, state2 = tabnet_forward(params, state, fe, mask, training=True)
+    # running stats moved toward the (shifted) batch statistics
+    m0 = np.asarray(state["initial_bn"]["mean"])
+    m1 = np.asarray(state2["initial_bn"]["mean"])
+    assert (m1 > m0).all()
+    p_eval_before, _ = tabnet_forward(params, state, fe, mask)
+    p_eval_after, _ = tabnet_forward(params, state2, fe, mask)
+    assert not np.allclose(np.asarray(p_eval_before),
+                           np.asarray(p_eval_after))

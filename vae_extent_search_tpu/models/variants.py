@@ -7,9 +7,12 @@ Parity targets:
 - MHA variant (mlp_model.py:273-339): row encoder -> multi-head
   self-attention within a program's rows -> masked mean-pool -> residual
   blocks -> decoder
-- TabNet (cost_model/tabnet_model.py:246-588 + sparsemax.py): n_steps of
-  attentive feature masking (sparsemax) + GLU feature transformers over
-  the segment-summed feature vector
+- TabNet (cost_model/tabnet_model.py:30-770 + sparsemax.py): the full
+  SegmentSumMLPModule flow — per-store rows through a 7-step TabNet
+  encoder (entmax-1.5 attentive masks with prior, shared+independent
+  GLU stacks with sqrt(0.5) residuals, ghost batch-norm vb=512),
+  encodings segment-summed per program, two residual relu layers,
+  decoder
 
 TPU-first: programs are padded to [S, T, D] (segments x max rows) with a
 row mask; the LSTM is a lax.scan, attention/sparsemax are fused XLA ops.
@@ -146,42 +149,218 @@ def sparsemax(z: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     return jnp.maximum(z - tau, 0.0)
 
 
-def _glu_block(params, x):
-    h = dense(params, x)
-    a, b = jnp.split(h, 2, axis=-1)
-    return a * jax.nn.sigmoid(b)
+def entmax15(z: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """Exact 1.5-entmax (Peters, Niculae & Martins 2019) — the mask the
+    reference's TabNet uses (tabnet_model.py mask_type="entmax",
+    SegmentSumMLPModule:719). Closed form via the sorted-moments
+    threshold; outputs p_i = max(z_i/2 - tau, 0)^2 summing to 1."""
+    zh = z / 2.0
+    zs = jnp.sort(zh, axis=axis)[..., ::-1]
+    k = jnp.arange(1, z.shape[axis] + 1, dtype=z.dtype)
+    mean = jnp.cumsum(zs, axis=axis) / k
+    meansq = jnp.cumsum(zs * zs, axis=axis) / k
+    ss = k * (meansq - mean * mean)
+    delta = (1.0 - ss) / k
+    # safe sqrt: d/dx sqrt(x) at the clamp point is inf -> NaN grads
+    pos = delta > 0.0
+    tau = mean - jnp.sqrt(jnp.where(pos, delta, 1.0)) * pos
+    support = (tau <= zs) & (delta >= 0.0)
+    k_star = jnp.maximum(
+        jnp.sum(support, axis=axis, keepdims=True), 1)
+    tau_star = jnp.take_along_axis(tau, k_star.astype(jnp.int32) - 1,
+                                   axis=axis)
+    p = jnp.square(jnp.maximum(zh - tau_star, 0.0))
+    # exact tau makes p sum to 1; normalize to absorb fp round-off
+    return p / jnp.maximum(p.sum(axis=axis, keepdims=True), 1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Faithful TabNet encoder (reference tabnet_model.py:30-588 +
+# SegmentSumMLPModule:703-770): per-store rows run through the TabNet
+# encoder FIRST, encodings segment-sum per program, then two residual
+# relu layers + decoder. Config mirrors SegmentSumMLPModule:709-719
+# (n_d = n_a = 64, n_steps = 7, gamma = 1.3, 2 shared + 2 independent
+# GLU layers, ghost batch-norm with virtual batch 512, entmax masks).
+# ---------------------------------------------------------------------------
+
+_TABNET_VB = 512
+_TABNET_BN_MOM = 0.02
+
+
+def _xavier_normal(key, shape, gain):
+    std = gain * np.sqrt(2.0 / (shape[0] + shape[1]))
+    return jax.random.normal(key, shape, jnp.float32) * std
+
+
+def _glu_fc_init(key, in_dim, out2):
+    # initialize_glu: gain = sqrt((in + out2) / sqrt(in)); no bias
+    return _xavier_normal(key, (in_dim, out2),
+                          np.sqrt((in_dim + out2) / np.sqrt(in_dim)))
+
+
+def _non_glu_fc_init(key, in_dim, out):
+    return _xavier_normal(key, (in_dim, out),
+                          np.sqrt((in_dim + out) / np.sqrt(4 * in_dim)))
+
+
+def _bn_init(dim):
+    return {"scale": jnp.ones((dim,)), "bias": jnp.zeros((dim,))}
+
+
+def _bn_state_init(dim):
+    return {"mean": jnp.zeros((dim,)), "var": jnp.ones((dim,))}
+
+
+def _gbn_apply(p, st, x, training, momentum=_TABNET_BN_MOM,
+               virtual_batch=_TABNET_VB):
+    """Ghost batch norm (tabnet_model.py GBN:226-243): at train time each
+    virtual batch normalizes with its own statistics; running stats feed
+    eval. Rows pad to a virtual-batch multiple with the batch mean so
+    padding cannot skew chunk statistics."""
+    if not training:
+        inv = jax.lax.rsqrt(st["var"] + 1e-5)
+        return (x - st["mean"]) * inv * p["scale"] + p["bias"], st
+    n, d = x.shape
+    vb = min(virtual_batch, max(n, 1))
+    nchunk = -(-n // vb)
+    pad = nchunk * vb - n
+    full_mean = x.mean(axis=0)
+    xp = jnp.concatenate(
+        [x, jnp.broadcast_to(full_mean, (pad, d))]) if pad else x
+    xc = xp.reshape(nchunk, vb, d)
+    mu = xc.mean(axis=1, keepdims=True)
+    var = xc.var(axis=1, keepdims=True)
+    y = (xc - mu) * jax.lax.rsqrt(var + 1e-5)
+    y = (y.reshape(-1, d)[:n]) * p["scale"] + p["bias"]
+    batch_mean = mu.mean(axis=(0, 1))
+    batch_var = var.mean(axis=(0, 1))
+    new_st = {
+        "mean": (1 - momentum) * st["mean"] + momentum * batch_mean,
+        "var": (1 - momentum) * st["var"] + momentum * batch_var,
+    }
+    return y, new_st
+
+
+class TabNetConfig(NamedTuple):
+    n_d: int = 64
+    n_a: int = 64
+    n_steps: int = 7
+    gamma: float = 1.3
+    n_shared: int = 2
+    n_independent: int = 2
 
 
 def init_tabnet_params(key, in_dim: int, hidden_dim: int = 128,
-                       n_steps: int = 3) -> Dict:
-    keys = jax.random.split(key, 2 * n_steps + 3)
-    p = {
-        "shared": dense_init(keys[0], in_dim, 2 * hidden_dim),
-        "decoder": dense_init(keys[1], hidden_dim, 1),
-    }
-    for s in range(n_steps):
-        p[f"att_{s}"] = dense_init(keys[2 + 2 * s], hidden_dim, in_dim)
-        p[f"ft_{s}"] = dense_init(keys[3 + 2 * s], in_dim, 2 * hidden_dim)
-    return p
+                       cfg: TabNetConfig = TabNetConfig()):
+    """(params, bn_state) for the full encoder + segment head."""
+    nda = cfg.n_d + cfg.n_a
+    keys = iter(jax.random.split(key, 64))
+    params = {"initial_bn": _bn_init(in_dim)}
+    state = {"initial_bn": _bn_state_init(in_dim)}
+    # shared GLU FCs (first maps in_dim, rest nda)
+    params["shared_fcs"] = [
+        _glu_fc_init(next(keys), in_dim if i == 0 else nda, 2 * nda)
+        for i in range(cfg.n_shared)
+    ]
+
+    def ft_init(tag):
+        # per-FeatTransformer: a GBN per shared layer + independent GLUs
+        params[tag] = {
+            "shared_bns": [_bn_init(2 * nda)
+                           for _ in range(cfg.n_shared)],
+            "indep": [
+                {"fc": _glu_fc_init(next(keys), nda, 2 * nda),
+                 "bn": _bn_init(2 * nda)}
+                for _ in range(cfg.n_independent)
+            ],
+        }
+        state[tag] = {
+            "shared_bns": [_bn_state_init(2 * nda)
+                           for _ in range(cfg.n_shared)],
+            "indep": [_bn_state_init(2 * nda)
+                      for _ in range(cfg.n_independent)],
+        }
+
+    ft_init("splitter")
+    for s in range(cfg.n_steps):
+        ft_init(f"ft_{s}")
+        params[f"att_{s}"] = {
+            "fc": _non_glu_fc_init(next(keys), cfg.n_a, in_dim),
+            "bn": _bn_init(in_dim),
+        }
+        state[f"att_{s}"] = _bn_state_init(in_dim)
+    params["final"] = _non_glu_fc_init(next(keys), cfg.n_d, hidden_dim)
+    params["l0"] = dense_init(next(keys), hidden_dim, hidden_dim)
+    params["l1"] = dense_init(next(keys), hidden_dim, hidden_dim)
+    params["decoder"] = dense_init(next(keys), hidden_dim, 1)
+    return params, state
 
 
-def tabnet_forward(params: Dict, x: jnp.ndarray,
-                   n_steps: int = 3) -> jnp.ndarray:
-    """x [S, in_dim] (segment-summed features) -> scores [S].
-    n_steps of: attentive sparsemax feature mask -> masked features ->
-    GLU feature transformer; step outputs accumulate (reference
-    tabnet_model.py TabNetEncoder flow)."""
+def _feat_transformer(params, shared_fcs, st, x, training):
+    """Shared GLU block (first layer unscaled) + independent GLU block,
+    residuals scaled by sqrt(0.5) (tabnet_model.py GLU_Block:146-187)."""
+    scale = np.sqrt(0.5).astype(np.float32)
+    new_st = {"shared_bns": [], "indep": []}
+    h = x
+    for i, fc in enumerate(shared_fcs):
+        g = h @ fc
+        g, bst = _gbn_apply(params["shared_bns"][i],
+                            st["shared_bns"][i], g, training)
+        new_st["shared_bns"].append(bst)
+        half = g.shape[-1] // 2
+        glu = g[:, :half] * jax.nn.sigmoid(g[:, half:])
+        h = glu if i == 0 else (h + glu) * scale
+    for i, lay in enumerate(params["indep"]):
+        g = h @ lay["fc"]
+        g, bst = _gbn_apply(lay["bn"], st["indep"][i], g, training)
+        new_st["indep"].append(bst)
+        half = g.shape[-1] // 2
+        glu = g[:, :half] * jax.nn.sigmoid(g[:, half:])
+        h = (h + glu) * scale if (shared_fcs or i > 0) else glu
+    return h, new_st
+
+
+def tabnet_encode(params, state, x, training=False,
+                  cfg: TabNetConfig = TabNetConfig()):
+    """Per-row TabNet encoding [N, in_dim] -> [N, hidden]
+    (TabNetEncoder.forward:353-380 + final_mapping:567-582)."""
+    new_state = {}
+    x, new_state["initial_bn"] = _gbn_apply(
+        params["initial_bn"], state["initial_bn"], x, training,
+        momentum=0.01, virtual_batch=1 << 30)  # plain BN on input
     prior = jnp.ones_like(x)
-    h = _glu_block(params["shared"], x)
-    agg = jnp.zeros_like(h)
-    for s in range(n_steps):
-        att = dense(params[f"att_{s}"], h) * prior
-        mask = sparsemax(att)
-        prior = prior * (1.25 - mask)
-        masked_x = x * mask
-        h = _glu_block(params[f"ft_{s}"], masked_x)
-        agg = agg + jax.nn.relu(h)
-    return dense(params["decoder"], agg).squeeze(-1)
+    h, new_state["splitter"] = _feat_transformer(
+        params["splitter"], params["shared_fcs"], state["splitter"], x,
+        training)
+    att = h[:, cfg.n_d:]
+    res = 0.0
+    for s in range(cfg.n_steps):
+        a = att @ params[f"att_{s}"]["fc"]
+        a, new_state[f"att_{s}"] = _gbn_apply(
+            params[f"att_{s}"]["bn"], state[f"att_{s}"], a, training)
+        mask = entmax15(a * prior)
+        prior = (cfg.gamma - mask) * prior
+        h, new_state[f"ft_{s}"] = _feat_transformer(
+            params[f"ft_{s}"], params["shared_fcs"], state[f"ft_{s}"],
+            mask * x, training)
+        res = res + jax.nn.relu(h[:, :cfg.n_d])
+        att = h[:, cfg.n_d:]
+    return res @ params["final"], new_state
+
+
+def tabnet_forward(params, state, feats, mask, training=False,
+                   cfg: TabNetConfig = TabNetConfig()):
+    """[S, T, D] padded rows -> per-program scores [S]
+    (SegmentSumMLPModule.forward:740-770: encode rows, segment-sum
+    encodings, two residual relu layers, decoder)."""
+    S, T, D = feats.shape
+    rows = feats.reshape(S * T, D)
+    enc, new_state = tabnet_encode(params, state, rows, training, cfg)
+    enc = enc.reshape(S, T, -1)
+    seg = jnp.sum(jnp.where(mask[..., None], enc, 0.0), axis=1)
+    h = jax.nn.relu(dense(params["l0"], seg)) + seg
+    h = jax.nn.relu(dense(params["l1"], h)) + h
+    return dense(params["decoder"], h).squeeze(-1), new_state
 
 
 # ---------------------------------------------------------------------------
@@ -211,15 +390,20 @@ class SequenceModelInternal:
             return init_lstm_params(key, self.in_dim, self.hidden_dim)
         if self.arch == "mha":
             return init_mha_params(key, self.in_dim, self.hidden_dim)
-        return init_tabnet_params(key, self.in_dim, self.hidden_dim)
+        params, self.bn_state = init_tabnet_params(
+            key, self.in_dim, self.hidden_dim)
+        return params
 
-    def _forward(self, params, feats, mask):
+    def _forward(self, params, feats, mask, training=False):
         if self.arch == "lstm":
             return lstm_forward(params, feats, mask)
         if self.arch == "mha":
             return mha_forward(params, feats, mask)
-        seg_sum = jnp.sum(jnp.where(mask[..., None], feats, 0.0), axis=1)
-        return tabnet_forward(params, seg_sum)
+        preds, new_state = tabnet_forward(params, self.bn_state, feats,
+                                          mask, training=training)
+        if training:
+            return preds, new_state
+        return preds
 
     def fit_base(self, features_list, labels, verbose=False):
         from .segment import compute_fea_norm_vec
@@ -234,6 +418,30 @@ class SequenceModelInternal:
         self.params = self._init(key)
         tx = optax.chain(optax.clip_by_global_norm(0.5), optax.adam(self.lr))
         opt_state = tx.init(self.params)
+
+        if self.arch == "tabnet":
+            bn_state = self.bn_state
+
+            @jax.jit
+            def step_t(params, bn_state, opt_state):
+                def loss(params):
+                    (preds, new_state) = tabnet_forward(
+                        params, bn_state, feats, mask, training=True)
+                    return jnp.sqrt(jnp.mean((preds - labels) ** 2)), \
+                        new_state
+                (l, new_state), grads = jax.value_and_grad(
+                    loss, has_aux=True)(params)
+                updates, opt_state2 = tx.update(grads, opt_state, params)
+                return (optax.apply_updates(params, updates), new_state,
+                        opt_state2, l)
+
+            for epoch in range(self.n_epoch):
+                self.params, bn_state, opt_state, l = step_t(
+                    self.params, bn_state, opt_state)
+                if verbose and epoch % 20 == 0:
+                    print(f"tabnet epoch {epoch}: rmse {float(l):.4f}")
+            self.bn_state = bn_state
+            return self
 
         forward = self._forward
 
@@ -278,6 +486,10 @@ class SequenceModelInternal:
                     lambda x: np.asarray(x) if hasattr(x, "shape") else x,
                     self.params,
                 ),
+                "bn_state": jax.tree_util.tree_map(
+                    lambda x: np.asarray(x) if hasattr(x, "shape") else x,
+                    getattr(self, "bn_state", None),
+                ),
                 "fea_norm_vec": self.fea_norm_vec,
                 "use_workload_embedding": getattr(
                     self, "use_workload_embedding", False),
@@ -294,6 +506,7 @@ class SequenceModelInternal:
         m = cls(blob["arch"], blob["in_dim"], blob["hidden_dim"],
                 blob["lr"], blob["n_epoch"])
         m.params = blob["params"]
+        m.bn_state = blob.get("bn_state")
         m.fea_norm_vec = blob["fea_norm_vec"]
         m.use_workload_embedding = blob.get("use_workload_embedding", False)
         m.workload_embed_total_dim = blob.get("workload_embed_total_dim", 10)
