@@ -169,13 +169,14 @@ def _wb(layer: Dict, dtype, transposed: bool, f32_bias: bool = False):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("T", "rate", "block", "interpret"),
+    static_argnames=("T", "rate", "block", "interpret", "mu_layout"),
 )
 def fused_head_stats(head_layers: List[Dict], z: jnp.ndarray, seed,
                      T: int = 10, rate: float = 0.1, block: int = 1024,
                      interpret: bool = False,
                      mask_bits: Optional[jnp.ndarray] = None,
-                     encoder: Optional[Tuple] = None):
+                     encoder: Optional[Tuple] = None,
+                     mu_layout: str = "nl"):
     """cost, gnorm, mc_mean, mc_var — all [N] f32 — for a 2-hidden-layer
     ReLU cost head over latents ``z`` [N, L].
 
@@ -184,9 +185,13 @@ def fused_head_stats(head_layers: List[Dict], z: jnp.ndarray, seed,
 
     With ``encoder=(encoder_layers, fc_mu)`` the input is the raw feature
     matrix instead of latents: the VAE encoder runs inside the kernel
-    (it has no dropout, so one pass feeds everything) and ``mu`` [N, L]
-    f32 is returned as a fifth output — HBM never sees the [N, H] hidden
-    activations at all.
+    (it has no dropout, so one pass feeds everything) and ``mu`` f32 is
+    returned as a fifth output — HBM never sees the [N, H] hidden
+    activations at all. ``mu_layout``: "nl" returns mu [N, L];
+    "ln" returns the kernel-native [L, N] (candidates on lanes) and
+    skips the [L, N]->[N, L] transpose, which at 262k candidates is a
+    ~2 ms lane->sublane relayout the selection path does not need (it
+    only gathers a few hundred columns).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -266,6 +271,6 @@ def fused_head_stats(head_layers: List[Dict], z: jnp.ndarray, seed,
         interpret=interpret,
     )(first, zt, *enc_arrays, *head_arrays)
     if n_enc:
-        mu = outs[0].T[:n]                             # [N, L] f32
+        mu = outs[0][:, :n] if mu_layout == "ln" else outs[0].T[:n]
         return (mu,) + tuple(o[0, :n] for o in outs[1:])
     return tuple(o[0, :n] for o in outs)

@@ -348,12 +348,17 @@ def _select_programs(params: Dict, X: jnp.ndarray, used_mask: jnp.ndarray,
         from ..ops.fused_head_pallas import fused_head_stats
 
         seed = jax.random.randint(k_mc, (), 0, jnp.iinfo(jnp.int32).max)
-        mu, cost_pred, gnorm, mc_mean, mc_var = fused_head_stats(
+        # mu stays in the kernel-native [L, N] layout: the diversity
+        # stage only gathers a few hundred columns, and the [L, N] ->
+        # [N, L] relayout of 262k latents costs ~2 ms on v5e
+        mu_t, cost_pred, gnorm, mc_mean, mc_var = fused_head_stats(
             params["cost_predictor"], X, seed, T=cfg.T_mc,
             rate=cfg.dropout_rate,
             interpret=cfg.fused_interpret, mask_bits=mask_bits,
             encoder=(params["encoder"], params["fc_mu"]),
+            mu_layout="ln",
         )
+        mu = None
     else:
         mu, logvar = pred_encode(params, X)
         cost_pred = predict_cost(params, mu).astype(jnp.float32)
@@ -364,6 +369,7 @@ def _select_programs(params: Dict, X: jnp.ndarray, used_mask: jnp.ndarray,
         mc_mean = mc_mean.astype(jnp.float32)
         mc_var = mc_var.astype(jnp.float32)
         mu = mu.astype(jnp.float32)
+        mu_t = None
 
     n = X.shape[0]
     k_pool = cfg.num_select * cfg.topk_factor
@@ -413,16 +419,23 @@ def _select_programs(params: Dict, X: jnp.ndarray, used_mask: jnp.ndarray,
         picked = scatter_set(picked, ui, uv)
 
     # 6. latent diversity (k-center greedy) restricted to the pool;
-    # centers = used + picked, gathered up to cfg.max_centers
+    # centers = used + picked, gathered up to cfg.max_centers. Gather
+    # FIRST, normalize the few hundred gathered rows after — a full-N
+    # l2_normalize materializes [N, L] twice for rows nobody reads
     if cfg.n_div:
-        from ..ops.kcenter import k_center_greedy_pool
+        from ..ops.kcenter import k_center_greedy_pool_core
 
-        z_norm = l2_normalize(mu)
-        zp_norm = z_norm[pool_idx]
-        dl, dv = k_center_greedy_pool(
-            zp_norm, avail, z_norm, used_mask | picked, cfg.n_div,
-            max_centers=cfg.max_centers,
-        )
+        cmask = used_mask | picked
+        cidx = jnp.where(cmask, size=cfg.max_centers, fill_value=0)[0]
+        c_valid = cmask[cidx]
+        if mu_t is not None:
+            zp_norm = l2_normalize(mu_t[:, pool_idx].T)
+            centers = l2_normalize(mu_t[:, cidx].T)
+        else:
+            zp_norm = l2_normalize(mu[pool_idx])
+            centers = l2_normalize(mu[cidx])
+        dl, dv = k_center_greedy_pool_core(
+            zp_norm, avail, centers, c_valid, cfg.n_div)
         di = pool_idx[dl]
     else:
         di, dv = none
@@ -441,7 +454,6 @@ def _select_programs(params: Dict, X: jnp.ndarray, used_mask: jnp.ndarray,
     aux = {
         "cost_pred": cost_pred,
         "mc_var": mc_var,
-        "z": mu,
         "grad_norm": gnorm,
     }
     return sel_idx, sel_valid, new_remaining, aux

@@ -272,13 +272,16 @@ def select_programs_sharded(params: Dict, X: jnp.ndarray,
         picked = scatter_set(picked, ui, uv)
 
     # 6. latent diversity: pool latents + compacted centers, replicated
+    # (gather raw mu rows, then normalize the small gathered matrices —
+    # same single-device ordering, no full-N normalize)
     if cfg.n_div:
         from ..ops.kcenter import k_center_greedy_pool_core
 
-        z_norm = l2_normalize(mu)
-        zp_norm = gather_rows_sharded(z_norm, pool_idx, mesh, axis)
+        zp_norm = l2_normalize(
+            gather_rows_sharded(mu, pool_idx, mesh, axis))
         centers, c_valid = gather_masked_rows_sharded(
-            z_norm, used_mask | picked, cfg.max_centers, mesh, axis)
+            mu, used_mask | picked, cfg.max_centers, mesh, axis)
+        centers = l2_normalize(centers)
         dl, dv = k_center_greedy_pool_core(
             zp_norm, avail, centers, c_valid, cfg.n_div)
         di = pool_idx[dl]
@@ -303,7 +306,6 @@ def select_programs_sharded(params: Dict, X: jnp.ndarray,
     aux = {
         "cost_pred": cost_pred,
         "mc_var": mc_var,
-        "z": mu,
         "grad_norm": gnorm,
     }
     return sel_idx, sel_valid, new_remaining, aux
