@@ -65,10 +65,15 @@ def main():
     used = jnp.zeros(N, bool).at[:256].set(True)
     remaining = ~used
 
+    from vae_extent_search_tpu.search.select import _select_programs
+
+    @jax.jit
     def run(k):
-        sel_idx, valid, new_rem, aux = select_programs(
-            params, X, used, remaining, k, cfg,
-            gate_uncertainty_to_remaining=False,
+        # the full phase + its consuming reduction as ONE program — the
+        # active loop consumes selection outputs on-device the same way;
+        # eager per-phase post-ops would time host dispatch, not compute
+        sel_idx, valid, new_rem, aux = _select_programs(
+            params, X, used, remaining, k, cfg, False,
         )
         # one scalar that depends on this phase's full selection output
         return aux["cost_pred"][sel_idx].sum()

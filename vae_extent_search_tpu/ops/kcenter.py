@@ -117,7 +117,9 @@ def k_center_greedy_pool(z_pool: jnp.ndarray, avail: jnp.ndarray,
     throughout (sqrt is monotonic, the trajectory is identical).
 
     Returns (local indices into the pool [k], valid [k])."""
-    idx = jnp.where(center_mask, size=max_centers, fill_value=0)[0]
+    from ..search.select import first_k_true
+
+    idx = first_k_true(center_mask, max_centers)
     c_valid = center_mask[idx]
     centers = z_all[idx]  # [C, D]
     return k_center_greedy_pool_core(z_pool, avail, centers, c_valid, k)

@@ -30,6 +30,22 @@ def _load_lib():
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "native", "libves_native.so")
     if not os.path.exists(path):
+        # build on first use (the binary is not committed); g++ is part
+        # of the toolchain contract, build takes ~20 s once
+        import subprocess
+
+        script = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), "scripts",
+            "build_native.sh")
+        try:
+            subprocess.run(["bash", script], check=True,
+                           capture_output=True, timeout=600)
+        except Exception as e:
+            raise FileNotFoundError(
+                f"{path} missing and auto-build failed "
+                f"({e}) — run scripts/build_native.sh") from None
+    if not os.path.exists(path):
         raise FileNotFoundError(
             f"{path} missing — run scripts/build_native.sh"
         )

@@ -44,6 +44,7 @@ from jax.sharding import PartitionSpec as P
 from ..models.predictor import mc_predict, pred_encode, predict_cost
 from .select import (
     NEG_INF,
+    first_k_true,
     SelectionConfig,
     _use_fused_head,
     l2_normalize,
@@ -133,7 +134,7 @@ def gather_masked_rows_sharded(z, mask, max_rows: int, mesh, axis: str):
 
     def local(z_loc, m_loc):
         base = jax.lax.axis_index(axis) * n_loc
-        li = jnp.where(m_loc, size=m_loc_rows, fill_value=n_loc)[0]
+        li = first_k_true(m_loc, m_loc_rows, fill=n_loc)
         valid = li < n_loc
         rows = z_loc[jnp.clip(li, 0, n_loc - 1)]
         rows = jnp.where(valid[:, None], rows, 0)

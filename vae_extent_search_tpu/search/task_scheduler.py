@@ -161,46 +161,58 @@ class TaskScheduler:
         for cb in self.callbacks:
             cb.callback(self)
 
+    def _objective_sensitivity(self, i: int, delta: float = 1e-4) -> float:
+        """d(objective)/d(cost_i) by finite difference — how much the
+        whole-suite score moves if task i's best latency improves (the
+        chain-rule outer term of Ansor §6's allocation gradient)."""
+        probe = list(self.best_costs)
+        probe[i] -= delta
+        return (self._compute_score(self.best_costs)
+                - self._compute_score(probe)) / delta
+
+    def _history_slope(self, i: int) -> float:
+        """Observed per-round improvement of task i over the backward
+        window (zero until the window fills)."""
+        hist = self.task_costs_history[i]
+        last = self.task_cts[i] - 1
+        first = last - self.backward_window_size
+        if last >= len(hist) or first < 0:
+            return 0.0
+        return (hist[last] - hist[first]) / self.backward_window_size
+
+    def _predicted_next_cost(self, i: int) -> float:
+        """Optimistic next-round latency for task i: the per-round decay
+        extrapolation, capped by the similarity-group bound (a task
+        cannot beat beta x its group's best achieved FLOPS)."""
+        rounds = max(self.task_cts[i], 1)
+        decay_estimate = self.best_costs[i] * (1.0 - 1.0 / rounds)
+        group_bound = self.beta * 1e30
+        gid = self.tag_to_group_id.get(self.task_tags[i])
+        if gid is not None and len(self.group_task_ids[gid]) > 1:
+            group_best_flops = max(
+                self.flop_cts[j] / self.best_costs[j]
+                for j in self.group_task_ids[gid]
+            )
+            group_bound = self.beta * self.flop_cts[i] / group_best_flops
+        return min(decay_estimate, group_bound)
+
     def _gradient_select(self) -> int:
-        """reference task_scheduler.py:418-474."""
+        """Pick the task whose next round most decreases the suite
+        objective (Ansor §6; reference task_scheduler.py:418-474):
+        allocation gradient = sensitivity x blend of the observed
+        history slope (weight alpha) and the optimistic forecast
+        improvement (weight 1 - alpha); most-negative gradient wins."""
         gradients = []
         for i in range(len(self.tasks)):
             if i in self.dead_tasks:
                 gradients.append(0.0)
                 continue
-            delta = 1e-4
-            new_costs = list(self.best_costs)
-            new_costs[i] -= delta
-            chain_grad = (
-                self._compute_score(self.best_costs)
-                - self._compute_score(new_costs)
-            ) / delta
-
-            hist = self.task_costs_history[i]
-            t_i = self.task_cts[i]
-            if t_i - 1 < len(hist) and t_i - 1 - self.backward_window_size >= 0:
-                backward_grad = (
-                    hist[t_i - 1] - hist[t_i - 1 - self.backward_window_size]
-                ) / self.backward_window_size
-            else:
-                backward_grad = 0.0
-
-            g_next_1 = self.best_costs[i] - self.best_costs[i] / max(t_i, 1)
-            g_next_2 = self.beta * 1e30
-            gid = self.tag_to_group_id.get(self.task_tags[i])
-            if gid is not None and len(self.group_task_ids[gid]) > 1:
-                best_flops = max(
-                    self.flop_cts[j] / self.best_costs[j]
-                    for j in self.group_task_ids[gid]
-                )
-                g_next_2 = self.beta * self.flop_cts[i] / best_flops
-            g_next = min(g_next_1, g_next_2)
-            forward_grad = g_next - self.best_costs[i]
-
-            grad = chain_grad * (
-                self.alpha * backward_grad + (1 - self.alpha) * forward_grad
-            )
-            gradients.append(min(grad, 0.0))
+            forecast_improvement = (
+                self._predicted_next_cost(i) - self.best_costs[i])
+            blended = (self.alpha * self._history_slope(i)
+                       + (1 - self.alpha) * forecast_improvement)
+            gradients.append(
+                min(self._objective_sensitivity(i) * blended, 0.0))
 
         if max(gradients) == min(gradients):
             return int(self.rng.integers(len(gradients)))
