@@ -61,9 +61,10 @@ def main():
     p.add_argument("--out-file", type=str, default=None)
     p.add_argument("--runner", type=str, default="analytic",
                    help="analytic | replay | command:<external timer "
-                        "invoked as '<cmd> in.json out.json'> (the "
-                        "real-hardware bridge, reference "
-                        "measure.py:375-611)")
+                        "invoked as '<cmd> in.json out.json'> | "
+                        "service:<key>@<host>:<port> (measure through "
+                        "the tracker/server service — the reference "
+                        "RPCRunner topology, measure.py:434-611)")
     p.add_argument("--replay-log", type=str, default=None)
     p.add_argument("--noise", type=float, default=0.3)
     p.add_argument("--seed", type=int, default=0)
@@ -79,6 +80,14 @@ def main():
         from vae_extent_search_tpu.search.measure import CommandRunner
 
         runner = CommandRunner(args.runner.split(":", 1)[1])
+    elif args.runner.startswith("service:"):
+        from vae_extent_search_tpu.search.measure_service import (
+            ServiceRunner,
+        )
+
+        key, addr = args.runner.split(":", 1)[1].split("@")
+        host, port = addr.rsplit(":", 1)
+        runner = ServiceRunner(key, host, int(port))
     elif args.runner == "replay":
         runner = RecordReplayRunner(load_records(args.replay_log))
     else:

@@ -98,3 +98,87 @@ def test_tune_vae_loop_with_command_runner(tmp_path):
     assert len(recs) >= 16
     assert min(r.res.costs[0] for r in recs
                if r.res.error_no == ERROR_NO_ERROR) <= best * 1.0001
+
+
+def test_measure_service_tracker_topology(tmp_path):
+    """The tracker/server measurement service (measure_service.py;
+    reference RPCRunner + tvm.rpc topology, measure.py:434-611): two
+    servers register under one key, a ServiceRunner round-robins
+    batches across them through the tracker, costs equal the backend
+    simulator's, and records land via ProgramMeasurer callbacks."""
+    from vae_extent_search_tpu.search.measure_service import (
+        MeasureServer,
+        MeasureTracker,
+        ServiceRunner,
+    )
+
+    task, states = _task_and_states(8)
+    tracker = MeasureTracker()
+    s1 = MeasureServer(AnalyticRunner(noise=0.2), key="v5e",
+                       tracker_addr=tracker.addr)
+    s2 = MeasureServer(AnalyticRunner(noise=0.2), key="v5e",
+                       tracker_addr=tracker.addr)
+    try:
+        runner = ServiceRunner("v5e", *tracker.addr, timeout=60)
+        log = str(tmp_path / "svc.json")
+        measurer = ProgramMeasurer(EmptyBuilder(), runner,
+                                   callbacks=[RecordToFile(log)])
+        r1 = measurer.measure(task, states[:4])
+        r2 = measurer.measure(task, states[4:])
+        results = r1 + r2
+        assert all(r.error_no == ERROR_NO_ERROR for r in results)
+        ref = AnalyticRunner(noise=0.2).run(task, states)
+        got = np.array([r.costs[0] for r in results])
+        want = np.array([r.costs[0] for r in ref])
+        assert np.allclose(got, want, rtol=1e-6)
+        assert len(load_records(log)) == 8
+    finally:
+        s1.close()
+        s2.close()
+        tracker.close()
+
+
+def test_measure_service_failover_and_unknown_key():
+    """A dead server is evicted and the batch retries on the live one;
+    a key with no servers degrades to error results, not exceptions."""
+    from vae_extent_search_tpu.search.measure_service import (
+        MeasureServer,
+        MeasureTracker,
+        ServiceRunner,
+    )
+
+    task, states = _task_and_states(3)
+    tracker = MeasureTracker()
+    dead = MeasureServer(AnalyticRunner(), key="v5e",
+                         tracker_addr=tracker.addr)
+    dead.close()  # registered but gone
+    live = MeasureServer(AnalyticRunner(noise=0.2), key="v5e",
+                         tracker_addr=tracker.addr)
+    try:
+        runner = ServiceRunner("v5e", *tracker.addr, timeout=10)
+        # run twice: whichever round-robin slot hits the dead server
+        # must fail over to the live one within the same call
+        for _ in range(2):
+            results = runner.run(task, states)
+            assert all(r.error_no == ERROR_NO_ERROR for r in results)
+
+        nobody = ServiceRunner("tpu-v9", *tracker.addr, timeout=5)
+        results = nobody.run(task, states)
+        assert all(r.error_no == ERROR_RUNTIME_DEVICE for r in results)
+    finally:
+        live.close()
+        tracker.close()
+
+
+def test_local_service_measure_context():
+    """LocalServiceMeasureContext mirrors LocalRPCMeasureContext: one
+    line spawns tracker+server and hands back a pluggable runner."""
+    from vae_extent_search_tpu.search.measure_service import (
+        LocalServiceMeasureContext,
+    )
+
+    task, states = _task_and_states(4)
+    with LocalServiceMeasureContext() as ctx:
+        results = ctx.runner.run(task, states)
+    assert all(r.error_no == ERROR_NO_ERROR for r in results)
+    assert all(np.isfinite(r.costs[0]) for r in results)
