@@ -142,3 +142,42 @@ def test_gbdt_xgb_backend_resolves_to_native_without_xgboost():
 
     m = GBDTModelInternal(backend="xgb")
     assert m.backend == ("xgb" if HAS_XGB else "native")
+
+
+def test_gbdt_few_shot_modes():
+    """The reference XGB few-shot surface (xgb_model.py:158-230:
+    base_only / local_only_per_task / plus_per_task) drives the GBDT
+    model through the shared few_shot_fit harness; the plus mode's
+    residual model must improve on a base with a per-task offset."""
+    import numpy as np
+
+    from vae_extent_search_tpu.models.gbdt import GBDTModelInternal
+    from vae_extent_search_tpu.models.segment import few_shot_fit
+
+    rng = np.random.default_rng(2)
+    feats_by, labels_by = {}, {}
+    for t, offset in [("a", 0.0), ("b", 5.0)]:
+        feats = [rng.random((1, 6)).astype(np.float32) for _ in range(60)]
+        y = np.asarray([f.sum() + offset for f in feats], np.float32)
+        feats_by[t], labels_by[t] = feats, y
+
+    for mode in ("base_only", "local", "plus"):
+        models = few_shot_fit(GBDTModelInternal, feats_by, labels_by,
+                              mode=mode, in_dim=6, n_estimators=60)
+        for t in feats_by:
+            pred = models[t].predict_on_features(feats_by[t])
+            rmse = float(np.sqrt(np.mean((pred - labels_by[t]) ** 2)))
+            if mode == "base_only":
+                continue  # shared model can't fit both offsets
+            assert rmse < 0.5, (mode, t, rmse)
+    # plus beats base_only on the offset task
+    base = few_shot_fit(GBDTModelInternal, feats_by, labels_by,
+                        mode="base_only", in_dim=6, n_estimators=60)
+    plus = few_shot_fit(GBDTModelInternal, feats_by, labels_by,
+                        mode="plus", in_dim=6, n_estimators=60)
+
+    def rmse_of(models, t):
+        pred = models[t].predict_on_features(feats_by[t])
+        return float(np.sqrt(np.mean((pred - labels_by[t]) ** 2)))
+
+    assert rmse_of(plus, "b") < rmse_of(base, "b")

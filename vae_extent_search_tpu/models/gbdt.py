@@ -63,7 +63,11 @@ def _pack_ids(features_list) -> np.ndarray:
 class GBDTModelInternal:
     def __init__(self, max_depth: int = 6, learning_rate: float = 0.2,
                  n_estimators: int = 300, seed: int = 43,
-                 backend: str = "auto"):
+                 backend: str = "auto", in_dim: Optional[int] = None):
+        # in_dim is accepted (and unused — trees are shape-agnostic) so
+        # the generic few-shot harness (models/segment.py few_shot_fit)
+        # drives GBDT through the same base/local/plus modes the
+        # reference xgb model exposes (xgb_model.py:158-230)
         self.max_depth = max_depth
         self.learning_rate = learning_rate
         self.n_estimators = n_estimators
