@@ -185,41 +185,101 @@ FullTable parse_expr_desc(const int32_t* d) {
   return ft;
 }
 
-// substitute: dim var (E_VAR, dim_ref) -> replacement exprs (arena idx)
-int substitute(Arena& ar, int e, const std::vector<int>& dim_map) {
+// substitute: dim var (E_VAR, dim_ref) -> replacement exprs (arena idx).
+// Identity-preserving + memoized: subtrees without a mapped dim var are
+// returned AS-IS (no arena copy), and shared subtrees are walked once —
+// the naive copy-everything walk was the dominant arena churn in
+// build_store_infos (~32% of featurization).
+struct SubstMemo {
+  std::vector<int> val;
+  std::vector<unsigned> stamp;
+  unsigned cur = 0;
+
+  void begin(size_t n) {
+    if (val.size() < n) {
+      val.resize(n);
+      stamp.resize(n, 0);
+    }
+    ++cur;
+  }
+};
+
+int substitute_impl(Arena& ar, int e, const std::vector<int>& dim_map,
+                    SubstMemo& memo) {
   if (e < 0) return e;
+  if (e < static_cast<int>(memo.stamp.size()) &&
+      memo.stamp[e] == memo.cur) {
+    return memo.val[e];
+  }
   ENode n = ar.nodes[e];
+  int out = e;
   switch (n.kind) {
     case E_INT: case E_FLOAT: case E_LEAF:
-      return e;
+      break;
     case E_VAR: {
       int r = n.ival < static_cast<long>(dim_map.size())
                   ? dim_map[n.ival] : -1;
-      return r >= 0 ? r : e;
+      out = r >= 0 ? r : e;
+      break;
     }
     case E_SELECT: {
-      n.a = substitute(ar, n.a, dim_map);
-      n.b = substitute(ar, n.b, dim_map);
-      n.c = substitute(ar, n.c, dim_map);
-      return ar.add(n);
+      int a = substitute_impl(ar, n.a, dim_map, memo);
+      int b = substitute_impl(ar, n.b, dim_map, memo);
+      int c = substitute_impl(ar, n.c, dim_map, memo);
+      if (a != n.a || b != n.b || c != n.c) {
+        n.a = a; n.b = b; n.c = c;
+        out = ar.add(n);
+      }
+      break;
     }
-    case E_CAST: case E_REDUCE:
-      n.a = substitute(ar, n.a, dim_map);
-      return ar.add(n);
+    case E_CAST: case E_REDUCE: {
+      int a = substitute_impl(ar, n.a, dim_map, memo);
+      if (a != n.a) {
+        n.a = a;
+        out = ar.add(n);
+      }
+      break;
+    }
     case E_AND: case E_OR: case E_CALL: case E_READ: {
       std::vector<int> kk;
+      bool changed = false;
       for (int i = 0; i < n.n_kids; ++i) {
-        kk.push_back(substitute(ar, ar.kids[n.kids_begin + i], dim_map));
+        int k0 = ar.kids[n.kids_begin + i];
+        kk.push_back(substitute_impl(ar, k0, dim_map, memo));
+        changed |= kk.back() != k0;
       }
-      n.kids_begin = static_cast<int>(ar.kids.size());
-      ar.kids.insert(ar.kids.end(), kk.begin(), kk.end());
-      return ar.add(n);
+      if (changed) {
+        n.kids_begin = static_cast<int>(ar.kids.size());
+        ar.kids.insert(ar.kids.end(), kk.begin(), kk.end());
+        out = ar.add(n);
+      }
+      break;
     }
-    default:  // binaries + cmp
-      n.a = substitute(ar, n.a, dim_map);
-      n.b = substitute(ar, n.b, dim_map);
-      return ar.add(n);
+    default: {  // binaries + cmp
+      int a = substitute_impl(ar, n.a, dim_map, memo);
+      int b = substitute_impl(ar, n.b, dim_map, memo);
+      if (a != n.a || b != n.b) {
+        n.a = a; n.b = b;
+        out = ar.add(n);
+      }
+      break;
+    }
   }
+  if (e < static_cast<int>(memo.stamp.size())) {
+    memo.val[e] = out;
+    memo.stamp[e] = memo.cur;
+  }
+  return out;
+}
+
+int substitute(Arena& ar, int e, const std::vector<int>& dim_map) {
+  if (e < 0) return e;
+  // stamped thread-local scratch: one O(arena) allocation per thread
+  // lifetime instead of per call (inline_reads calls this once per
+  // inlined read)
+  static thread_local SubstMemo memo;
+  memo.begin(ar.nodes.size());
+  return substitute_impl(ar, e, dim_map, memo);
 }
 
 // simple constructors mirroring per_store.py _simp_add/_simp_mul

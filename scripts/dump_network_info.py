@@ -46,7 +46,11 @@ def trace_model_tasks(name: str, batch_size: int, image_size: int,
     )
 
     if name == "dcgan":
-        model = build_zoo_model(name)
+        from vae_extent_search_tpu.frontend.zoo import _make_dcgan
+
+        # 224 is the image-size default sentinel; dcgan's native base
+        # is 64 px (matches get_network_tasks' convention)
+        model = _make_dcgan(64 if image_size == 224 else image_size)
         shape = (batch_size, 100)
     else:
         model = build_zoo_model(name)

@@ -181,3 +181,18 @@ def test_gbdt_few_shot_modes():
         return float(np.sqrt(np.mean((pred - labels_by[t]) ** 2)))
 
     assert rmse_of(plus, "b") < rmse_of(base, "b")
+
+
+def test_pack_sum_fevals_with_missing_pack_ids():
+    """A program with zero feature rows contributes no pack id; the
+    fevals must stay aligned per DISTINCT id instead of crashing on the
+    bincount/unique length mismatch (review finding)."""
+    X = np.random.default_rng(0).random((5, 4)).astype(np.float32)
+    pack_ids = np.asarray([0, 0, 2, 2, 2])  # id 1 absent
+    labels = np.asarray([1.0, 1.0, 3.0, 3.0, 3.0], np.float32)
+    d = boost.DMatrix(X, label=labels, pack_ids=pack_ids)
+    preds = np.asarray([0.5, 0.5, 1.0, 1.0, 1.0], np.float32)
+    name, rmse = boost.pack_sum_rmse(preds, d)
+    assert name == "rmse" and rmse == pytest.approx(0.0)
+    name, score = boost.pack_sum_average_peak_score(1)(preds, d)
+    assert name == "a-peak@1" and 0.0 < score <= 1.0

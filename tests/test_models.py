@@ -551,3 +551,19 @@ def test_tabnet_ghost_batchnorm_state():
     p_eval_after, _ = tabnet_forward(params, state2, fe, mask)
     assert not np.allclose(np.asarray(p_eval_before),
                            np.asarray(p_eval_after))
+
+
+def test_entmax_axis_argument():
+    """entmax15/sparsemax honor a non-default axis (review finding:
+    the sorted-moments math previously assumed the last axis)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vae_extent_search_tpu.models.variants import entmax15, sparsemax
+
+    z = jax.random.normal(jax.random.PRNGKey(1), (6, 9)) * 2
+    for fn in (entmax15, sparsemax):
+        p0 = np.asarray(fn(z.T, axis=0))
+        p1 = np.asarray(fn(z, axis=-1))
+        assert np.allclose(p0.T, p1, atol=1e-6)
+        assert np.allclose(p0.sum(axis=0), 1.0, atol=1e-5)

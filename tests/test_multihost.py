@@ -96,3 +96,18 @@ def test_merge_record_logs_dedup(tmp_path):
                           out)
     assert n == 3
     assert open(out).read().splitlines() == ["x", "y", "z"]
+
+
+def test_merge_record_logs_idempotent(tmp_path):
+    """A retried gather must not double-count lines already merged
+    (review finding): the second merge call appends nothing new."""
+    from vae_extent_search_tpu.parallel.multihost import merge_record_logs
+
+    a = tmp_path / "a.json"
+    a.write_text("x\ny\n")
+    out = str(tmp_path / "merged.json")
+    assert merge_record_logs([str(a)], out) == 2
+    assert merge_record_logs([str(a)], out) == 0
+    assert open(out).read().splitlines() == ["x", "y"]
+    # out_path in in_paths is skipped, not read-while-appending
+    assert merge_record_logs([str(a), out], out) == 0

@@ -340,13 +340,21 @@ def pack_sum_square_error(preds, dtrain: DMatrix):
     return gradient * weight, hessian * weight
 
 
+def _per_pack(raw_preds, pack_ids, row_labels):
+    """(pred_sums, labels) aligned per DISTINCT pack id — robust to
+    absent ids (a program with zero feature rows contributes no id, so
+    bincount length and unique-count length diverge)."""
+    uniq, cnt = np.unique(pack_ids, return_counts=True)
+    sums = np.bincount(pack_ids, weights=raw_preds)[uniq]
+    labels = np.bincount(pack_ids, weights=row_labels)[uniq] / cnt
+    return sums, labels
+
+
 def pack_sum_rmse(raw_preds, dtrain: DMatrix):
     """('rmse', value) over per-pack summed predictions
     (xgb_model.py:558-576)."""
-    pack_ids = dtrain.pack_ids
-    preds = pack_sum_predict_throughput(raw_preds, pack_ids)
-    labels = (np.bincount(pack_ids, weights=dtrain.get_label())
-              / np.unique(pack_ids, return_counts=True)[1])
+    preds, labels = _per_pack(raw_preds, dtrain.pack_ids,
+                              dtrain.get_label())
     return "rmse", float(np.sqrt(np.mean(np.square(preds - labels))))
 
 
@@ -365,10 +373,8 @@ def pack_sum_average_peak_score(N: int):
     def feval(raw_preds, dmatrix: DMatrix):
         group_sizes = dmatrix.group_sizes or [
             len(np.unique(dmatrix.pack_ids))]
-        pack_ids = dmatrix.pack_ids
-        preds = pack_sum_predict_throughput(raw_preds, pack_ids)
-        labels = (np.bincount(pack_ids, weights=dmatrix.get_label())
-                  / np.unique(pack_ids, return_counts=True)[1])
+        preds, labels = _per_pack(raw_preds, dmatrix.pack_ids,
+                                  dmatrix.get_label())
         scores = []
         offset = 0
         for size in group_sizes:

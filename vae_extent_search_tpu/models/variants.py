@@ -139,13 +139,16 @@ def mha_forward(params: Dict, feats: jnp.ndarray, mask: jnp.ndarray,
 def sparsemax(z: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """Sparse softmax projection onto the simplex (reference
     cost_model/sparsemax.py; Martins & Astudillo 2016)."""
-    z_sorted = jnp.sort(z, axis=axis)[..., ::-1]
-    k = jnp.arange(1, z.shape[axis] + 1, dtype=z.dtype)
-    z_cumsum = jnp.cumsum(z_sorted, axis=axis)
+    if axis != -1 and axis != z.ndim - 1:
+        zt = jnp.moveaxis(z, axis, -1)
+        return jnp.moveaxis(sparsemax(zt, axis=-1), -1, axis)
+    z_sorted = jnp.sort(z, axis=-1)[..., ::-1]
+    k = jnp.arange(1, z.shape[-1] + 1, dtype=z.dtype)
+    z_cumsum = jnp.cumsum(z_sorted, axis=-1)
     support = 1.0 + k * z_sorted > z_cumsum
-    k_z = jnp.sum(support, axis=axis, keepdims=True).astype(z.dtype)
+    k_z = jnp.sum(support, axis=-1, keepdims=True).astype(z.dtype)
     tau = (jnp.take_along_axis(
-        z_cumsum, k_z.astype(jnp.int32) - 1, axis=axis) - 1.0) / k_z
+        z_cumsum, k_z.astype(jnp.int32) - 1, axis=-1) - 1.0) / k_z
     return jnp.maximum(z - tau, 0.0)
 
 
@@ -154,8 +157,11 @@ def entmax15(z: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     reference's TabNet uses (tabnet_model.py mask_type="entmax",
     SegmentSumMLPModule:719). Closed form via the sorted-moments
     threshold; outputs p_i = max(z_i/2 - tau, 0)^2 summing to 1."""
+    if axis != -1 and axis != z.ndim - 1:
+        zt = jnp.moveaxis(z, axis, -1)
+        return jnp.moveaxis(entmax15(zt, axis=-1), -1, axis)
     zh = z / 2.0
-    zs = jnp.sort(zh, axis=axis)[..., ::-1]
+    zs = jnp.sort(zh, axis=-1)[..., ::-1]
     k = jnp.arange(1, z.shape[axis] + 1, dtype=z.dtype)
     mean = jnp.cumsum(zs, axis=axis) / k
     meansq = jnp.cumsum(zs * zs, axis=axis) / k

@@ -80,10 +80,17 @@ def merge_record_logs(in_paths: Sequence[str], out_path: str,
     host appends duplicates, same as the reference's append-only
     logs)."""
     seen = set()
+    if dedup and os.path.exists(out_path):
+        # idempotence: a retried gather must not double-count lines
+        # already merged
+        with open(out_path) as f:
+            seen.update(ln.rstrip("\n") for ln in f if ln.strip())
+    out_real = os.path.realpath(out_path)
     n = 0
     with open(out_path, "a") as out:
         for path in in_paths:
-            if not os.path.exists(path):
+            if not os.path.exists(path) \
+                    or os.path.realpath(path) == out_real:
                 continue
             with open(path) as f:
                 for line in f:

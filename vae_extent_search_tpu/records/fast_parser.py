@@ -31,16 +31,24 @@ def _load_lib():
         os.path.abspath(__file__))), "native", "libves_native.so")
     if not os.path.exists(path):
         # build on first use (the binary is not committed); g++ is part
-        # of the toolchain contract, build takes ~20 s once
+        # of the toolchain contract, build takes ~20 s once. An
+        # exclusive flock serializes concurrent first users (multi-host
+        # tests / sharded sweeps) so nobody dlopens a half-written .so.
+        import fcntl
         import subprocess
 
         script = os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__)))), "scripts",
             "build_native.sh")
+        lock_path = path + ".buildlock"
+        os.makedirs(os.path.dirname(path), exist_ok=True)
         try:
-            subprocess.run(["bash", script], check=True,
-                           capture_output=True, timeout=600)
+            with open(lock_path, "w") as lock:
+                fcntl.flock(lock, fcntl.LOCK_EX)
+                if not os.path.exists(path):  # loser re-checks
+                    subprocess.run(["bash", script], check=True,
+                                   capture_output=True, timeout=600)
         except Exception as e:
             raise FileNotFoundError(
                 f"{path} missing and auto-build failed "

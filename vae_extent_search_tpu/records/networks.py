@@ -607,10 +607,8 @@ _NETWORK_HEADS = {
     "wide_resnet_50": (True, 2048, None),
     "resnext_50": (True, 2048, None),
     "mobilenet_v2": (False, 1280, None),
-    # mbv3-large: features end at 960, avgpool, dense 960->1280, 1280->1000
-    "mobilenet_v3": (False, 960, 1280),
-    "inception_v3": (False, 2048, None),
-    "densenet_121": (True, 1024, None),
+    # mbv3 / inception_v3 / densenet_121 heads now live in their
+    # _TRACED_TASKS tables (get_network_tasks returns early for them)
 }
 
 def _head_task_keys(name: str, batch_size: int, image_size: int):
@@ -631,12 +629,6 @@ def _head_task_keys(name: str, batch_size: int, image_size: int):
         yield make_workload_key(
             "max_pool2d_layer", (batch_size, h, h, 64, 3, 2, 1)
         )
-    if name == "densenet_121":
-        for (h, c) in _DENSENET_TRANSITION_POOLS:
-            h2 = max(1, int(round(h * scale)))
-            yield make_workload_key(
-                "avg_pool2d_layer", (batch_size, h2, h2, c, 2, 2, 0)
-            )
     # global average pool over the final feature map (7 px at 224 base,
     # 8 px at 299) then the classifier dense to 1000 classes
     fs = max(1, int(round((8 if base == 299 else 7) * scale)))

@@ -221,15 +221,25 @@ class ServiceRunner(Runner):
             if addr is None:
                 break
             try:
-                with socket.create_connection(
-                        addr, timeout=self.timeout) as s:
+                conn = socket.create_connection(addr,
+                                                timeout=self.timeout)
+            except OSError:
+                # server unreachable: evict and try the next one — a
+                # SLOW batch must not kill a healthy server, so only
+                # connect failures evict
+                self._evict(addr)
+                continue
+            try:
+                with conn as s:
                     _send_json(s, {"records": lines,
                                    "timeout": self.timeout})
                     resp = _recv_json(s, timeout=self.timeout)
                 costs = resp["costs"]
                 break
             except Exception:
-                self._evict(addr)
+                # transport/timeout mid-batch: error results for this
+                # batch; the server stays registered
+                break
         out = []
         for i in range(len(states)):
             c = costs[i] if costs and i < len(costs) else "error"
