@@ -434,8 +434,11 @@ def _select_programs(params: Dict, X: jnp.ndarray, used_mask: jnp.ndarray,
 
     # 6. latent diversity (k-center greedy) restricted to the pool;
     # centers = used + picked, gathered up to cfg.max_centers. Gather
-    # FIRST, normalize the few hundred gathered rows after — a full-N
-    # l2_normalize materializes [N, L] twice for rows nobody reads
+    # the RAW feature rows and re-encode the few hundred gathered rows —
+    # rows on the candidate axis gather cheaply, while a full-pool
+    # latent materialization/relayout or lane-axis gathers cost
+    # milliseconds at 262k (docs/ROUND_NOTES.md); the encoder forward on
+    # <=4k rows is microseconds and numerically identical
     if cfg.n_div:
         from ..ops.kcenter import k_center_greedy_pool_core
 
@@ -443,8 +446,10 @@ def _select_programs(params: Dict, X: jnp.ndarray, used_mask: jnp.ndarray,
         cidx = first_k_true(cmask, cfg.max_centers)
         c_valid = cmask[cidx]
         if mu_t is not None:
-            zp_norm = l2_normalize(mu_t[:, pool_idx].T)
-            centers = l2_normalize(mu_t[:, cidx].T)
+            zp, _ = pred_encode(params, X[pool_idx])
+            zc, _ = pred_encode(params, X[cidx])
+            zp_norm = l2_normalize(zp.astype(jnp.float32))
+            centers = l2_normalize(zc.astype(jnp.float32))
         else:
             zp_norm = l2_normalize(mu[pool_idx])
             centers = l2_normalize(mu[cidx])

@@ -272,17 +272,20 @@ def select_programs_sharded(params: Dict, X: jnp.ndarray,
         ui, uv, avail = pick_local(mcvar_p, avail, cfg.n_unc)
         picked = scatter_set(picked, ui, uv)
 
-    # 6. latent diversity: pool latents + compacted centers, replicated
-    # (gather raw mu rows, then normalize the small gathered matrices —
-    # same single-device ordering, no full-N normalize)
+    # 6. latent diversity: gather the RAW feature rows per shard, then
+    # re-encode + normalize the small replicated matrices (identical
+    # math to the single-device path: same gathered rows, same encoder)
     if cfg.n_div:
+        from ..models.predictor import pred_encode
         from ..ops.kcenter import k_center_greedy_pool_core
 
-        zp_norm = l2_normalize(
-            gather_rows_sharded(mu, pool_idx, mesh, axis))
-        centers, c_valid = gather_masked_rows_sharded(
-            mu, used_mask | picked, cfg.max_centers, mesh, axis)
-        centers = l2_normalize(centers)
+        Xp = gather_rows_sharded(X, pool_idx, mesh, axis)
+        Xc, c_valid = gather_masked_rows_sharded(
+            X, used_mask | picked, cfg.max_centers, mesh, axis)
+        zp, _ = pred_encode(params, Xp)
+        zc, _ = pred_encode(params, Xc)
+        zp_norm = l2_normalize(zp.astype(jnp.float32))
+        centers = l2_normalize(zc.astype(jnp.float32))
         dl, dv = k_center_greedy_pool_core(
             zp_norm, avail, centers, c_valid, cfg.n_div)
         di = pool_idx[dl]
