@@ -196,3 +196,29 @@ def test_pack_sum_fevals_with_missing_pack_ids():
     assert name == "rmse" and rmse == pytest.approx(0.0)
     name, score = boost.pack_sum_average_peak_score(1)(preds, d)
     assert name == "a-peak@1" and 0.0 < score <= 1.0
+
+
+def test_gbdt_augmentation_and_weights():
+    """use_data_argumentation (buffer-1/2 block swap, column-correct)
+    and use_weight (max(y, 0.1) row weights) plumb through fit_base
+    (reference xgb_model.py:323-336)."""
+    rng = np.random.default_rng(4)
+    from vae_extent_search_tpu.models.gbdt import GBDTModelInternal
+
+    feats = [rng.random((3, 164)).astype(np.float32) for _ in range(40)]
+    y = np.asarray([f[:, :3].sum() for f in feats], np.float32)
+    m = GBDTModelInternal(backend="xgb", n_estimators=40)
+    m.fit_base(feats, y, augment_buffer_swap=True, use_weight=True)
+    pred = m.predict_on_features(feats)
+    assert np.corrcoef(pred, y)[0, 1] > 0.8
+    # swap columns of buffers 1<->2: an augmented-trained model should
+    # be (near-)invariant to the permutation
+    swapped = []
+    for f in feats:
+        g = np.array(f, copy=True)
+        tmp = g[:, 75:93].copy()
+        g[:, 75:93] = g[:, 93:111]
+        g[:, 93:111] = tmp
+        swapped.append(g)
+    pred_sw = m.predict_on_features(swapped)
+    assert np.corrcoef(pred, pred_sw)[0, 1] > 0.9

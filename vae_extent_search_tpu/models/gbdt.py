@@ -85,8 +85,30 @@ class GBDTModelInternal:
         self.model = None
 
     # ------------------------------------------------------------------
-    def fit_base(self, features_list: List[np.ndarray], labels, verbose=False):
+    def fit_base(self, features_list: List[np.ndarray], labels,
+                 verbose=False, augment_buffer_swap: bool = False,
+                 use_weight: bool = False):
+        """``augment_buffer_swap``: duplicate every program with the
+        per-store feature blocks of buffers 1 and 2 swapped (columns
+        57+18..57+54) — the reference's ``use_data_argumentation``
+        buffer-permutation augmentation (xgb_model.py:323-334; its
+        row/column indexing slip fixed). ``use_weight``: per-row weight
+        max(y, 0.1) so high-throughput programs dominate the objective
+        (xgb_model.py:336)."""
         labels = np.asarray(labels, np.float32)
+        if augment_buffer_swap:
+            aug = []
+            for f in features_list:
+                g = np.array(f, copy=True)
+                if g.shape[-1] >= 57 + 18 * 3:
+                    tmp = g[:, 57 + 18:57 + 36].copy()
+                    g[:, 57 + 18:57 + 36] = g[:, 57 + 36:57 + 54]
+                    g[:, 57 + 36:57 + 54] = tmp
+                aug.append(g)
+            features_list = list(features_list) + aug
+            labels = np.concatenate([labels, labels])
+        self._row_weights = (
+            np.maximum(labels, 0.1) if use_weight else None)
         if self.use_xgb:
             self._fit_xgb(features_list, labels)
         elif self.backend == "native":
@@ -187,8 +209,10 @@ class GBDTModelInternal:
 
         rows = np.concatenate(features_list)
         pack_ids = _pack_ids(features_list)
+        w = getattr(self, "_row_weights", None)
         dtrain = boost.DMatrix(
             rows, label=labels[pack_ids], pack_ids=pack_ids,
+            weight=None if w is None else w[pack_ids],
             group_sizes=[len(features_list)])
         self.model = boost.train(
             {
