@@ -169,14 +169,16 @@ def _wb(layer: Dict, dtype, transposed: bool, f32_bias: bool = False):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("T", "rate", "block", "interpret", "mu_layout"),
+    static_argnames=("T", "rate", "block", "interpret", "mu_layout",
+                     "parallel_grid"),
 )
 def fused_head_stats(head_layers: List[Dict], z: jnp.ndarray, seed,
                      T: int = 10, rate: float = 0.1, block: int = 1024,
                      interpret: bool = False,
                      mask_bits: Optional[jnp.ndarray] = None,
                      encoder: Optional[Tuple] = None,
-                     mu_layout: str = "nl"):
+                     mu_layout: str = "nl",
+                     parallel_grid: bool = True):
     """cost, gnorm, mc_mean, mc_var — all [N] f32 — for a 2-hidden-layer
     ReLU cost head over latents ``z`` [N, L].
 
@@ -261,6 +263,14 @@ def fused_head_stats(head_layers: List[Dict], z: jnp.ndarray, seed,
     itemsize = jnp.dtype(z.dtype).itemsize
     cols_cap = 5_242_880 // max(1, h * itemsize)
     tc = max(1, min(T, cols_cap // block))
+    # candidate blocks are fully independent (each seeds its own PRNG
+    # stream), so the grid axis is declared parallel — Mosaic may then
+    # software-pipeline/reorder blocks instead of running them as a
+    # sequential loop
+    compiler_params = None
+    if parallel_grid and not interpret:
+        compiler_params = pltpu.CompilerParams(
+            dimension_semantics=("parallel",))
     outs = pl.pallas_call(
         functools.partial(_body, T=T, tc=tc, rate=rate, use_prng=use_prng,
                           n_enc=n_enc),
@@ -269,6 +279,7 @@ def fused_head_stats(head_layers: List[Dict], z: jnp.ndarray, seed,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret,
+        compiler_params=compiler_params,
     )(first, zt, *enc_arrays, *head_arrays)
     if n_enc:
         mu = outs[0][:, :n] if mu_layout == "ln" else outs[0].T[:n]
