@@ -401,3 +401,37 @@ def test_active_search_bucketed_shapes():
     assert res.found
     # selected indices never point at padding
     assert all(0 <= i < n for i in res.selected_order)
+
+
+def test_sharded_selection_xla_fallback_two_axis_mesh():
+    """The sharded selection's XLA scoring fallback (no fused kernel on
+    CPU without injected bits) must run on a (data, model) mesh with a
+    non-trivial model axis and produce a valid, duplicate-free
+    selection."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vae_extent_search_tpu.models import init_predictor_params
+    from vae_extent_search_tpu.parallel.mesh import make_mesh
+    from vae_extent_search_tpu.search import (
+        SelectionConfig,
+        select_programs,
+    )
+
+    key = jax.random.PRNGKey(5)
+    N, D = 512, 16
+    params = init_predictor_params(key, D, hidden_dim=64, latent_dim=16)
+    X = jax.random.normal(key, (N, D), jnp.float32)
+    used = jnp.zeros(N, bool).at[:32].set(True)
+    mesh = make_mesh(8, data=4, model=2)
+    sh1 = NamedSharding(mesh, P("data"))
+    sh2 = NamedSharding(mesh, P("data", None))
+    cfg = SelectionConfig(num_select=16, T_mc=4, rand_num=2)
+    sel, valid, new_rem, aux = select_programs(
+        params, jax.device_put(X, sh2), jax.device_put(used, sh1),
+        jax.device_put(~used, sh1), key, cfg)
+    sel = np.asarray(sel)[np.asarray(valid)]
+    assert len(set(sel.tolist())) == len(sel) > 0
+    assert not np.asarray(used)[sel].any()
+    assert int(np.asarray(new_rem).sum()) == N - 32 - len(sel)
