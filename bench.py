@@ -99,13 +99,18 @@ def main():
     # drifts +-40%: more windows = better odds of an undisturbed one.
     K = 16
     best = float("inf")
+    windows = []
     for rep in range(5):
         ks = [jax.random.fold_in(key, rep * K + i) for i in range(K)]
         t0 = time.perf_counter()
         scalars = [run(k) for k in ks]
         jax.device_get(combine(scalars))
         total = time.perf_counter() - t0
-        best = min(best, max(total - rtt, 1e-9) / K)
+        per_phase = max(total - rtt, 1e-9) / K
+        windows.append(per_phase)
+        best = min(best, per_phase)
+    print("windows_ms=" + ",".join(f"{w * 1e3:.2f}" for w in windows)
+          + f" rtt_ms={rtt * 1e3:.2f}", file=sys.stderr)
 
     cands_per_sec = N / best
     n_chips = max(1, len(jax.devices()))
