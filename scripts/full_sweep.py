@@ -119,6 +119,10 @@ def main():
     p.add_argument("--shard-idx", type=int, default=0)
     p.add_argument("--num-shards", type=int, default=1)
     p.add_argument("--auto-shard", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="skip tasks whose rows already exist in --out-csv "
+                        "(preemption recovery; relies on deterministic "
+                        "task order)")
     args = p.parse_args()
 
     if args.tasks_pkl:
@@ -149,10 +153,27 @@ def main():
         tasks = tasks[: args.max_tasks]
 
     os.makedirs(args.work_dir, exist_ok=True)
+
+    # Preemption recovery: the CSV is an append-only log written one task
+    # at a time in deterministic task order, so a task is "done" iff its
+    # truncated key still has len(seeds) unconsumed rows in the log.
+    # A per-key multiset keeps duplicate 48-char prefixes honest.
+    done_budget = {}
+    if args.resume and os.path.exists(args.out_csv):
+        from collections import Counter
+
+        with open(args.out_csv, newline="") as f:
+            done_budget = Counter(r["workload_key"] for r in csv.DictReader(f))
+
     print(f"[shard {shard_idx}/{num_shards}] {len(tasks)} tasks")
     t0 = time.time()
     all_rows = []
     for i, task in enumerate(tasks):
+        key48 = task.workload_key[:48]
+        if done_budget.get(key48, 0) >= len(args.seeds):
+            done_budget[key48] -= len(args.seeds)
+            print(f"  task {i + 1}/{len(tasks)}: resumed (rows in log)")
+            continue
         rows = sweep_task(
             task, args.work_dir, args.n_states, args.measure_size,
             args.seeds, args.max_phases, args.vae_epochs, args.reg_epochs,

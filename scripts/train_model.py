@@ -127,9 +127,15 @@ def train_zero_shot(dataset: Dataset, models: str, split_scheme: str,
         model = make_model(name, in_dim)
         model.use_workload_embedding = use_workload_embedding
         model.workload_embed_total_dim = emb_dim
-        model.fit_base_dataset(train_set, verbose=verbose) if hasattr(
-            model, "fit_base_dataset"
-        ) else model.fit_base(feats, labels, verbose=verbose)
+        if hasattr(model, "fit_base_dataset"):
+            model.fit_base_dataset(train_set, verbose=verbose)
+        elif kind == "mlp":
+            # crash-resume snapshot during training, the reference's
+            # `tmp_mlp.pkl` contract (mlp_model.py:598)
+            model.fit_base(feats, labels, verbose=verbose,
+                           checkpoint_path="tmp_mlp.pkl")
+        else:
+            model.fit_base(feats, labels, verbose=verbose)
         eval_res = evaluate_model(model, test_set)
         print(f"===== {name} =====")
         for k, v in eval_res.items():

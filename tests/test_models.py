@@ -408,6 +408,35 @@ def test_workload_embedding():
     assert preds.shape == (2,) and np.isfinite(preds).all()
 
 
+def test_fit_checkpoint_resume():
+    """Per-epoch crash-resume snapshot (reference tmp_mlp.pkl,
+    mlp_model.py:598): the checkpoint written mid-fit is loadable and
+    predicts; the final write matches the fitted model's params."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from vae_extent_search_tpu.models.segment import MLPModelInternal
+
+    feats = [np.random.rand(4, 164).astype(np.float32) for _ in range(12)]
+    labels = np.random.rand(12).astype(np.float32)
+    m = MLPModelInternal(in_dim=164, n_epoch=6)
+    with tempfile.TemporaryDirectory() as d:
+        ckpt = os.path.join(d, "tmp_mlp.pkl")
+        m.fit_base(feats, labels, checkpoint_path=ckpt, checkpoint_every=2)
+        assert os.path.exists(ckpt)
+        m2 = MLPModelInternal.load(ckpt)
+    preds = m2.predict_on_features(feats)
+    assert preds.shape == (12,) and np.isfinite(preds).all()
+    # final snapshot == fitted state (fit re-saves after best-params swap)
+    import jax
+
+    for a, b in zip(jax.tree_util.tree_leaves(m.params),
+                    jax.tree_util.tree_leaves(m2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
 def test_init_mode_alternatives():
     """farthest-point and kmeans++ representative inits (reference
     select_init_latent_diversity :1112-1153 /

@@ -253,7 +253,14 @@ class MLPModelInternal:
         return optimizer, step
 
     def fit_base(self, features_list, labels, valid_split: float = 0.1,
-                 verbose: bool = False, keep_norm: bool = False):
+                 verbose: bool = False, keep_norm: bool = False,
+                 checkpoint_path: str = None, checkpoint_every: int = 25):
+        # checkpoint_path: per-epoch crash-resume snapshot, the analogue of
+        # the reference's unconditional `self.save("tmp_mlp.pkl")` each
+        # epoch (mlp_model.py:598). Our epochs are sub-ms jitted scans, so
+        # an every-epoch pickle would dominate wall time; checkpoint_every
+        # thins it while keeping the same resume contract (load() restores
+        # params + fea_norm_vec mid-fit).
         # keep_norm: reuse the existing normalization vector (fine-tune /
         # meta-learning adaptation must share the base model's scaling)
         if not keep_norm or self.fea_norm_vec is None:
@@ -310,7 +317,11 @@ class MLPModelInternal:
                     break
             if verbose and epoch % 10 == 0:
                 print(f"epoch {epoch}: train {ep:.4f} val {val:.4f}")
+            if checkpoint_path and epoch % checkpoint_every == 0:
+                self.save(checkpoint_path)
         self.params = best_params
+        if checkpoint_path:
+            self.save(checkpoint_path)
         return self
 
     def predict_on_features(self, features_list) -> np.ndarray:
