@@ -20,6 +20,12 @@
 #include <limits>
 #include <tuple>
 
+#ifdef VES_PROF
+#include <atomic>
+#include <chrono>
+#include <cstdio>
+#endif
+
 namespace {
 
 using namespace ves;
@@ -383,6 +389,121 @@ IV eval_iv(const Arena& ar, int e, const std::vector<IV>& env) {
     default:
       return {0, 0};
   }
+}
+
+// Stamped memo for eval_iv: after identity-preserving substitution the
+// index expressions are DAGs (dim exprs shared across accesses and store
+// indices), and the emitter evaluates them once per (loop level, dim).
+// Naive recursion re-walks shared subtrees; the memo makes each walk
+// linear in distinct nodes. One epoch per env state — begin() after ANY
+// env mutation.
+struct EvalMemo {
+  std::vector<int> stamp;
+  std::vector<IV> val;
+  int cur = 0;
+
+  void begin(size_t n_nodes) {
+    if (stamp.size() < n_nodes) {
+      stamp.resize(n_nodes, -1);
+      val.resize(n_nodes);
+    }
+    ++cur;
+  }
+};
+
+IV eval_iv_memo(const Arena& ar, int e, const std::vector<IV>& env,
+                EvalMemo& m) {
+  if (m.stamp[e] == m.cur) return m.val[e];
+  const ENode& n = ar.nodes[e];
+  IV r;
+  // leaves are already O(1); memoizing them would only churn the table
+  switch (n.kind) {
+    case E_INT: case E_FLOAT: case E_LEAF: case E_VAR:
+      return eval_iv(ar, e, env);
+    default:
+      break;
+  }
+  switch (n.kind) {
+    case E_ADD: {
+      IV a = eval_iv_memo(ar, n.a, env, m), b = eval_iv_memo(ar, n.b, env, m);
+      r = {a.lo + b.lo, a.hi + b.hi};
+      break;
+    }
+    case E_SUB: {
+      IV a = eval_iv_memo(ar, n.a, env, m), b = eval_iv_memo(ar, n.b, env, m);
+      r = {a.lo - b.hi, a.hi - b.lo};
+      break;
+    }
+    case E_MUL: {
+      IV a = eval_iv_memo(ar, n.a, env, m), b = eval_iv_memo(ar, n.b, env, m);
+      long c1 = a.lo * b.lo, c2 = a.lo * b.hi, c3 = a.hi * b.lo,
+           c4 = a.hi * b.hi;
+      r = {std::min(std::min(c1, c2), std::min(c3, c4)),
+           std::max(std::max(c1, c2), std::max(c3, c4))};
+      break;
+    }
+    case E_MIN: {
+      IV a = eval_iv_memo(ar, n.a, env, m), b = eval_iv_memo(ar, n.b, env, m);
+      r = {std::min(a.lo, b.lo), std::min(a.hi, b.hi)};
+      break;
+    }
+    case E_MAX: {
+      IV a = eval_iv_memo(ar, n.a, env, m), b = eval_iv_memo(ar, n.b, env, m);
+      r = {std::max(a.lo, b.lo), std::max(a.hi, b.hi)};
+      break;
+    }
+    case E_SELECT: {
+      IV t = eval_iv_memo(ar, n.b, env, m), f = eval_iv_memo(ar, n.c, env, m);
+      r = {std::min(t.lo, f.lo), std::max(t.hi, f.hi)};
+      break;
+    }
+    case E_CAST:
+      r = eval_iv_memo(ar, n.a, env, m);
+      break;
+    case E_FDIV: {
+      // fused-loop reconstruction emits FDIV/FMOD, so both are hot
+      IV a = eval_iv_memo(ar, n.a, env, m), b = eval_iv_memo(ar, n.b, env, m);
+      long lo = std::numeric_limits<long>::max();
+      long hi = std::numeric_limits<long>::min();
+      bool any = false;
+      for (long x : {a.lo, a.hi}) {
+        for (long y : {b.lo, b.hi}) {
+          if (y != 0) {
+            long q = x / y;
+            if ((x % y != 0) && ((x < 0) != (y < 0))) q -= 1;
+            lo = std::min(lo, q);
+            hi = std::max(hi, q);
+            any = true;
+          }
+        }
+      }
+      r = any ? IV{lo, hi} : IV{0, 0};
+      break;
+    }
+    case E_FMOD: {
+      IV b = eval_iv_memo(ar, n.b, env, m);
+      IV a = eval_iv_memo(ar, n.a, env, m);
+      if (b.lo == b.hi && b.lo > 0) {
+        long mm = b.lo;
+        if (a.lo == a.hi) {
+          long rr = ((a.lo % mm) + mm) % mm;
+          r = {rr, rr};
+        } else {
+          r = {0, std::min(mm - 1, std::max(a.hi, 0L))};
+        }
+      } else {
+        r = {0, std::max(std::labs(b.lo), std::labs(b.hi))};
+      }
+      break;
+    }
+    default:
+      // E_DIV and anything else: defer to the plain evaluator
+      r = eval_iv(ar, e, env);
+      break;
+  }
+  m.stamp[e] = m.cur;
+  m.val[e] = r;
+  return r;
 }
 
 bool leaf_in_expr(const Arena& ar, int e, long uid) {

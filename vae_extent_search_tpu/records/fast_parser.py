@@ -27,8 +27,11 @@ def _load_lib():
     global _LIB
     if _LIB is not None:
         return _LIB
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "native", "libves_native.so")
+    # VES_NATIVE_LIB: point at an alternate build (A/B perf comparisons,
+    # VES_PROF-instrumented builds) without touching the installed .so
+    path = os.environ.get("VES_NATIVE_LIB") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "native", "libves_native.so")
     if not os.path.exists(path):
         # build on first use (the binary is not committed); g++ is part
         # of the toolchain contract, build takes ~20 s once. An
