@@ -33,6 +33,7 @@ def _task_dict(tasks, weights):
     ("densenet_121", (1, 3, 224, 224)),
     ("inception_v3", (1, 3, 299, 299)),
     ("resnet3d_18", (1, 3, 16, 112, 112)),
+    ("vgg_16", (1, 3, 224, 224)),
     ("dcgan", (1, 100)),
 ])
 def test_traced_model_matches_static_table(name, shape):

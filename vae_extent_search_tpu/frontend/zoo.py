@@ -526,6 +526,42 @@ def _make_resnet3d_18():
     return R3D18()
 
 
+def _make_vgg_16():
+    """VGG-16 (Simonyan & Zisserman 2014, configuration D; torchvision
+    ``vgg16`` without batch-norm: 3x3/pad-1 conv stacks 64x2 / 128x2 /
+    256x3 / 512x3 / 512x3 with 2x2 max-pools, adaptive 7x7 avg-pool,
+    4096-4096-1000 classifier — reference dump_network_info.py:46-48
+    loads exactly this model)."""
+    import torch.nn as nn
+
+    class VGG16(nn.Module):
+        def __init__(self):
+            super().__init__()
+            layers = []
+            cin = 3
+            for block in [[64, 64], [128, 128], [256, 256, 256],
+                          [512, 512, 512], [512, 512, 512]]:
+                for cout in block:
+                    layers += [nn.Conv2d(cin, cout, 3, padding=1),
+                               nn.ReLU(inplace=True)]
+                    cin = cout
+                layers.append(nn.MaxPool2d(2, 2))
+            self.features = nn.Sequential(*layers)
+            self.avgpool = nn.AdaptiveAvgPool2d((7, 7))
+            self.classifier = nn.Sequential(
+                nn.Linear(512 * 7 * 7, 4096), nn.ReLU(inplace=True),
+                nn.Dropout(),
+                nn.Linear(4096, 4096), nn.ReLU(inplace=True),
+                nn.Dropout(),
+                nn.Linear(4096, 1000))
+
+        def forward(self, x):
+            return self.classifier(
+                self.avgpool(self.features(x)).flatten(1))
+
+    return VGG16()
+
+
 ZOO_BUILDERS: Dict[str, Callable] = {
     "resnet_18": lambda: _make_resnet("basic", [2, 2, 2, 2]),
     "resnet_50": lambda: _make_resnet("bottleneck", [3, 4, 6, 3]),
@@ -538,6 +574,7 @@ ZOO_BUILDERS: Dict[str, Callable] = {
     "densenet_121": _make_densenet_121,
     "inception_v3": _make_inception_v3,
     "resnet3d_18": _make_resnet3d_18,
+    "vgg_16": _make_vgg_16,
     "dcgan": _make_dcgan,
 }
 

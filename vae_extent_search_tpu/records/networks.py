@@ -433,12 +433,35 @@ _TRACED_TASKS = {
         ('conv3d_layer', (1, 2, 7, 7, 512, 512, 3, 3, 3, (1, 1, 1), (1, 1, 1)), 3),
         ('matmul_add', (1, 512, 400, 'float32'), 1),
     ],
+    # vgg16 config D, no BN (reference dump_network_info.py:46-48):
+    # 3x3 conv stacks + 2x2 max-pools, adaptive 7x7 avg-pool,
+    # 4096-4096-1000 classifier. Table traced from frontend/zoo.py.
+    "vgg_16": [
+        ('conv2d_layer', (1, 224, 224, 64, 3, 3, 3, (1, 1), (1, 1)), 1),
+        ('conv2d_layer', (1, 224, 224, 64, 64, 3, 3, (1, 1), (1, 1)), 1),
+        ('max_pool2d_layer', (1, 224, 224, 64, 2, 2, 0), 1),
+        ('conv2d_layer', (1, 112, 112, 128, 64, 3, 3, (1, 1), (1, 1)), 1),
+        ('conv2d_layer', (1, 112, 112, 128, 128, 3, 3, (1, 1), (1, 1)), 1),
+        ('max_pool2d_layer', (1, 112, 112, 128, 2, 2, 0), 1),
+        ('conv2d_layer', (1, 56, 56, 256, 128, 3, 3, (1, 1), (1, 1)), 1),
+        ('conv2d_layer', (1, 56, 56, 256, 256, 3, 3, (1, 1), (1, 1)), 2),
+        ('max_pool2d_layer', (1, 56, 56, 256, 2, 2, 0), 1),
+        ('conv2d_layer', (1, 28, 28, 512, 256, 3, 3, (1, 1), (1, 1)), 1),
+        ('conv2d_layer', (1, 28, 28, 512, 512, 3, 3, (1, 1), (1, 1)), 2),
+        ('max_pool2d_layer', (1, 28, 28, 512, 2, 2, 0), 1),
+        ('conv2d_layer', (1, 14, 14, 512, 512, 3, 3, (1, 1), (1, 1)), 3),
+        ('max_pool2d_layer', (1, 14, 14, 512, 2, 2, 0), 1),
+        ('avg_pool2d_layer', (1, 7, 7, 512, 1, 1, 0), 1),
+        ('matmul_add', (1, 25088, 4096, 'float32'), 1),
+        ('matmul_add', (1, 4096, 4096, 'float32'), 1),
+        ('matmul_add', (1, 4096, 1000, 'float32'), 1),
+    ],
 }
 
 # native input size per traced family (the 224 default sentinel maps
 # here; other grid sizes scale spatial dims like _scale_hw)
 _TRACED_BASE = {"mobilenet_v3": 224, "densenet_121": 224,
-                "inception_v3": 299, "resnet3d_18": 112}
+                "inception_v3": 299, "resnet3d_18": 112, "vgg_16": 224}
 
 
 def _scale_traced(op, args, scale):
