@@ -41,13 +41,26 @@ GRID_KEY_FIELDS = ["measure_size", "weights", "uncertainty_topk",
                    "grad_num", "rand_num"]
 
 
+def _featurize(records, features="extent"):
+    """Input-mode ablation (reference design lineage: extent vectors vs
+    full per-store feature rows — pre_experiments/model_myself/
+    regression_mlp_feature.ipynb, vae_reg_feature_ansor*.ipynb)."""
+    if features == "per_store":
+        from vae_extent_search_tpu.features.per_store import (
+            perstore_features_from_records,
+        )
+
+        return perstore_features_from_records(records)
+    return extent_features_from_records(records)
+
+
 def run_experiment(record_file, out_dir, measure_size=64, seeds=(2000,),
                    weights=(0.5, 0.3, 0.2), grad_num=2, rand_num=0,
                    uncertainty_topk=128, max_phases=60, vae_epochs=500,
                    reg_epochs=1000, latent_dim=64, hidden_dim=256,
-                   init_mode="random", verbose=False):
+                   init_mode="random", features="extent", verbose=False):
     records = load_records(record_file)
-    feats, labels, kept = extent_features_from_records(records)
+    feats, labels, kept = _featurize(records, features)
     print(f"{len(records)} records -> {feats.shape} features "
           f"(dim {feats.shape[1] if feats.size else 0})")
 
@@ -121,10 +134,10 @@ def run_experiment(record_file, out_dir, measure_size=64, seeds=(2000,),
 
 
 def run_gbdt_arm(record_file, out_dir, measure_size=64, seeds=(2000,),
-                 max_phases=60):
+                 max_phases=60, features="extent"):
     """The tree-model baseline arm (reference result_xgb corpus)."""
     records = load_records(record_file)
-    feats, labels, _ = extent_features_from_records(records)
+    feats, labels, _ = _featurize(records, features)
     os.makedirs(out_dir, exist_ok=True)
     rows = []
     for seed in seeds:
@@ -193,12 +206,19 @@ def main():
                    help="initial measured-set selection: random (the "
                         "reference default), farthest-point latent "
                         "diversity, or kmeans++ representatives")
+    p.add_argument("--features", type=str, default="extent",
+                   choices=["extent", "per_store"],
+                   help="model input: printed-extent vectors (the "
+                        "reference experiment) or flattened 164-dim "
+                        "per-store feature rows (the reference's "
+                        "'feature' input-mode ablation)")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args()
 
     if args.arm == "gbdt":
         run_gbdt_arm(args.record_file, args.out_dir, args.measure_size,
-                     tuple(args.seeds), args.max_phases)
+                     tuple(args.seeds), args.max_phases,
+                     features=args.features)
     elif args.arm == "grid":
         run_grid(args.record_file, args.out_dir, tuple(args.seeds),
                  args.max_phases, args.vae_epochs, args.reg_epochs,
@@ -211,7 +231,8 @@ def main():
             max_phases=args.max_phases,
             vae_epochs=args.vae_epochs, reg_epochs=args.reg_epochs,
             latent_dim=args.latent_dim, hidden_dim=args.hidden_dim,
-            init_mode=args.init_mode, verbose=args.verbose,
+            init_mode=args.init_mode, features=args.features,
+            verbose=args.verbose,
         )
 
 

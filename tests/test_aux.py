@@ -376,3 +376,37 @@ def test_tpe_tuner_concentrates_on_good_region():
         if v > best_v:
             best, best_v = cfg, v
     assert best == {"a": 3, "b": 20, "c": "y"}, best
+
+
+def test_perstore_features_from_records(small_log):
+    """The 'feature' input-mode ablation: flattened per-store rows with
+    the extent pipeline's filtering + label conventions."""
+    from vae_extent_search_tpu.features import (
+        extent_features_from_records,
+    )
+    from vae_extent_search_tpu.features.per_store import (
+        FEATURE_VEC_LEN,
+        perstore_features_from_records,
+    )
+    from vae_extent_search_tpu.records import load_records
+
+    records = load_records(small_log)
+    feats, labels, kept = perstore_features_from_records(records)
+    assert feats.ndim == 2 and feats.shape[0] == len(kept) > 0
+    assert feats.shape[1] % FEATURE_VEC_LEN == 0
+    assert np.isfinite(feats).all()
+
+    # same label convention as the extent pipeline (the modal filters
+    # differ — extent-vector length vs store count — so only the
+    # intersection of kept sets must agree)
+    from vae_extent_search_tpu.features.extent import label_from_costs
+
+    for i, lab in zip(kept, labels):
+        assert abs(label_from_costs(records[i].res.costs) - lab) < 1e-6
+    e_feats, e_labels, e_kept = extent_features_from_records(records)
+    assert set(kept) & set(e_kept)
+
+    # python fallback path agrees with the native batch
+    f2, l2, k2 = perstore_features_from_records(records, use_native=False)
+    assert k2 == kept
+    np.testing.assert_allclose(f2, feats, rtol=1e-5, atol=1e-5)

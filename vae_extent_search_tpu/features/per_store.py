@@ -978,3 +978,75 @@ def get_per_store_features_from_file(filename, max_lines=None,
     return get_per_store_features_from_measure_pairs(
         inputs, results, max_n_bufs=max_n_bufs
     )
+
+
+def perstore_features_from_records(records, max_cost: float = 1e6,
+                                   length_mode: str = "modal",
+                                   use_native: bool = True):
+    """Per-store (164-dim) feature matrix for the offline search loop.
+
+    The reference's design lineage ablates the VAE/regression input
+    between printed-extent vectors and the full per-store feature rows
+    (pre_experiments/model_myself/regression_mlp_feature.ipynb,
+    vae_reg_feature_ansor*.ipynb — "feature" input mode); this is that
+    input pipeline with extent_features_from_records' exact filtering
+    and label conventions (error_no != 0 and costs[0] > max_cost rows
+    dropped, label = -log(mean cost + 1e-8)).
+
+    Each record's [n_stores, 164] block is flattened row-major; ragged
+    store counts are resolved per ``length_mode`` ("modal" keeps the
+    most common count like the extent pipeline, "pad" zero-pads to the
+    max). Returns (features [n, S*164] float32, labels [n], kept
+    indices into ``records``).
+    """
+    from .extent import label_from_costs
+
+    kept0, labels0 = [], []
+    for i, rec in enumerate(records):
+        if rec.res.error_no != 0 or not rec.res.costs:
+            continue
+        if rec.res.costs[0] > max_cost:
+            continue
+        kept0.append(i)
+        labels0.append(label_from_costs(rec.res.costs))
+    if not kept0:
+        return (np.zeros((0, 0), np.float32), np.zeros((0,), np.float32),
+                [])
+
+    inputs = [records[i].inp for i in kept0]
+    native_feats = None
+    if use_native:
+        try:
+            from ..records.fast_parser import (
+                featurize_perstore_inputs_native,
+            )
+
+            native_feats = featurize_perstore_inputs_native(inputs)
+        except Exception:
+            native_feats = None
+    blocks = []
+    for k, inp in enumerate(inputs):
+        feats = native_feats[k] if native_feats else None
+        if feats is None:
+            st = inp.recover_state(infer_bound=True)
+            feats = get_per_store_features_from_state(st, inp.task)
+        blocks.append(np.asarray(feats, np.float32))
+
+    counts = [b.shape[0] for b in blocks]
+    if length_mode == "modal":
+        from collections import Counter
+
+        modal = Counter(counts).most_common(1)[0][0]
+        sel = [j for j, c in enumerate(counts) if c == modal]
+        feats = np.stack([blocks[j].reshape(-1) for j in sel])
+        labs = np.asarray([labels0[j] for j in sel], np.float32)
+        kept = [kept0[j] for j in sel]
+        return feats, labs, kept
+    elif length_mode == "pad":
+        smax = max(counts)
+        d = smax * blocks[0].shape[1]
+        feats = np.zeros((len(blocks), d), np.float32)
+        for j, b in enumerate(blocks):
+            feats[j, : b.size] = b.reshape(-1)
+        return feats, np.asarray(labels0, np.float32), kept0
+    raise ValueError(f"unknown length_mode {length_mode}")
