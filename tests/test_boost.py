@@ -144,6 +144,25 @@ def test_gbdt_xgb_backend_resolves_to_native_without_xgboost():
     assert m.backend == ("xgb" if HAS_XGB else "native")
 
 
+def test_gbdt_lgb_backend_resolves_to_native_without_lightgbm():
+    """lgbm_model.py runs the same pack-sum protocol (fobj/feval,
+    lgbm_model.py:246-247), so absent lightgbm the in-repo booster —
+    not the aggregate sklearn degrade — must take over."""
+    import numpy as np
+
+    from vae_extent_search_tpu.models.gbdt import HAS_LGB, LGBModelInternal
+
+    m = LGBModelInternal(n_estimators=40)
+    assert m.backend == ("lgb" if HAS_LGB else "native")
+    rng = np.random.default_rng(5)
+    feats = [rng.random((rng.integers(2, 5), 12), dtype=np.float32)
+             for _ in range(60)]
+    y = np.asarray([f.sum() * 0.01 for f in feats], np.float32)
+    m.fit_base(feats, y)
+    pred = m.predict_on_features(feats)
+    assert np.corrcoef(pred, y)[0, 1] > 0.8
+
+
 def test_gbdt_few_shot_modes():
     """The reference XGB few-shot surface (xgb_model.py:158-230:
     base_only / local_only_per_task / plus_per_task) drives the GBDT

@@ -79,7 +79,10 @@ class GBDTModelInternal:
             # protocol on the in-repo histogram booster (models/boost.py)
             backend = "native"
         if backend == "lgb" and not HAS_LGB:
-            backend = "sklearn"
+            # lgbm_model.py runs the same pack-sum protocol as the xgb
+            # model (lgbm_model.py:246-247) — fall back to the in-repo
+            # booster, not the aggregate sklearn degrade
+            backend = "native"
         self.backend = backend
         self.use_xgb = backend == "xgb"
         self.model = None
