@@ -155,29 +155,38 @@ def main():
     os.makedirs(args.work_dir, exist_ok=True)
 
     # Preemption recovery: the CSV is an append-only log written one task
-    # at a time in deterministic task order, so a task is "done" iff its
-    # truncated key still has len(seeds) unconsumed rows in the log.
-    # A per-key multiset keeps duplicate 48-char prefixes honest.
+    # at a time in deterministic task order, so a task is "done" iff the
+    # log still has one unconsumed row for EVERY current seed under its
+    # truncated key. Keying the multiset on (key, seed) keeps duplicate
+    # 48-char prefixes honest and makes a resume with a grown --seeds
+    # list re-run the task (instead of mis-skipping on a stale total).
     done_budget = {}
     if args.resume and os.path.exists(args.out_csv):
         from collections import Counter
 
         with open(args.out_csv, newline="") as f:
-            done_budget = Counter(r["workload_key"] for r in csv.DictReader(f))
+            done_budget = Counter(
+                (r["workload_key"], int(r["seed"]))
+                for r in csv.DictReader(f))
 
     print(f"[shard {shard_idx}/{num_shards}] {len(tasks)} tasks")
     t0 = time.time()
     all_rows = []
     for i, task in enumerate(tasks):
         key48 = task.workload_key[:48]
-        if done_budget.get(key48, 0) >= len(args.seeds):
-            done_budget[key48] -= len(args.seeds)
+        seeds_to_run = []
+        for s in args.seeds:
+            if done_budget.get((key48, s), 0) > 0:
+                done_budget[(key48, s)] -= 1
+            else:
+                seeds_to_run.append(s)
+        if not seeds_to_run:
             print(f"  task {i + 1}/{len(tasks)}: resumed (rows in log)")
             continue
         rows = sweep_task(
             task, args.work_dir, args.n_states, args.measure_size,
-            args.seeds, args.max_phases, args.vae_epochs, args.reg_epochs,
-            args.noise,
+            seeds_to_run, args.max_phases, args.vae_epochs,
+            args.reg_epochs, args.noise,
         )
         # shape bucketing (bucket_shapes=True) lets tasks share compiled
         # programs; still drop the executable cache periodically so the

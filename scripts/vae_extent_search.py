@@ -165,7 +165,7 @@ def run_gbdt_arm(record_file, out_dir, measure_size=64, seeds=(2000,),
 
 
 def run_grid(record_file, out_dir, seeds, max_phases, vae_epochs,
-             reg_epochs, verbose=False):
+             reg_epochs, features="extent", verbose=False):
     """Sweep the hyperparameter grid, skipping configs already present in
     the accumulated avg CSV (reference filter_already_measured)."""
     os.makedirs(out_dir, exist_ok=True)
@@ -179,7 +179,8 @@ def run_grid(record_file, out_dir, seeds, max_phases, vae_epochs,
             record_file, out_dir, cfg["measure_size"], seeds,
             cfg["weights"], cfg["grad_num"], cfg["rand_num"],
             cfg["uncertainty_topk"], max_phases=max_phases,
-            vae_epochs=vae_epochs, reg_epochs=reg_epochs, verbose=verbose,
+            vae_epochs=vae_epochs, reg_epochs=reg_epochs,
+            features=features, verbose=verbose,
         )
 
 
@@ -222,7 +223,7 @@ def main():
     elif args.arm == "grid":
         run_grid(args.record_file, args.out_dir, tuple(args.seeds),
                  args.max_phases, args.vae_epochs, args.reg_epochs,
-                 args.verbose)
+                 features=args.features, verbose=args.verbose)
     else:
         run_experiment(
             args.record_file, args.out_dir, args.measure_size,

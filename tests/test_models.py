@@ -323,15 +323,20 @@ def test_fused_head_kernel_shape_grid():
     from vae_extent_search_tpu.search.select import z_grad_norms
 
     key = jax.random.PRNGKey(1)
-    for hidden, latent, T, rate in (
-        (128, 8, 2, 0.5),    # minimal aligned dims, heavy dropout
-        (256, 64, 7, 0.1),   # default dims, odd T (chunk 5 + 2 in f32)
-        (128, 32, 11, 0.0),  # rate 0: masks keep everything
+    for d_in, hidden, latent, T, rate in (
+        (10, 128, 8, 2, 0.5),    # minimal aligned dims, heavy dropout
+        (10, 256, 64, 7, 0.1),   # default dims, odd T (chunk 5 + 2 in f32)
+        (10, 128, 32, 11, 0.0),  # rate 0: masks keep everything
+        # wide input (per-store feature mode: D = n_stores * 164) — the
+        # wrapper must shrink the candidate block so the [D, block]
+        # input block stays inside scoped VMEM (820*1024*4B overflowed
+        # the 16 MB budget on v5e before the clamp)
+        (820, 256, 64, 10, 0.1),
     ):
-        params = init_predictor_params(key, 10, hidden_dim=hidden,
+        params = init_predictor_params(key, d_in, hidden_dim=hidden,
                                        latent_dim=latent,
                                        predictor_hidden=hidden)
-        X = jax.random.normal(key, (200, 10), jnp.float32)
+        X = jax.random.normal(key, (200, d_in), jnp.float32)
         mu, _ = pred_encode(params, X)
         head = params["cost_predictor"]
         bits = jax.random.bits(key, (T, 200, hidden), jnp.uint32)

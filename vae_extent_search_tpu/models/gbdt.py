@@ -167,7 +167,8 @@ class GBDTModelInternal:
             max_depth=self.max_depth, learning_rate=self.learning_rate,
             n_estimators=self.n_estimators, random_state=self.seed,
         )
-        self.model.fit(X, labels)
+        self.model.fit(X, labels,
+                       sample_weight=getattr(self, "_row_weights", None))
 
     def _fit_lgb(self, features_list, labels):
         """LightGBM over per-program summed features (reference
@@ -178,20 +179,27 @@ class GBDTModelInternal:
             max_depth=self.max_depth, learning_rate=self.learning_rate,
             n_estimators=self.n_estimators, random_state=self.seed,
         )
-        self.model.fit(X, labels)
+        self.model.fit(X, labels,
+                       sample_weight=getattr(self, "_row_weights", None))
 
     def _fit_xgb(self, features_list, labels):
         rows = np.concatenate(features_list)
         pack_ids = _pack_ids(features_list)
         dmatrix = xgb.DMatrix(rows)
+        w = getattr(self, "_row_weights", None)
+        row_w = None if w is None else np.asarray(w, np.float64)[pack_ids]
 
         def pack_sum_square_error(preds, dtrain):
-            """gradient of 0.5*(sum_pack(pred) - label)^2 per row
-            (xgb_model.py:528-556)."""
+            """gradient of 0.5*(sum_pack(pred) - label)^2 per row, times
+            the per-program weight tiled over its rows
+            (xgb_model.py:528-573: grad/hess both scale by weight)."""
             sums = np.bincount(pack_ids, weights=preds,
                                minlength=len(labels))
             diff = sums[pack_ids] - labels[pack_ids]
-            return diff, np.ones_like(diff)
+            hess = np.ones_like(diff)
+            if row_w is not None:
+                return diff * row_w, hess * row_w
+            return diff, hess
 
         self.model = xgb.train(
             {
@@ -271,7 +279,9 @@ class GBDTModelInternal:
 
 class LGBModelInternal(GBDTModelInternal):
     """LightGBM-backed variant (reference cost_model/lgbm_model.py);
-    degrades to sklearn when lightgbm is unavailable."""
+    falls back to the in-repo pack-sum booster (models/boost.py) when
+    lightgbm is unavailable — lgbm_model.py:246-247 runs the same
+    pack_sum_square_error objective + fevals as the xgb model."""
 
     def __init__(self, **kw):
         kw.setdefault("backend", "lgb")

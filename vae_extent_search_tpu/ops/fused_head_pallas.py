@@ -63,7 +63,8 @@ import jax.numpy as jnp
 _LANE = 128
 
 
-def _body(*refs, T: int, tc: int, rate: float, use_prng: bool, n_enc: int):
+def _body(*refs, T: int, tc: int, rate: float, use_prng: bool, n_enc: int,
+          want_mu: bool):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -76,7 +77,7 @@ def _body(*refs, T: int, tc: int, rate: float, use_prng: bool, n_enc: int):
     (w0t_ref, b0_ref, w1t_ref, b1_ref, w2r_ref, b2_ref, w0_ref, w1_ref,
      w2c_ref) = refs[2 + 2 * n_enc:11 + 2 * n_enc]
     out_refs = refs[11 + 2 * n_enc:]
-    if n_enc:
+    if n_enc and want_mu:
         mu_ref, cost_ref, gnorm_ref, mean_ref, var_ref = out_refs
     else:
         cost_ref, gnorm_ref, mean_ref, var_ref = out_refs
@@ -96,7 +97,8 @@ def _body(*refs, T: int, tc: int, rate: float, use_prng: bool, n_enc: int):
             h = jnp.maximum(mm(wt, h) + b.astype(f32), 0.0).astype(ct)
         wmu, bmu = enc_refs[-2][:], enc_refs[-1][:]
         z = (mm(wmu, h) + bmu.astype(f32)).astype(ct)  # [L, B]
-        mu_ref[:] = z.astype(f32)
+        if want_mu:
+            mu_ref[:] = z.astype(f32)
     else:
         z = xt_ref[:]                              # [L, B]
 
@@ -185,6 +187,12 @@ def fused_head_stats(head_layers: List[Dict], z: jnp.ndarray, seed,
     ``seed``: int32 scalar seeding the on-chip PRNG (ignored when
     ``mask_bits`` [T, N, H] uint32 is supplied, the interpret-test path).
 
+    ``mu_layout="none"`` skips the mu output entirely (first returned
+    element is None). The selection paths re-encode the few hundred
+    gathered rows they need, so materializing the full [L, N] latent
+    matrix to HBM (~67 MB at 262k candidates) would be pure wasted
+    bandwidth — Pallas custom-call outputs are not DCE'd by XLA.
+
     With ``encoder=(encoder_layers, fc_mu)`` the input is the raw feature
     matrix instead of latents: the VAE encoder runs inside the kernel
     (it has no dropout, so one pass feeds everything) and ``mu`` f32 is
@@ -203,6 +211,16 @@ def fused_head_stats(head_layers: List[Dict], z: jnp.ndarray, seed,
     assert len(head_layers) == 3, "kernel is specialized to 2 hidden layers"
     assert h % _LANE == 0 and l % 8 == 0, (l, h)
     assert block % _LANE == 0, block
+    # wide inputs (e.g. the per-store feature mode: D = n_stores * 164)
+    # make the [D, block] input block a major scoped-VMEM consumer on
+    # top of the stacked MC activations — at D=820, block=1024, f32 the
+    # whole kernel overflows the 16 MB budget by ~0.9 MB. Halve the
+    # block until the input block fits in ~2 MB; the MC chunking below
+    # adapts (tc = cols_cap // block) so the stacked footprint is
+    # unchanged.
+    in_itemsize = jnp.dtype(z.dtype).itemsize
+    while block > _LANE and d_in * block * in_itemsize > 2_097_152:
+        block = max(_LANE, (block // 2) // _LANE * _LANE)
     nb = -(-n // block)
     pad = nb * block - n
     if pad:
@@ -250,9 +268,10 @@ def fused_head_stats(head_layers: List[Dict], z: jnp.ndarray, seed,
     else:
         first = mask_bits
         first_spec = pl.BlockSpec((T, block, h), lambda i: (0, i, 0))
+    want_mu = mu_layout != "none"
     out_shape = [jax.ShapeDtypeStruct((1, n_pad), jnp.float32)] * 4
     out_specs = [pl.BlockSpec((1, block), lambda i: (0, i))] * 4
-    if n_enc:
+    if n_enc and want_mu:
         out_shape = [jax.ShapeDtypeStruct((l, n_pad), jnp.float32)] \
             + out_shape
         out_specs = [pl.BlockSpec((l, block), lambda i: (0, i))] + out_specs
@@ -273,7 +292,7 @@ def fused_head_stats(head_layers: List[Dict], z: jnp.ndarray, seed,
             dimension_semantics=("parallel",))
     outs = pl.pallas_call(
         functools.partial(_body, T=T, tc=tc, rate=rate, use_prng=use_prng,
-                          n_enc=n_enc),
+                          n_enc=n_enc, want_mu=want_mu),
         grid=(nb,),
         in_specs=[first_spec] + in_specs,
         out_specs=out_specs,
@@ -282,6 +301,8 @@ def fused_head_stats(head_layers: List[Dict], z: jnp.ndarray, seed,
         compiler_params=compiler_params,
     )(first, zt, *enc_arrays, *head_arrays)
     if n_enc:
+        if not want_mu:
+            return (None,) + tuple(o[0, :n] for o in outs)
         mu = outs[0][:, :n] if mu_layout == "ln" else outs[0].T[:n]
         return (mu,) + tuple(o[0, :n] for o in outs[1:])
     return tuple(o[0, :n] for o in outs)

@@ -29,9 +29,16 @@ def _load_lib():
         return _LIB
     # VES_NATIVE_LIB: point at an alternate build (A/B perf comparisons,
     # VES_PROF-instrumented builds) without touching the installed .so
-    path = os.environ.get("VES_NATIVE_LIB") or os.path.join(
+    override = os.environ.get("VES_NATIVE_LIB")
+    path = override or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "native", "libves_native.so")
+    if override and not os.path.exists(override):
+        # an explicit override must fail fast: build_native.sh only
+        # produces the default .so, so auto-building here would burn
+        # ~20 s and still not satisfy the requested path
+        raise FileNotFoundError(
+            f"VES_NATIVE_LIB={override} does not exist")
     if not os.path.exists(path):
         # build on first use (the binary is not committed); g++ is part
         # of the toolchain contract, build takes ~20 s once. An

@@ -362,15 +362,17 @@ def _select_programs(params: Dict, X: jnp.ndarray, used_mask: jnp.ndarray,
         from ..ops.fused_head_pallas import fused_head_stats
 
         seed = jax.random.randint(k_mc, (), 0, jnp.iinfo(jnp.int32).max)
-        # mu stays in the kernel-native [L, N] layout: the diversity
-        # stage only gathers a few hundred columns, and the [L, N] ->
-        # [N, L] relayout of 262k latents costs ~2 ms on v5e
-        mu_t, cost_pred, gnorm, mc_mean, mc_var = fused_head_stats(
+        # mu_layout="none": the diversity stage re-encodes its few
+        # hundred gathered rows, so the full [L, N] latent matrix
+        # (~67 MB at 262k candidates) is never consumed — skipping the
+        # output saves that HBM write every phase (custom-call outputs
+        # are not DCE'd by XLA)
+        _, cost_pred, gnorm, mc_mean, mc_var = fused_head_stats(
             params["cost_predictor"], X, seed, T=cfg.T_mc,
             rate=cfg.dropout_rate,
             interpret=cfg.fused_interpret, mask_bits=mask_bits,
             encoder=(params["encoder"], params["fc_mu"]),
-            mu_layout="ln",
+            mu_layout="none",
         )
         mu = None
     else:
@@ -383,7 +385,6 @@ def _select_programs(params: Dict, X: jnp.ndarray, used_mask: jnp.ndarray,
         mc_mean = mc_mean.astype(jnp.float32)
         mc_var = mc_var.astype(jnp.float32)
         mu = mu.astype(jnp.float32)
-        mu_t = None
 
     n = X.shape[0]
     k_pool = cfg.num_select * cfg.topk_factor
@@ -445,7 +446,7 @@ def _select_programs(params: Dict, X: jnp.ndarray, used_mask: jnp.ndarray,
         cmask = used_mask | picked
         cidx = first_k_true(cmask, cfg.max_centers)
         c_valid = cmask[cidx]
-        if mu_t is not None:
+        if mu is None:  # fused path: re-encode the gathered rows
             zp, _ = pred_encode(params, X[pool_idx])
             zc, _ = pred_encode(params, X[cidx])
             zp_norm = l2_normalize(zp.astype(jnp.float32))
