@@ -158,21 +158,23 @@ def _fused_scores_sharded(params, X, seed, cfg: SelectionConfig, mesh,
 
     def local(head, enc, fc_mu, x_loc, seed, bits_loc):
         s = seed + jax.lax.axis_index(axis) * jnp.int32(1 << 20)
+        # mu_layout="none": the diversity stage re-encodes its gathered
+        # rows, so each shard's [n_loc, L] latent write would be dead
+        # HBM traffic (same rationale as the single-device path)
         return fused_head_stats(
             head, x_loc, s, T=cfg.T_mc, rate=cfg.dropout_rate,
             interpret=cfg.fused_interpret, mask_bits=bits_loc,
-            encoder=(enc, fc_mu),
-        )
+            encoder=(enc, fc_mu), mu_layout="none",
+        )[1:]
 
     bits_spec = P() if mask_bits is None else P(None, axis, None)
     out = _smap(
         local, mesh,
         (P(), P(), P(), P(axis, None), P(), bits_spec),
-        (P(axis, None), P(axis), P(axis), P(axis), P(axis)),
+        (P(axis), P(axis), P(axis), P(axis)),
     )(params["cost_predictor"], params["encoder"], params["fc_mu"],
       X, seed, mask_bits)
-    # kernel returns mu [n_loc, L] per shard -> global [N, L] sharded on
-    # rows; cost/gnorm/mean/var [n_loc] -> [N] sharded
+    # cost/gnorm/mean/var [n_loc] per shard -> [N] sharded
     return out
 
 
@@ -189,12 +191,14 @@ def _xla_scores_sharded(params, X, k_mc, cfg: SelectionConfig, mesh,
         gnorm = z_grad_norms(params, mu).astype(jnp.float32)
         mc_mean, mc_var = mc_predict(params, x_loc, k_loc, cfg.T_mc,
                                      cfg.dropout_rate, mu=mu)
-        return (mu.astype(jnp.float32), cost, gnorm,
+        # mu stays shard-local dead after this point (the diversity
+        # stage re-encodes); not returning it lets XLA drop the write
+        return (cost, gnorm,
                 mc_mean.astype(jnp.float32), mc_var.astype(jnp.float32))
 
     return _smap(
         local, mesh, (P(), P(axis, None), P()),
-        (P(axis, None), P(axis), P(axis), P(axis), P(axis)),
+        (P(axis), P(axis), P(axis), P(axis)),
     )(params, X, k_mc)
 
 
@@ -226,10 +230,10 @@ def select_programs_sharded(params: Dict, X: jnp.ndarray,
         X = X.astype(ct)
     if _use_fused_head(params, cfg, mask_bits):
         seed = jax.random.randint(k_mc, (), 0, jnp.iinfo(jnp.int32).max)
-        mu, cost_pred, gnorm, mc_mean, mc_var = _fused_scores_sharded(
+        cost_pred, gnorm, mc_mean, mc_var = _fused_scores_sharded(
             params, X, seed, cfg, mesh, axis, mask_bits)
     else:
-        mu, cost_pred, gnorm, mc_mean, mc_var = _xla_scores_sharded(
+        cost_pred, gnorm, mc_mean, mc_var = _xla_scores_sharded(
             params, X, k_mc, cfg, mesh, axis)
 
     k_pool = cfg.num_select * cfg.topk_factor
