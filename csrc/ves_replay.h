@@ -15,7 +15,33 @@
 #include <thread>
 #include <vector>
 
+#ifdef VES_PROF
+#include <atomic>
+#include <chrono>
+#endif
+
 namespace ves {
+
+#ifdef VES_PROF
+// infer_bounds sub-stage attribution (ns): StageBounds build /
+// consumer-env construction (cache misses) / read-chain eval / pass_down
+inline std::atomic<int64_t> prof_ib_build{0}, prof_ib_env{0},
+    prof_ib_chain{0}, prof_ib_down{0};
+inline std::atomic<int64_t> prof_env_nest{0}, prof_env_pud{0},
+    prof_env_roots{0}, prof_env_calls{0}, prof_env_miss{0};
+#define VES_IBTIC auto _ib0 = std::chrono::steady_clock::now()
+#define VES_IBTOC(a)                                                       \
+  do {                                                                     \
+    auto _ib1 = std::chrono::steady_clock::now();                          \
+    (a) += std::chrono::duration_cast<std::chrono::nanoseconds>(_ib1 -     \
+                                                                _ib0)      \
+               .count();                                                   \
+    _ib0 = _ib1;                                                           \
+  } while (0)
+#else
+#define VES_IBTIC
+#define VES_IBTOC(a)
+#endif
 
 
 // ---------------------------------------------------------------------
@@ -1423,7 +1449,11 @@ inline InferResult infer_bounds(
   bool fail = false;
 
   std::vector<StageBounds> sb(n);
-  for (int i = 0; i < n; ++i) sb[i].build(st, st.stages[i], max_uid);
+  {
+    VES_IBTIC;
+    for (int i = 0; i < n; ++i) sb[i].build(st, st.stages[i], max_uid);
+    VES_IBTOC(prof_ib_build);
+  }
 
   out.attached.resize(n);
   for (int s = 0; s < n; ++s) {
@@ -1538,8 +1568,15 @@ inline InferResult infer_bounds(
   auto consumer_env = [&](int c_sid, int scope, int atgt,
                           int apos) -> const std::vector<SSI>& {
     EnvKey key{c_sid, scope, atgt, apos};
+#ifdef VES_PROF
+    prof_env_calls.fetch_add(1);
+#endif
     auto hit = env_cache.find(key);
     if (hit != env_cache.end()) return hit->second;
+#ifdef VES_PROF
+    prof_env_miss.fetch_add(1);
+#endif
+    VES_IBTIC;
 
     const Stage& C = st.stages[c_sid];
     int attach_uid = -1;
@@ -1551,6 +1588,7 @@ inline InferResult infer_bounds(
     bool found = false;
     std::vector<SSI> up(max_uid);
     std::vector<char> has(max_uid, 0), is_leaf(max_uid, 0);
+    VES_IBTOC(prof_env_nest);  // (alloc accounted to nest)
     // consumer nest (bound.cc:139-158)
     for (int i = static_cast<int>(C.iters.size()) - 1; i >= 0; --i) {
       const Iter& it = C.iters[i];
@@ -1580,6 +1618,7 @@ inline InferResult infer_bounds(
       }
     }
 
+    VES_IBTOC(prof_env_nest);
     // PassUpDomain (message_passing.cc:280-341)
     const std::vector<long>& dom_ext = full_ext[c_sid];
     auto dext = [&](int uid) -> long {
@@ -1668,6 +1707,7 @@ inline InferResult infer_bounds(
       }
     }
 
+    VES_IBTOC(prof_env_pud);
     // root doms: CoverRange + relax (bound.cc:178-196); env indexed by
     // the op's dim order (spatial then reduce, matching AffineIdx refs)
     std::vector<SSI> env(C.roots.size());
@@ -1689,7 +1729,9 @@ inline InferResult infer_bounds(
       }
       env[i] = s;
     }
+    VES_IBTOC(prof_env_roots);
     auto ins = env_cache.emplace(key, std::move(env));
+    VES_IBTOC(prof_ib_env);
     return ins.first->second;
   };
 
@@ -1782,7 +1824,10 @@ inline InferResult infer_bounds(
         const std::vector<SSI>& env =
             consumer_env(cc.first, srank, atgt, apos);
         std::vector<SSI> dem;
-        if (!eval_chain(cc.first, env, cc.second, stage.op, dem)) {
+        VES_IBTIC;
+        bool got = eval_chain(cc.first, env, cc.second, stage.op, dem);
+        VES_IBTOC(prof_ib_chain);
+        if (!got) {
           continue;
         }
         any = true;
@@ -1819,7 +1864,9 @@ inline InferResult infer_bounds(
     for (auto& kv : stage.roots) {
       ext[kv.first] = roots[kv.first] >= 0 ? roots[kv.first] : kv.second;
     }
+    VES_IBTIC;
     sb[sid].pass_down(stage, ext);
+    VES_IBTOC(prof_ib_down);
     full_ext[sid] = ext;
     for (auto& it : stage.iters) {
       long e = ext[it.uid];
