@@ -73,6 +73,13 @@ def main():
     X = jax.random.normal(key, (N, D), jnp.float32)
     used = jnp.zeros(N, bool).at[:256].set(True)
     remaining = ~used
+    # compact measured-set list for the diversity stage, exactly as the
+    # active loop passes it (skips the full-N center compaction)
+    n_meas = 256
+    center_idx = jnp.concatenate([
+        jnp.arange(n_meas, dtype=jnp.int32),
+        jnp.zeros(cfg.max_centers - n_meas, jnp.int32)])
+    center_valid = jnp.arange(cfg.max_centers) < n_meas
 
     from vae_extent_search_tpu.search.select import _select_programs
 
@@ -94,7 +101,8 @@ def main():
 
     def one_phase(k, p):
         sel_idx, valid, new_rem, aux = _select_programs(
-            p, X, used, remaining, k, cfg, False,
+            p, X, used, remaining, k, cfg, False, None,
+            center_idx, center_valid,
         )
         # one scalar that depends on this phase's full selection output
         return aux["cost_pred"][sel_idx].sum()

@@ -331,6 +331,61 @@ def test_sharded_fused_selection_matches_single_device():
                        np.asarray(aux2["mc_var"]), atol=1e-5)
 
 
+def test_precompacted_centers_match_mask_derived():
+    """Passing the measured set as a compact center list (what the
+    active loop does — it skips the full-N first_k_true compaction)
+    must reproduce the mask-derived diversity stage exactly, on the
+    single-device path and on the sharded path (same injected dropout
+    bits)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vae_extent_search_tpu.models import init_predictor_params
+    from vae_extent_search_tpu.parallel.mesh import make_mesh
+    from vae_extent_search_tpu.search import (
+        SelectionConfig,
+        select_programs,
+    )
+
+    key = jax.random.PRNGKey(11)
+    N, D, T, H = 1024, 24, 6, 256
+    n_meas = 64
+    params = init_predictor_params(key, D)
+    X = jax.random.normal(key, (N, D), jnp.float32)
+    used = jnp.zeros(N, bool).at[:n_meas].set(True)
+    rem = ~used
+    bits = jax.random.bits(jax.random.fold_in(key, 7), (T, N, H),
+                           jnp.uint32)
+    cfg = SelectionConfig(num_select=64, T_mc=T, rand_num=4,
+                          fused_interpret=True, max_centers=256)
+    cidx = jnp.concatenate([
+        jnp.arange(n_meas, dtype=jnp.int32),
+        jnp.zeros(cfg.max_centers - n_meas, jnp.int32)])
+    cval = jnp.arange(cfg.max_centers) < n_meas
+
+    base = select_programs(params, X, used, rem, key, cfg,
+                           mask_bits=bits)
+    compact = select_programs(params, X, used, rem, key, cfg,
+                              mask_bits=bits, center_idx=cidx,
+                              center_valid=cval)
+    for a, b in zip(base[:3], compact[:3]):
+        assert (np.asarray(a) == np.asarray(b)).all()
+
+    mesh = make_mesh(8, data=8, model=1)
+    sh1 = NamedSharding(mesh, P("data"))
+    sh2 = NamedSharding(mesh, P("data", None))
+    sharded = select_programs(
+        params, jax.device_put(X, sh2), jax.device_put(used, sh1),
+        jax.device_put(rem, sh1), key, cfg,
+        mask_bits=jax.device_put(
+            bits, NamedSharding(mesh, P(None, "data", None))),
+        center_idx=cidx, center_valid=cval,
+    )
+    for a, b in zip(base[:3], sharded[:3]):
+        assert (np.asarray(a) == np.asarray(b)).all()
+
+
 def test_sharded_topk_and_gathers_match_reference():
     """The collective primitives of select_sharded.py agree with their
     single-device counterparts on random inputs, including bf16 scores

@@ -213,6 +213,17 @@ def run_active_search(
     else:
         pred_cfg = PredictorConfig(**reg_config)
 
+    # compact measured-set buffer for the diversity stage: passing the
+    # center list in (the loop knows it exactly — init + every phase's
+    # picks) lets select_programs skip the full-N mask compaction
+    # (first_k_true), ~1.3 ms/phase at 262k candidates. Shapes stay
+    # static across phases (one compile): fixed [max_centers] buffer +
+    # count-based validity.
+    center_buf = np.zeros(sel_cfg.max_centers, np.int32)
+    center_n = min(len(selected_order), sel_cfg.max_centers)
+    center_buf[:center_n] = selected_order[:center_n]
+    center_pos = jnp.arange(sel_cfg.max_centers)
+
     k_sel = jax.random.PRNGKey(sampling_seed)
     for phase in range(1, max_phases + 1):
         # ---- retrain predictor on the measured set (full-pool masked
@@ -245,10 +256,16 @@ def run_active_search(
         sel_idx, sel_valid, remaining, aux = select_programs(
             params, X, used, remaining, sub, sel_cfg,
             gate_uncertainty_to_remaining=gate,
+            center_idx=jnp.asarray(center_buf),
+            center_valid=center_pos < center_n,
         )
         sel = np.asarray(sel_idx)[np.asarray(sel_valid)]
         used = used.at[jnp.asarray(sel)].set(True)
         selected_order.extend(sel.tolist())
+        take = min(len(sel), sel_cfg.max_centers - center_n)
+        if take > 0:
+            center_buf[center_n:center_n + take] = sel[:take]
+            center_n += take
 
         if verbose:
             print(f"phase {phase}: +{len(sel)} measured "

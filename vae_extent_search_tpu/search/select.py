@@ -298,7 +298,7 @@ class SelectionConfig(NamedTuple):
 def select_programs(params: Dict, X: jnp.ndarray, used_mask: jnp.ndarray,
                     remaining_mask: jnp.ndarray, key, cfg: SelectionConfig,
                     gate_uncertainty_to_remaining: bool = False,
-                    mask_bits=None):
+                    mask_bits=None, center_idx=None, center_valid=None):
     """Public entry: see _select_programs. When the candidate matrix is
     sharded over more than one device along a named mesh axis, the phase
     runs on the pod-scale path (search/select_sharded.py): the fused
@@ -318,14 +318,16 @@ def select_programs(params: Dict, X: jnp.ndarray, used_mask: jnp.ndarray,
         axis = axis if isinstance(axis, str) else axis[0]
         return select_programs_sharded(
             params, X, used_mask, remaining_mask, key, cfg, sh.mesh,
-            axis, gate_uncertainty_to_remaining, mask_bits)
+            axis, gate_uncertainty_to_remaining, mask_bits,
+            center_idx, center_valid)
     if cfg.fused_head == "auto" and sh is not None \
             and len(getattr(sh, "device_set", ())) > 1:
         # sharded but not along a named axis we can shard_map over:
         # fall back to the GSPMD XLA path
         cfg = cfg._replace(fused_head="off")
     return _select_programs(params, X, used_mask, remaining_mask, key,
-                            cfg, gate_uncertainty_to_remaining, mask_bits)
+                            cfg, gate_uncertainty_to_remaining, mask_bits,
+                            center_idx, center_valid)
 
 
 @functools.partial(
@@ -334,7 +336,7 @@ def select_programs(params: Dict, X: jnp.ndarray, used_mask: jnp.ndarray,
 def _select_programs(params: Dict, X: jnp.ndarray, used_mask: jnp.ndarray,
                      remaining_mask: jnp.ndarray, key, cfg: SelectionConfig,
                      gate_uncertainty_to_remaining: bool = False,
-                     mask_bits=None):
+                     mask_bits=None, center_idx=None, center_valid=None):
     """One full selection phase on device.
 
     Flow (mirrors reference select_programs :1210-1309):
@@ -351,6 +353,20 @@ def _select_programs(params: Dict, X: jnp.ndarray, used_mask: jnp.ndarray,
       7. rand_num random from remaining
     Returns (selected_idx [num_select], valid [num_select],
              new_remaining_mask, aux dict).
+
+    ``center_idx``/``center_valid`` ([C] int32 / bool): optional
+    precompacted measured-set indices for the diversity stage. The
+    active loop knows its measured set as a compact list (init +
+    every phase's picks), so deriving the center set from
+    ``used_mask`` on device — a full-N cumsum + scatter compaction
+    (``first_k_true``) — is 1.3 ms of pure waste per phase at 262k
+    candidates. With the buffer passed in, the center set is the
+    buffer ++ this phase's earlier picks and every diversity op is
+    pool-sized. The center SET (hence the k-center trajectory) is
+    identical to the mask-derived path whenever the buffer holds the
+    whole measured set; when capacity binds, the mask path keeps the
+    lowest-index centers while a rolling buffer keeps insertion order
+    (both are graceful degradations).
     """
     k_mc, k_rand = jax.random.split(key)
     if cfg.compute_dtype != "float32":
@@ -443,9 +459,16 @@ def _select_programs(params: Dict, X: jnp.ndarray, used_mask: jnp.ndarray,
     if cfg.n_div:
         from ..ops.kcenter import k_center_greedy_pool_core
 
-        cmask = used_mask | picked
-        cidx = first_k_true(cmask, cfg.max_centers)
-        c_valid = cmask[cidx]
+        if center_idx is not None:
+            # precompacted measured set ++ this phase's earlier picks
+            # (ci/gi/ui are already compact) — no full-N compaction
+            cidx = jnp.concatenate(
+                [center_idx.astype(jnp.int32), ci, gi, ui])
+            c_valid = jnp.concatenate([center_valid, cv, gv, uv])
+        else:
+            cmask = used_mask | picked
+            cidx = first_k_true(cmask, cfg.max_centers)
+            c_valid = cmask[cidx]
         if mu is None:  # fused path: re-encode the gathered rows
             zp, _ = pred_encode(params, X[pool_idx])
             zc, _ = pred_encode(params, X[cidx])

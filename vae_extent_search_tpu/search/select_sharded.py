@@ -211,7 +211,9 @@ def select_programs_sharded(params: Dict, X: jnp.ndarray,
                             remaining_mask: jnp.ndarray, key,
                             cfg: SelectionConfig, mesh, axis: str,
                             gate_uncertainty_to_remaining: bool = False,
-                            mask_bits: Optional[jnp.ndarray] = None):
+                            mask_bits: Optional[jnp.ndarray] = None,
+                            center_idx: Optional[jnp.ndarray] = None,
+                            center_valid: Optional[jnp.ndarray] = None):
     """One full selection phase over a mesh-sharded candidate pool.
 
     Same seven-stage flow and return contract as
@@ -284,8 +286,16 @@ def select_programs_sharded(params: Dict, X: jnp.ndarray,
         from ..ops.kcenter import k_center_greedy_pool_core
 
         Xp = gather_rows_sharded(X, pool_idx, mesh, axis)
-        Xc, c_valid = gather_masked_rows_sharded(
-            X, used_mask | picked, cfg.max_centers, mesh, axis)
+        if center_idx is not None:
+            # precompacted replicated center list (see select.py): the
+            # cross-shard mask compaction + argsort merge is unnecessary
+            cidx = jnp.concatenate(
+                [center_idx.astype(jnp.int32), ci, gi, ui])
+            c_valid = jnp.concatenate([center_valid, cv, gv, uv])
+            Xc = gather_rows_sharded(X, cidx, mesh, axis)
+        else:
+            Xc, c_valid = gather_masked_rows_sharded(
+                X, used_mask | picked, cfg.max_centers, mesh, axis)
         zp, _ = pred_encode(params, Xp)
         zc, _ = pred_encode(params, Xc)
         zp_norm = l2_normalize(zp.astype(jnp.float32))
