@@ -226,15 +226,34 @@ def run_active_search(
 
     k_sel = jax.random.PRNGKey(sampling_seed)
     for phase in range(1, max_phases + 1):
-        # ---- retrain predictor on the measured set (full-pool masked
-        # training: fixed shapes -> one compile reused across phases) ----
+        # ---- retrain predictor on the measured set. The measured rows
+        # are gathered into a compact power-of-two-bucketed buffer so
+        # training cost scales with the measured set, not the pool: the
+        # reference trains on the measured set only
+        # (vae_extent_search.py:1315-1338 dataloaders over used_indices),
+        # and full-pool masked training additionally pays an O(pool^2)
+        # pair-loss matrix per epoch. Bucket shapes recompile only at
+        # power-of-two growth points, shared across tasks in a sweep. ----
         k_init, k_train, key = jax.random.split(key, 3)
         params = init_predictor_params(
             k_init, X.shape[1], hidden_dim, latent_dim
         )
         params = load_pretrained_encoder(params, vae_params)
+        n_meas = len(selected_order)
+        cap = 256
+        while cap < n_meas:
+            cap *= 2
+        cap = min(cap, N_pad)
+        if cap < N_pad:
+            midx = np.zeros(cap, np.int32)
+            midx[:n_meas] = selected_order
+            Xm = X[jnp.asarray(midx)]
+            ym = y_all[jnp.asarray(midx)]
+            mmask = jnp.arange(cap) < n_meas
+        else:
+            Xm, ym, mmask = X, y_all, used
         params, _ = fit_predictor(
-            params, X, y_all, used, k_train, pred_cfg, reg_epochs
+            params, Xm, ym, mmask, k_train, pred_cfg, reg_epochs
         )
 
         # validation R2 on the remaining (revealed only for diagnostics,
