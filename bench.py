@@ -122,9 +122,12 @@ def main():
 
     combine = jax.jit(lambda xs: jnp.stack(xs).sum())
 
-    # warmup + compile all executables end to end (true sync via get)
+    # warmup + compile all executables end to end (true sync via get).
+    # combine is warmed at the length it is timed with (a different
+    # list length is a different jit pytree -> retrace inside the
+    # timed window otherwise)
     jax.device_get(run_chain(key))
-    jax.device_get(combine([run(key, params)]))
+    jax.device_get(combine([run(key, params)] * K))
 
     # round-trip latency of a trivial transfer (median of 5)
     tiny = jnp.zeros(())

@@ -386,6 +386,31 @@ def test_precompacted_centers_match_mask_derived():
         assert (np.asarray(a) == np.asarray(b)).all()
 
 
+def test_active_search_center_ring_buffer():
+    """With max_centers smaller than the final measured set, the center
+    buffer must roll (newest picks replace the oldest centers) and the
+    search must still run to completion."""
+    import numpy as np
+
+    from vae_extent_search_tpu.search import SelectionConfig
+    from vae_extent_search_tpu.search.active_loop import run_active_search
+
+    rng = np.random.default_rng(4)
+    n, d = 512, 16
+    feats = rng.integers(1, 64, (n, d)).astype(np.float32)
+    w = rng.normal(size=d).astype(np.float32)
+    labels = (feats @ w / d).astype(np.float32)
+
+    res = run_active_search(
+        feats, labels, measure_size=48, max_phases=8, vae_epochs=30,
+        reg_epochs=50, sampling_seed=5,
+        selection=SelectionConfig(num_select=48, max_centers=64),
+    )
+    # the loop measured past the 64-center capacity without crashing
+    assert res.train_size > 64
+    assert res.found or res.phase == 8
+
+
 def test_sharded_topk_and_gathers_match_reference():
     """The collective primitives of select_sharded.py agree with their
     single-device counterparts on random inputs, including bf16 scores

@@ -1,22 +1,25 @@
 """Attribute the diversity stage's cost inside the fused selection phase.
 
-chip_select_decompose shows diversity = ~1.5 ms/phase at 262k while the
+chip_select_decompose showed diversity = ~1.5 ms/phase at 262k while the
 k-center core alone is ~17 us (chip_kcenter_ab). This tool re-builds the
 phase with the diversity stage's sub-steps individually stubbed to find
-where the time goes. Scan-based timing, interleaved variants.
+where the time goes (answer: first_k_true's full-N scatter, ~1.3 ms —
+fixed by the precompacted center-list path, the "precompact" variant).
+Shared scan harness (tools/scan_timing.py), interleaved variants.
 """
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
     import jax
     import jax.numpy as jnp
 
+    from scan_timing import chain_of, stack_params, time_variants
     from vae_extent_search_tpu.models import init_predictor_params
     from vae_extent_search_tpu.models.predictor import pred_encode
     from vae_extent_search_tpu.ops.fused_head_pallas import fused_head_stats
@@ -39,12 +42,9 @@ def main():
     used = jnp.zeros(N, bool).at[:256].set(True)
     rem = ~used
 
-    per_phase = [
-        init_predictor_params(jax.random.fold_in(key, 1000 + i), D,
-                              hidden_dim=H, latent_dim=L)
-        for i in range(K)
-    ]
-    stacked = jax.tree_util.tree_map(lambda *ls: jnp.stack(ls), *per_phase)
+    stacked = stack_params(
+        lambda k: init_predictor_params(k, D, hidden_dim=H, latent_dim=L),
+        key, K)
 
     def phase(p, k, div_mode):
         p = jax.tree_util.tree_map(
@@ -122,41 +122,14 @@ def main():
                 + new_rem.sum().astype(jnp.int32)).astype(jnp.float32) \
             + cost_pred[sel_idx].sum()
 
-    def chain(div_mode):
-        @jax.jit
-        def run(key):
-            def body(carry, p):
-                k = jax.random.fold_in(key, carry[1])
-                return (carry[0] + phase(p, k, div_mode), carry[1] + 1), None
-            (tot, _), _ = jax.lax.scan(
-                body, (jnp.float32(0), 0), stacked)
-            return tot
-        return run
-
-    variants = [(m, chain(m))
-                for m in ("full", "off", "no_fkt", "no_encode",
-                          "precompact")]
-    keys = jax.random.split(key, 16)
-    for name, fn in variants:
-        float(fn(keys[0]))
-
-    trivial = jax.jit(lambda s: s + 1)
-    float(trivial(jnp.float32(0)))
-    rtt = min(
-        (lambda t0: (float(trivial(jnp.float32(0))), time.perf_counter()
-                     - t0)[1])(time.perf_counter())
-        for _ in range(10))
-
-    res = {name: [] for name, _ in variants}
-    for rep in range(6):
-        for name, fn in variants:
-            t0 = time.perf_counter()
-            float(fn(keys[rep + 1]))
-            res[name].append(
-                max(time.perf_counter() - t0 - rtt, 1e-9) / K)
-    print(f"N={N} rtt={rtt*1e3:.2f} ms (best-of-6, K={K}, scan)")
+    variants = [
+        (m, chain_of(lambda p, k, m=m: phase(p, k, m), stacked))
+        for m in ("full", "off", "no_fkt", "no_encode", "precompact")]
+    best = time_variants(variants, key, K)
+    print(f"N={N}")
     for name, _ in variants:
-        print(f"  {name:10s} {min(res[name])*1e3:8.3f} ms/phase")
+        if name in best:
+            print(f"  {name:10s} {best[name]*1e3:8.3f} ms/phase")
 
 
 if __name__ == "__main__":

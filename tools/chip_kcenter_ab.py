@@ -11,6 +11,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
@@ -72,12 +73,8 @@ def main():
     assert (a[0] == b[0]).all() and (a[1] == b[1]).all(), (a, b)
     print("outputs identical")
 
-    trivial = jax.jit(lambda s: s + 1)
-    int(trivial(jnp.int32(0)))
-    rtt = min(
-        (lambda t0: (int(trivial(jnp.int32(0))), time.perf_counter()
-                     - t0)[1])(time.perf_counter())
-        for _ in range(10))
+    from scan_timing import rtt_probe
+    rtt = rtt_probe()
 
     res = {name: [] for name, _ in variants}
     for rep in range(8):

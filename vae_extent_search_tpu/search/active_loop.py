@@ -276,15 +276,18 @@ def run_active_search(
             params, X, used, remaining, sub, sel_cfg,
             gate_uncertainty_to_remaining=gate,
             center_idx=jnp.asarray(center_buf),
-            center_valid=center_pos < center_n,
+            center_valid=center_pos < min(center_n, sel_cfg.max_centers),
         )
         sel = np.asarray(sel_idx)[np.asarray(sel_valid)]
         used = used.at[jnp.asarray(sel)].set(True)
         selected_order.extend(sel.tolist())
-        take = min(len(sel), sel_cfg.max_centers - center_n)
-        if take > 0:
-            center_buf[center_n:center_n + take] = sel[:take]
-            center_n += take
+        # ring buffer: when capacity binds, the oldest centers are
+        # overwritten so fresh picks always join the diversity center
+        # set (the mask path re-ranked every phase; a frozen buffer
+        # would exclude everything measured after saturation)
+        for i in sel.tolist():
+            center_buf[center_n % sel_cfg.max_centers] = i
+            center_n += 1
 
         if verbose:
             print(f"phase {phase}: +{len(sel)} measured "
