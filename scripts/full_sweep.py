@@ -79,6 +79,12 @@ def sweep_task(task: SearchTask, work_dir: str, n_states: int,
     if len(feats) < measure_size * 2:
         return None
 
+    # one VAE pretrain per task, shared across sampling seeds (the
+    # reference pretrains once per pool at script top level)
+    from vae_extent_search_tpu.search import pretrain_pool_vae
+
+    vae_params = pretrain_pool_vae(feats, vae_epochs=vae_epochs,
+                                   bucket_shapes=True)
     rows = []
     for seed in seeds:
         res = run_active_search(
@@ -86,6 +92,7 @@ def sweep_task(task: SearchTask, work_dir: str, n_states: int,
             vae_epochs=vae_epochs, reg_epochs=reg_epochs,
             selection=SelectionConfig(num_select=measure_size),
             sampling_seed=seed, bucket_shapes=True,
+            pretrained_vae_params=vae_params,
         )
         rows.append({
             "workload_key": task.workload_key[:48],

@@ -22,7 +22,11 @@ import numpy as np
 
 from vae_extent_search_tpu.features import extent_features_from_records
 from vae_extent_search_tpu.records import load_records
-from vae_extent_search_tpu.search import SelectionConfig, run_active_search
+from vae_extent_search_tpu.search import (
+    SelectionConfig,
+    pretrain_pool_vae,
+    run_active_search,
+)
 from vae_extent_search_tpu.search.active_loop import (
     expand_hyper_grid,
     filter_already_measured,
@@ -58,7 +62,8 @@ def run_experiment(record_file, out_dir, measure_size=64, seeds=(2000,),
                    weights=(0.5, 0.3, 0.2), grad_num=2, rand_num=0,
                    uncertainty_topk=128, max_phases=60, vae_epochs=500,
                    reg_epochs=1000, latent_dim=64, hidden_dim=256,
-                   init_mode="random", features="extent", verbose=False):
+                   init_mode="random", features="extent", verbose=False,
+                   pretrained_vae_params=None):
     records = load_records(record_file)
     feats, labels, kept = _featurize(records, features)
     print(f"{len(records)} records -> {feats.shape} features "
@@ -66,6 +71,20 @@ def run_experiment(record_file, out_dir, measure_size=64, seeds=(2000,),
 
     os.makedirs(out_dir, exist_ok=True)
     tag = time.strftime("%m%d_%H%M")
+
+    # Pretrain the pool VAE ONCE and share it across sampling seeds —
+    # the reference's structure: the 500-epoch VAE pretrain runs at
+    # script top level (vae_extent_search.py:442-509); only the
+    # VAECostPredictor retrains inside the per-config loop (:1720-1892).
+    if pretrained_vae_params is None:
+        t_vae = time.time()
+        pretrained_vae_params = pretrain_pool_vae(
+            feats, latent_dim=latent_dim, hidden_dim=hidden_dim,
+            vae_epochs=vae_epochs, verbose=verbose,
+        )
+        print(f"VAE pretrain ({vae_epochs} epochs): "
+              f"{time.time() - t_vae:.1f}s (shared across seeds)")
+
     rows = []
     for seed in seeds:
         res = run_active_search(
@@ -83,6 +102,7 @@ def run_experiment(record_file, out_dir, measure_size=64, seeds=(2000,),
             sampling_seed=seed,
             init_mode=init_mode,
             verbose=verbose,
+            pretrained_vae_params=pretrained_vae_params,
         )
         rows.append({
             "measure_size": measure_size,
@@ -173,6 +193,12 @@ def run_grid(record_file, out_dir, seeds, max_phases, vae_epochs,
     rows = expand_hyper_grid(DEFAULT_GRID)
     rows = filter_already_measured(rows, avg_csv, ["measure_size", "weights"])
     print(f"{len(rows)} grid configs to run")
+    if not rows:
+        return
+    # no grid axis touches the VAE: pretrain once for the whole sweep
+    feats, _, _ = _featurize(load_records(record_file), features)
+    vae_params = pretrain_pool_vae(feats, vae_epochs=vae_epochs,
+                                   verbose=verbose)
     for cfg in rows:
         print("config:", cfg)
         run_experiment(
@@ -181,6 +207,7 @@ def run_grid(record_file, out_dir, seeds, max_phases, vae_epochs,
             cfg["uncertainty_topk"], max_phases=max_phases,
             vae_epochs=vae_epochs, reg_epochs=reg_epochs,
             features=features, verbose=verbose,
+            pretrained_vae_params=vae_params,
         )
 
 

@@ -278,6 +278,37 @@ def test_active_search_on_device_mesh():
     assert res.found, (res.phase, res.train_size)
 
 
+def test_shared_vae_pretrain_matches_in_loop_training():
+    """pretrain_pool_vae (the reference's once-per-pool top-level VAE
+    pretrain, vae_extent_search.py:442-509) must yield bit-identical
+    params to what run_active_search trains itself, and feeding them
+    back must reproduce the same search trajectory."""
+    import jax
+    import numpy as np
+
+    from vae_extent_search_tpu.search.active_loop import (
+        pretrain_pool_vae,
+        run_active_search,
+    )
+
+    rng = np.random.default_rng(7)
+    n, d = 256, 12
+    feats = rng.integers(1, 64, (n, d)).astype(np.float32)
+    w = rng.normal(size=d).astype(np.float32)
+    labels = (feats @ w / d).astype(np.float32)
+
+    kw = dict(measure_size=32, max_phases=6, vae_epochs=30, reg_epochs=40,
+              latent_dim=16, hidden_dim=32, sampling_seed=5)
+    vae_params = pretrain_pool_vae(feats, latent_dim=16, hidden_dim=32,
+                                   vae_epochs=30)
+    res_self = run_active_search(feats, labels, **kw)
+    res_shared = run_active_search(feats, labels, **kw,
+                                   pretrained_vae_params=vae_params)
+    assert res_self.selected_order == res_shared.selected_order
+    assert res_self.phase == res_shared.phase
+    assert res_self.found == res_shared.found
+
+
 def test_sharded_fused_selection_matches_single_device():
     """Pod-scale selection (select_sharded.py): the fused Pallas kernel
     shard_mapped per candidate shard + cross-shard top-k merges must

@@ -94,7 +94,7 @@ def segment_sum_pallas(features: jnp.ndarray, offsets: jnp.ndarray,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_seg // SEG_TILE,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((SEG_TILE, Hp), lambda i, offs: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[

@@ -1,4 +1,9 @@
-from .active_loop import ActiveSearchResult, run_active_search, standardize
+from .active_loop import (
+    ActiveSearchResult,
+    pretrain_pool_vae,
+    run_active_search,
+    standardize,
+)
 from .select import (
     SelectionConfig,
     farthest_point_init,

@@ -43,6 +43,102 @@ def standardize(X: np.ndarray):
     return (Xl - mean) / std, (mean, std)
 
 
+def _prepare_pool(features: np.ndarray, labels: np.ndarray,
+                  bucket_shapes: bool, mesh):
+    """Standardize + pad/bucket/shard the candidate pool exactly once.
+
+    Shared by ``run_active_search`` and ``pretrain_pool_vae`` so a VAE
+    pretrained outside the per-seed loop sees bit-identical inputs."""
+    N = features.shape[0]
+    X_scaled, _ = standardize(features)
+    if bucket_shapes:
+        D = X_scaled.shape[1]
+        D_pad = -(-D // 8) * 8
+        if D_pad != D:
+            X_scaled = np.pad(X_scaled, ((0, 0), (0, D_pad - D)))
+    target_n = N
+    if bucket_shapes:
+        target_n = max(256, -(-N // 256) * 256)
+    if mesh is not None:
+        per = mesh.shape["data"]
+        target_n = -(-target_n // per) * per
+    pad = target_n - N
+    X = jnp.asarray(X_scaled)
+    y_all = jnp.asarray(labels)
+    if pad:
+        X = jnp.concatenate([X, jnp.zeros((pad, X.shape[1]), X.dtype)])
+        y_all = jnp.concatenate(
+            [y_all, jnp.full((pad,), -1e9, y_all.dtype)]
+        )
+    if mesh is not None:
+        from ..parallel.mesh import shard_batch
+
+        X = shard_batch(X, mesh)
+        y_all = shard_batch(y_all, mesh)
+    return X, y_all, N, pad
+
+
+def _train_pool_vae(X, N: int, k_vae, train_seed: int, latent_dim: int,
+                    hidden_dim: int, vae_lr: float, vae_beta: float,
+                    vae_epochs: int, bucket_shapes: bool, verbose: bool):
+    """VAE pretraining on the (prepared) full candidate pool, 80/20 split
+    (reference vae_extent_search.py:394-401,430-509)."""
+    split_rng = np.random.default_rng(train_seed)
+    perm = split_rng.permutation(N)
+    n_tr = int(N * 0.8)
+    X_tr, X_va = X[perm[:n_tr]], X[perm[n_tr:]]
+    n_va = N - n_tr
+    va_mask = None
+    if bucket_shapes:
+        # bucket the val split too (batchify buckets the train side)
+        va_pad = max(256, -(-n_va // 256) * 256) - n_va
+        if va_pad:
+            X_va = jnp.concatenate(
+                [X_va, jnp.zeros((va_pad, X_va.shape[1]), X_va.dtype)]
+            )
+        va_mask = jnp.arange(X_va.shape[0]) < n_va
+    vae_params, _ = train_vae(
+        k_vae, X_tr, X_va, latent_dim=latent_dim,
+        hidden_dim=hidden_dim, lr=vae_lr, beta=vae_beta,
+        epochs=vae_epochs, verbose=verbose, X_val_mask=va_mask,
+    )
+    return vae_params
+
+
+def pretrain_pool_vae(
+    features: np.ndarray,
+    latent_dim: int = 64,
+    hidden_dim: int = 256,
+    vae_epochs: int = 500,
+    vae_lr: float = 1e-3,
+    vae_beta: float = 0.01,
+    train_seed: int = 2023,
+    bucket_shapes: bool = False,
+    mesh=None,
+    verbose: bool = False,
+):
+    """Pretrain the pool VAE ONCE for a candidate pool, to be shared by
+    every config/sampling-seed of an experiment.
+
+    This is the reference's actual structure: the 500-epoch VAE pretrain
+    runs at script top level on the full pool
+    (vae_extent_search.py:442-509) and the per-config active loop
+    (:1720-1892) only retrains the VAECostPredictor — pass the returned
+    params as ``run_active_search(pretrained_vae_params=...)``.  Params
+    are bit-identical to the ones ``run_active_search`` would train
+    itself (same prep, same PRNG stream)."""
+    X, _, N, _ = _prepare_pool(
+        features, np.zeros(features.shape[0], np.float32),
+        bucket_shapes, mesh,
+    )
+    key = jax.random.PRNGKey(train_seed)
+    k_vae, _ = jax.random.split(key)
+    return _train_pool_vae(
+        X, N, k_vae, train_seed, latent_dim, hidden_dim, vae_lr,
+        vae_beta, vae_epochs, bucket_shapes, verbose,
+    )
+
+
 @dataclass
 class ActiveSearchResult:
     found: bool
@@ -96,58 +192,23 @@ def run_active_search(
     """
     t0 = time.time()
     N = features.shape[0]
-    X_scaled, _ = standardize(features)
-    if bucket_shapes:
-        D = X_scaled.shape[1]
-        D_pad = -(-D // 8) * 8
-        if D_pad != D:
-            X_scaled = np.pad(X_scaled, ((0, 0), (0, D_pad - D)))
-    target_n = N
-    if bucket_shapes:
-        target_n = max(256, -(-N // 256) * 256)
-    if mesh is not None:
-        per = mesh.shape["data"]
-        target_n = -(-target_n // per) * per
-    pad = target_n - N
-    X = jnp.asarray(X_scaled)
-    y_all = jnp.asarray(labels)
-    if pad:
-        X = jnp.concatenate([X, jnp.zeros((pad, X.shape[1]), X.dtype)])
-        y_all = jnp.concatenate(
-            [y_all, jnp.full((pad,), -1e9, y_all.dtype)]
-        )
-    if mesh is not None:
-        from ..parallel.mesh import shard_batch
-
-        X = shard_batch(X, mesh)
-        y_all = shard_batch(y_all, mesh)
+    X, y_all, N, pad = _prepare_pool(features, labels, bucket_shapes, mesh)
     N_pad = X.shape[0]
 
     true_best = int(np.argmax(labels))
     true_top_set = set(np.argsort(-labels)[:stop_top_k].tolist())
 
-    # ---- VAE pretraining on the full candidate pool (80/20 split) ----
+    # ---- VAE pretraining on the full candidate pool (80/20 split).
+    # k_vae is split off unconditionally so per-phase keys are identical
+    # whether the VAE was trained here or passed in pretrained (the
+    # reference pretrains ONCE per pool at script top level,
+    # vae_extent_search.py:442-509; pretrain_pool_vae mirrors that). ----
     key = jax.random.PRNGKey(train_seed)
+    k_vae, key = jax.random.split(key)
     if pretrained_vae_params is None:
-        k_vae, key = jax.random.split(key)
-        split_rng = np.random.default_rng(train_seed)
-        perm = split_rng.permutation(N)
-        n_tr = int(N * 0.8)
-        X_tr, X_va = X[perm[:n_tr]], X[perm[n_tr:]]
-        n_va = N - n_tr
-        va_mask = None
-        if bucket_shapes:
-            # bucket the val split too (batchify buckets the train side)
-            va_pad = max(256, -(-n_va // 256) * 256) - n_va
-            if va_pad:
-                X_va = jnp.concatenate(
-                    [X_va, jnp.zeros((va_pad, X_va.shape[1]), X_va.dtype)]
-                )
-            va_mask = jnp.arange(X_va.shape[0]) < n_va
-        vae_params, _ = train_vae(
-            k_vae, X_tr, X_va, latent_dim=latent_dim,
-            hidden_dim=hidden_dim, lr=vae_lr, beta=vae_beta,
-            epochs=vae_epochs, verbose=verbose, X_val_mask=va_mask,
+        vae_params = _train_pool_vae(
+            X, N, k_vae, train_seed, latent_dim, hidden_dim, vae_lr,
+            vae_beta, vae_epochs, bucket_shapes, verbose,
         )
     else:
         vae_params = pretrained_vae_params
