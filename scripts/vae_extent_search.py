@@ -63,7 +63,7 @@ def run_experiment(record_file, out_dir, measure_size=64, seeds=(2000,),
                    uncertainty_topk=128, max_phases=60, vae_epochs=500,
                    reg_epochs=1000, latent_dim=64, hidden_dim=256,
                    init_mode="random", features="extent", verbose=False,
-                   pretrained_vae_params=None):
+                   pretrained_vae_params=None, encoder_mode="vae"):
     records = load_records(record_file)
     feats, labels, kept = _featurize(records, features)
     print(f"{len(records)} records -> {feats.shape} features "
@@ -76,13 +76,15 @@ def run_experiment(record_file, out_dir, measure_size=64, seeds=(2000,),
     # the reference's structure: the 500-epoch VAE pretrain runs at
     # script top level (vae_extent_search.py:442-509); only the
     # VAECostPredictor retrains inside the per-config loop (:1720-1892).
-    if pretrained_vae_params is None:
+    if pretrained_vae_params is None and encoder_mode != "vib":
         t_vae = time.time()
         pretrained_vae_params = pretrain_pool_vae(
             feats, latent_dim=latent_dim, hidden_dim=hidden_dim,
             vae_epochs=vae_epochs, verbose=verbose,
+            vae_beta=0.0 if encoder_mode == "ae" else 0.01,
+            deterministic=encoder_mode == "ae",
         )
-        print(f"VAE pretrain ({vae_epochs} epochs): "
+        print(f"{encoder_mode.upper()} pretrain ({vae_epochs} epochs): "
               f"{time.time() - t_vae:.1f}s (shared across seeds)")
 
     rows = []
@@ -101,6 +103,7 @@ def run_experiment(record_file, out_dir, measure_size=64, seeds=(2000,),
             ),
             sampling_seed=seed,
             init_mode=init_mode,
+            encoder_mode=encoder_mode,
             verbose=verbose,
             pretrained_vae_params=pretrained_vae_params,
         )
@@ -234,6 +237,16 @@ def main():
                    help="initial measured-set selection: random (the "
                         "reference default), farthest-point latent "
                         "diversity, or kmeans++ representatives")
+    p.add_argument("--encoder", type=str, default="vae",
+                   choices=["vae", "ae", "vib"],
+                   help="design-lineage arm: VAE pretrain + "
+                        "VAECostPredictor (the reference experiment), "
+                        "plain-AE ablation (recon-only deterministic "
+                        "pretrain, no KL; for_ablation/"
+                        "ae_reg_feature.ipynb), or variational "
+                        "information bottleneck (no pretrain, sampled z "
+                        "+ Huber + cosine-warm-up KL; model_mid/"
+                        "vib_mlp_*_v1.ipynb)")
     p.add_argument("--features", type=str, default="extent",
                    choices=["extent", "per_store"],
                    help="model input: printed-extent vectors (the "
@@ -260,7 +273,7 @@ def main():
             vae_epochs=args.vae_epochs, reg_epochs=args.reg_epochs,
             latent_dim=args.latent_dim, hidden_dim=args.hidden_dim,
             init_mode=args.init_mode, features=args.features,
-            verbose=args.verbose,
+            verbose=args.verbose, encoder_mode=args.encoder,
         )
 
 

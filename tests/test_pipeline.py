@@ -514,6 +514,38 @@ def test_active_search_bucketed_shapes():
     assert all(0 <= i < n for i in res.selected_order)
 
 
+def test_encoder_lineage_arms_find_optimum():
+    """The AE ablation (deterministic recon-only pretrain, no KL;
+    reference for_ablation/ae_reg_feature.ipynb) and the VIB arm (no
+    pretrain, sampled z + Huber + cosine-warm-up KL; reference
+    model_mid/vib_mlp_*_v1.ipynb) must both run the active loop and
+    find the optimum on an easy synthetic corpus."""
+    import numpy as np
+
+    from vae_extent_search_tpu.search.active_loop import run_active_search
+
+    rng = np.random.default_rng(11)
+    n, d = 384, 12
+    feats = rng.integers(1, 64, (n, d)).astype(np.float32)
+    w = rng.normal(size=d).astype(np.float32)
+    labels = (np.log1p(feats) @ w).astype(np.float32)
+
+    kw = dict(measure_size=32, max_phases=15, vae_epochs=30, reg_epochs=60,
+              latent_dim=16, hidden_dim=64, sampling_seed=2001)
+    for mode in ("ae", "vib"):
+        res = run_active_search(feats, labels, encoder_mode=mode, **kw)
+        assert res.found, (mode, res.phase, res.train_size)
+        assert all(0 <= i < n for i in res.selected_order)
+
+    # vib has no pretrained latent space; non-random init must be refused
+    import pytest
+    with pytest.raises(ValueError):
+        run_active_search(feats, labels, encoder_mode="vib",
+                          init_mode="diversity", **kw)
+    with pytest.raises(ValueError):
+        run_active_search(feats, labels, encoder_mode="nope", **kw)
+
+
 def test_sharded_selection_xla_fallback_two_axis_mesh():
     """The sharded selection's XLA scoring fallback (no fused kernel on
     CPU without injected bits) must run on a (data, model) mesh with a

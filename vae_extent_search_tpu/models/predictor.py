@@ -141,19 +141,32 @@ def compute_total_loss(params: Dict, x: jnp.ndarray, labels: jnp.ndarray,
     """total = l_reg*reg + l_pair*pair + gamma*smooth + beta*KL, optionally
     over a masked subset of rows (fixed-shape training on TPU: the full
     candidate matrix stays resident, the measured set is a boolean mask)."""
-    k_smooth, k_drop = jax.random.split(key)
+    k_smooth, k_drop, k_z = jax.random.split(key, 3)
+    # stochastic_z: the VIB arm samples z by reparameterization during
+    # training (reference model_mid/vib_mlp_*_v1.ipynb — the bottleneck
+    # is variational, there is no decoder/pretrain)
+    stochastic = bool(config.get("stochastic_z", False))
     cost_pred, mu, logvar, z = pred_forward(
-        params, x, use_mean=True, dropout_key=k_drop,
+        params, x, key=k_z if stochastic else None,
+        use_mean=not stochastic, dropout_key=k_drop,
         dropout_rate=config.get("dropout", 0.1),
     )
+    if config.get("huber_reg", False):
+        # VIB arm: smooth-L1 regression term
+        # (variational_bottleneck_loss in the vib notebooks)
+        delta = config.get("huber_delta", 1.0)
+        d = jnp.abs(cost_pred - labels)
+        errs = jnp.where(d < delta, 0.5 * d**2, delta * (d - 0.5 * delta))
+    else:
+        errs = (cost_pred - labels) ** 2
     if sample_mask is None:
         denom = cost_pred.shape[0]
-        reg = jnp.mean((cost_pred - labels) ** 2)
+        reg = jnp.mean(errs)
         kld = kld_loss(mu, logvar)
         smooth_w = None
     else:
         denom = jnp.maximum(sample_mask.sum(), 1)
-        reg = jnp.sum(jnp.where(sample_mask, (cost_pred - labels) ** 2, 0.0)) / denom
+        reg = jnp.sum(jnp.where(sample_mask, errs, 0.0)) / denom
         kl_terms = -0.5 * (1.0 + logvar - mu**2 - jnp.exp(logvar))
         kld = jnp.sum(jnp.where(sample_mask[:, None], kl_terms, 0.0)) / (
             denom * mu.shape[-1]
@@ -193,6 +206,19 @@ class PredictorConfig(NamedTuple):
     # epoch in train_regression :1433 with warmup_epochs=200; the hyper
     # grid key is rank_warmup_epochs :1612)
     rank_warmup_epochs: int = 200
+    # --- lineage-variant knobs (reference notebook corpus; all off by
+    # default = the VAECostPredictor arm) ---
+    # VIB arm (model_mid/vib_mlp_{feature,sch_param}_v1.ipynb): train the
+    # encoder+head jointly from scratch (no VAE pretrain/decoder) with a
+    # sampled z, a Huber regression term, and a KL weight following
+    # cosine_annealing_with_warmup over (kld_beta_start, beta) with
+    # kld_warmup_epochs of linear warm-up.
+    stochastic_z: bool = False
+    huber_reg: bool = False
+    huber_delta: float = 1.0
+    kld_cosine_warmup: bool = False
+    kld_beta_start: float = 0.0
+    kld_warmup_epochs: int = 50
 
     def as_dict(self) -> Dict:
         return self._asdict()
@@ -249,6 +275,7 @@ def fit_predictor(params: Dict, X: jnp.ndarray, y: jnp.ndarray,
 
     warmup = int(cfg_dict.pop("rank_warmup_epochs", 0))
     lambda_pair_max = cfg_dict["lambda_pair"]
+    beta_max = cfg_dict["beta"]
 
     def epoch_step(carry, epoch):
         params, opt_state, key, best_loss, best_params = carry
@@ -259,6 +286,17 @@ def fit_predictor(params: Dict, X: jnp.ndarray, y: jnp.ndarray,
         else:
             lam = lambda_pair_max
         cfg_e = {**cfg_dict, "lambda_pair": lam}
+        if config.kld_cosine_warmup:
+            # VIB arm's cosine_annealing_with_warmup (0-based epochs):
+            # linear beta_start->beta over the warm-up, then cosine decay
+            # beta->0 floored at beta_start
+            w, b0 = config.kld_warmup_epochs, config.kld_beta_start
+            lin = b0 + (beta_max - b0) * (epoch / max(w, 1))
+            progress = (epoch - w) / max(epochs - w, 1)
+            cos = jnp.maximum(
+                beta_max * 0.5 * (1.0 + jnp.cos(jnp.pi * progress)), b0
+            )
+            cfg_e["beta"] = jnp.where(epoch < w, lin, cos)
         (loss, aux), grads = jax.value_and_grad(
             compute_total_loss, has_aux=True
         )(params, X, y, sub, cfg_e, sample_mask)

@@ -90,9 +90,17 @@ def vae_loss(params: Dict, x: jnp.ndarray, key, beta: float = 0.01,
 
 
 def masked_vae_loss(params: Dict, x: jnp.ndarray, row_mask, key,
-                    beta: float, alpha_recon: float):
-    """VAE loss over valid rows only (padding rows masked out)."""
-    x_recon, mu, logvar, z, _ = vae_forward(params, x, key, use_mean=False)
+                    beta: float, alpha_recon: float,
+                    deterministic: bool = False):
+    """VAE loss over valid rows only (padding rows masked out).
+
+    ``deterministic=True`` encodes z = mu with no sampling — the plain
+    autoencoder of the reference's AE ablation arm
+    (pre_experiments/for_ablation/ae_reg_feature.ipynb SegmentAE:
+    reconstruction-only pretraining, no reparameterization; pass
+    beta=0 to drop the KL term as that arm does)."""
+    x_recon, mu, logvar, z, _ = vae_forward(
+        params, x, key, use_mean=deterministic)
     denom = jnp.maximum(row_mask.sum(), 1)
     recon = jnp.sum(
         jnp.where(row_mask[:, None], (x_recon - x) ** 2, 0.0)
@@ -105,12 +113,14 @@ def masked_vae_loss(params: Dict, x: jnp.ndarray, row_mask, key,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("beta", "alpha_recon", "lr", "epochs")
+    jax.jit,
+    static_argnames=("beta", "alpha_recon", "lr", "epochs", "deterministic"),
 )
 def fit_vae(params: Dict, X_batches: jnp.ndarray, batch_masks: jnp.ndarray,
             X_val: jnp.ndarray, key, beta: float = 0.01,
             alpha_recon: float = 1.0, lr: float = 1e-3, epochs: int = 500,
-            X_val_mask: Optional[jnp.ndarray] = None):
+            X_val_mask: Optional[jnp.ndarray] = None,
+            deterministic: bool = False):
     """VAE pretraining as ONE compiled program: scan over epochs of a scan
     over fixed minibatches, tracking best-val params in carry (the
     reference runs a Python loop with early stopping on val loss,
@@ -123,7 +133,7 @@ def fit_vae(params: Dict, X_batches: jnp.ndarray, batch_masks: jnp.ndarray,
         x, m = xm
         key, sub = jax.random.split(key)
         (loss, _), grads = jax.value_and_grad(masked_vae_loss, has_aux=True)(
-            params, x, m, sub, beta, alpha_recon
+            params, x, m, sub, beta, alpha_recon, deterministic
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -138,7 +148,7 @@ def fit_vae(params: Dict, X_batches: jnp.ndarray, batch_masks: jnp.ndarray,
             params, X_val,
             jnp.ones(X_val.shape[0], bool) if X_val_mask is None
             else X_val_mask,
-            None, beta, alpha_recon,
+            None, beta, alpha_recon, deterministic,
         ) if X_val.shape[0] else (jnp.float32(0.0), None)
         better = val < best_val
         best_params = jax.tree_util.tree_map(
@@ -175,7 +185,7 @@ def train_vae(key, X_train: jnp.ndarray, X_val: jnp.ndarray,
               epochs: int = 500, batch_size: int = 512, patience: int = 30,
               feature_dim=None, features_train=None, verbose: bool = False,
               n_train_valid: Optional[int] = None,
-              X_val_mask=None):
+              X_val_mask=None, deterministic: bool = False):
     """Full VAE pretraining (one device program; see fit_vae).
 
     ``n_train_valid`` marks trailing rows of a shape-bucketed X_train as
@@ -191,6 +201,6 @@ def train_vae(key, X_train: jnp.ndarray, X_val: jnp.ndarray,
     best_params, best_val, history = fit_vae(
         params, Xb, mb, jnp.asarray(X_val), tkey, beta=beta,
         alpha_recon=alpha_recon, lr=lr, epochs=epochs,
-        X_val_mask=X_val_mask,
+        X_val_mask=X_val_mask, deterministic=deterministic,
     )
     return best_params, {"best_val": float(best_val), "history": history}

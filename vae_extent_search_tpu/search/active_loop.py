@@ -80,7 +80,8 @@ def _prepare_pool(features: np.ndarray, labels: np.ndarray,
 
 def _train_pool_vae(X, N: int, k_vae, train_seed: int, latent_dim: int,
                     hidden_dim: int, vae_lr: float, vae_beta: float,
-                    vae_epochs: int, bucket_shapes: bool, verbose: bool):
+                    vae_epochs: int, bucket_shapes: bool, verbose: bool,
+                    deterministic: bool = False):
     """VAE pretraining on the (prepared) full candidate pool, 80/20 split
     (reference vae_extent_search.py:394-401,430-509)."""
     split_rng = np.random.default_rng(train_seed)
@@ -101,6 +102,7 @@ def _train_pool_vae(X, N: int, k_vae, train_seed: int, latent_dim: int,
         k_vae, X_tr, X_va, latent_dim=latent_dim,
         hidden_dim=hidden_dim, lr=vae_lr, beta=vae_beta,
         epochs=vae_epochs, verbose=verbose, X_val_mask=va_mask,
+        deterministic=deterministic,
     )
     return vae_params
 
@@ -116,6 +118,7 @@ def pretrain_pool_vae(
     bucket_shapes: bool = False,
     mesh=None,
     verbose: bool = False,
+    deterministic: bool = False,
 ):
     """Pretrain the pool VAE ONCE for a candidate pool, to be shared by
     every config/sampling-seed of an experiment.
@@ -135,7 +138,7 @@ def pretrain_pool_vae(
     k_vae, _ = jax.random.split(key)
     return _train_pool_vae(
         X, N, k_vae, train_seed, latent_dim, hidden_dim, vae_lr,
-        vae_beta, vae_epochs, bucket_shapes, verbose,
+        vae_beta, vae_epochs, bucket_shapes, verbose, deterministic,
     )
 
 
@@ -178,6 +181,7 @@ def run_active_search(
     mesh=None,
     bucket_shapes: bool = False,
     init_mode: str = "random",
+    encoder_mode: str = "vae",
     verbose: bool = False,
 ) -> ActiveSearchResult:
     """Search until the true-best schedule is measured.
@@ -189,7 +193,22 @@ def run_active_search(
     candidate axis to a multiple of 256 so a multi-task sweep reuses one
     compiled program per bucket instead of recompiling per task (padding
     is masked out of training, selection, and metrics).
+
+    ``encoder_mode`` selects the design-lineage arm (reference notebook
+    corpus, SURVEY §2.4):
+      - "vae": VAE pretrain + VAECostPredictor (the headline experiment)
+      - "ae": plain-autoencoder ablation — deterministic recon-only
+        pretrain, no KL anywhere (for_ablation/ae_reg_feature.ipynb)
+      - "vib": variational information bottleneck — NO pretrain/decoder;
+        encoder+head train jointly per phase with sampled z, Huber
+        regression and cosine-warm-up KL weight
+        (model_mid/vib_mlp_*_v1.ipynb)
     """
+    if encoder_mode not in ("vae", "ae", "vib"):
+        raise ValueError(f"unknown encoder_mode {encoder_mode!r}")
+    if encoder_mode == "vib" and init_mode != "random":
+        raise ValueError("vib has no pretrained latent space for "
+                         "diversity/kmeans init; use init_mode='random'")
     t0 = time.time()
     N = features.shape[0]
     X, y_all, N, pad = _prepare_pool(features, labels, bucket_shapes, mesh)
@@ -205,10 +224,14 @@ def run_active_search(
     # vae_extent_search.py:442-509; pretrain_pool_vae mirrors that). ----
     key = jax.random.PRNGKey(train_seed)
     k_vae, key = jax.random.split(key)
-    if pretrained_vae_params is None:
+    if encoder_mode == "vib":
+        vae_params = None  # VIB trains encoder+head jointly, no pretrain
+    elif pretrained_vae_params is None:
         vae_params = _train_pool_vae(
             X, N, k_vae, train_seed, latent_dim, hidden_dim, vae_lr,
-            vae_beta, vae_epochs, bucket_shapes, verbose,
+            0.0 if encoder_mode == "ae" else vae_beta,
+            vae_epochs, bucket_shapes, verbose,
+            deterministic=encoder_mode == "ae",
         )
     else:
         vae_params = pretrained_vae_params
@@ -273,6 +296,16 @@ def run_active_search(
         pred_cfg = reg_config
     else:
         pred_cfg = PredictorConfig(**reg_config)
+    if encoder_mode == "ae":
+        # the AE ablation has no KL term in the predictor either
+        pred_cfg = pred_cfg._replace(beta=0.0)
+    elif encoder_mode == "vib":
+        # sampled z + Huber reg + cosine-warm-up KL; no pretrained
+        # encoder, so the encoder learns at the head's rate
+        pred_cfg = pred_cfg._replace(
+            stochastic_z=True, huber_reg=True, kld_cosine_warmup=True,
+            encoder_lr=pred_cfg.head_lr,
+        )
 
     # compact measured-set buffer for the diversity stage: passing the
     # center list in (the loop knows it exactly — init + every phase's
@@ -299,7 +332,8 @@ def run_active_search(
         params = init_predictor_params(
             k_init, X.shape[1], hidden_dim, latent_dim
         )
-        params = load_pretrained_encoder(params, vae_params)
+        if vae_params is not None:
+            params = load_pretrained_encoder(params, vae_params)
         n_meas = len(selected_order)
         cap = 256
         while cap < n_meas:
