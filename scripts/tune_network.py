@@ -103,7 +103,7 @@ def main():
                    choices=["gradient", "round-robin"])
     p.add_argument("--search-policy", type=str, default="sketch",
                    help="'sketch' (random model) or 'sketch.<model>'"
-                        " with model in mlp/gbdt/lgb/lstm/mha/tabnet,"
+                        " with model in mlp/vae/gbdt/lgb/lstm/mha/tabnet,"
                         " optionally '-no-update' (pretrained, frozen)")
     p.add_argument("--load-model", type=str, default=None,
                    help="pretrained cost-model pickle for sketch.<model>")

@@ -601,3 +601,53 @@ def test_entmax_axis_argument():
         p1 = np.asarray(fn(z, axis=-1))
         assert np.allclose(p0.T, p1, atol=1e-6)
         assert np.allclose(p0.sum(axis=0), 1.0, atol=1e-5)
+
+
+def test_segment_vae_cost_model_learns(tmp_path):
+    """SegmentVAEModelInternal (the for_inference lineage: SegmentVAE
+    pretrain + latent regression as the search's cost model) fits a
+    synthetic segment-sum objective, round-trips through save/load, and
+    scores all-zero (unlowerable) feature rows -inf."""
+    from vae_extent_search_tpu.models.segment import SegmentVAEModelInternal
+
+    rng = np.random.default_rng(3)
+    feats = [rng.random((int(rng.integers(2, 9)), 12)).astype(np.float32)
+             for _ in range(96)]
+    w = rng.normal(size=12).astype(np.float32)
+    labels = np.asarray([f.sum(0) @ w for f in feats], np.float32)
+    labels = (labels - labels.mean()) / labels.std()
+
+    m = SegmentVAEModelInternal(in_dim=12, hidden_dim=64, latent_dim=16,
+                                vae_epochs=60, reg_epochs=200,
+                                encoder_lr=1e-4, head_lr=1e-3)
+    m.fit_base(feats, labels)
+    pred = m.predict_on_features(feats)
+    corr = np.corrcoef(pred, labels)[0, 1]
+    assert corr > 0.6, corr
+
+    # refits keep the pretrained VAE encoder (tune_vae: later phases only
+    # retrain the regression model) and stay finite
+    m.fit_base(feats, labels)
+    assert np.isfinite(m.predict_on_features(feats)).all()
+
+    # unlowerable states (all-zero rows) score -inf
+    bad = np.zeros((3, 12), np.float32)
+    scored = m.predict_on_features([feats[0], bad])
+    assert np.isfinite(scored[0]) and scored[1] == -np.inf
+
+    path = str(tmp_path / "vae_cm.pkl")
+    m.save(path)
+    m2 = SegmentVAEModelInternal.load(path)
+    assert np.allclose(m2.predict_on_features(feats), pred)
+
+
+def test_sketch_vae_policy_spec():
+    """'sketch.vae' resolves to a SegmentVAEModelInternal-backed
+    LearnedCostModel with the 10-dim workload-embedding contract."""
+    from vae_extent_search_tpu.models.segment import SegmentVAEModelInternal
+    from vae_extent_search_tpu.search.cost_model import make_search_policies
+
+    policies, model = make_search_policies("sketch.vae", [])
+    assert isinstance(model.internal, SegmentVAEModelInternal)
+    assert model.internal.in_dim == 174
+    assert model._embed_total == 10

@@ -709,6 +709,165 @@ def search_segment_vae_hyperparams(features, segment_ids, valid, n_seg: int,
     return best[1], best[0], [r for r, _ in results]
 
 
+@functools.partial(jax.jit, static_argnames=("n_seg",))
+def _segment_predictor_scores(params, features, segment_ids, n_seg):
+    mu, _, _ = segment_predictor_encode(params, features, segment_ids, n_seg)
+    return segment_predict_cost(params, mu)
+
+
+def _flatten_programs(features_list, labels, fea_norm_vec,
+                      seg_bucket: int = 256, row_bucket: int = 4096):
+    """Flatten ragged per-program feature matrices into one fixed-shape
+    (features, segment_ids, labels, valid) tuple, bucketing both the
+    program axis and the row axis so a growing measured set reuses a
+    handful of compiled programs instead of recompiling every round."""
+    n = len(features_list)
+    D = features_list[0].shape[1] if n else 0
+    rows = int(sum(len(f) for f in features_list))
+    n_seg = max(seg_bucket, -(-n // seg_bucket) * seg_bucket)
+    R = max(row_bucket, -(-rows // row_bucket) * row_bucket)
+    feats = np.zeros((R, D), np.float32)
+    seg_ids = np.full((R,), n_seg, np.int32)  # padding rows -> dropped seg
+    labs = np.zeros((n_seg,), np.float32)
+    valid = np.zeros((n_seg,), bool)
+    r = 0
+    for j, f in enumerate(features_list):
+        feats[r:r + len(f)] = f
+        seg_ids[r:r + len(f)] = j
+        labs[j] = labels[j] if labels is not None else 0.0
+        valid[j] = True
+        r += len(f)
+    feats /= fea_norm_vec
+    return (jnp.asarray(feats), jnp.asarray(seg_ids), jnp.asarray(labs),
+            jnp.asarray(valid), n_seg)
+
+
+class SegmentVAEModelInternal:
+    """VAE-pretrained latent cost model behind the fit/predict interface —
+    the reference's for_inference lineage (vae_reg_feature_ansor*.ipynb /
+    e2e_vae_reg_feature.ipynb plug the scripts/vae_experiments SegmentVAE
+    + Regression pipeline in as the cost model inside Ansor's search;
+    tune_vae.py:94-166 is the same flow driven phase-by-phase).
+
+    fit_base = SegmentVAE pretrain on the measured rows (first fit only;
+    fit_segment_vae) -> encoder transfer (load_pretrained_segment_encoder)
+    -> reg+pair+smooth+KL predictor fit (fit_segment_predictor). Predict
+    scores the mean latent through the cost head; all-zero feature rows
+    (unlowerable states) score -inf like every other backend."""
+
+    def __init__(self, in_dim: int = 164, hidden_dim: int = 256,
+                 latent_dim: int = 64, vae_epochs: int = 200,
+                 vae_lr: float = 2e-4, vae_beta: float = 1e-4,
+                 reg_epochs: int = 300, encoder_lr: float = 1e-5,
+                 head_lr: float = 1e-4, seed: int = 0):
+        self.in_dim = in_dim
+        self.hidden_dim = hidden_dim
+        self.latent_dim = latent_dim
+        self.vae_epochs = vae_epochs
+        self.vae_lr = vae_lr
+        self.vae_beta = vae_beta
+        self.reg_epochs = reg_epochs
+        self.encoder_lr = encoder_lr
+        self.head_lr = head_lr
+        self.seed = seed
+        self.vae_params = None
+        self.params = None
+        self.fea_norm_vec = None
+
+    def fit_base(self, features_list, labels, valid_split: float = 0.1,
+                 verbose: bool = False, keep_norm: bool = False):
+        if not keep_norm or self.fea_norm_vec is None:
+            self.fea_norm_vec = compute_fea_norm_vec(features_list)
+        labels = np.asarray(labels, np.float32)
+        feats, seg_ids, labs, valid, n_seg = _flatten_programs(
+            features_list, labels, self.fea_norm_vec
+        )
+        key = jax.random.PRNGKey(self.seed)
+        k_vae, k_pred, k_fit = jax.random.split(key, 3)
+        if self.vae_params is None:
+            # pretrain once per search (reference tune_vae.py:100-110:
+            # the SegmentVAE trains on the initial pool, later phases
+            # retrain only the regression model on all measured)
+            self.vae_params = init_segment_vae_params(
+                k_vae, self.in_dim, self.hidden_dim, self.latent_dim
+            )
+            self.vae_params, _ = fit_segment_vae(
+                self.vae_params, feats, seg_ids, valid, k_vae, n_seg,
+                epochs=self.vae_epochs, lr=self.vae_lr, beta=self.vae_beta,
+            )
+        params = init_segment_predictor_params(
+            k_pred, self.in_dim, self.hidden_dim, self.latent_dim
+        )
+        params = load_pretrained_segment_encoder(params, self.vae_params)
+        self.params, _ = fit_segment_predictor(
+            params, feats, seg_ids, labs, valid, k_fit, n_seg,
+            epochs=self.reg_epochs, encoder_lr=self.encoder_lr,
+            head_lr=self.head_lr,
+        )
+        return self
+
+    def predict_on_features(self, features_list) -> np.ndarray:
+        if not len(features_list):
+            return np.zeros(0, np.float32)
+        feats, seg_ids, _, _, n_seg = _flatten_programs(
+            features_list, None, self.fea_norm_vec
+        )
+        scores = np.asarray(_segment_predictor_scores(
+            self.params, feats, seg_ids, n_seg
+        ))[: len(features_list)].astype(np.float32)
+        from .gbdt import _invalid_rows_mask
+
+        for i, bad in enumerate(_invalid_rows_mask(self, features_list)):
+            if bad:
+                scores[i] = -np.inf
+        return scores
+
+    def save(self, path: str):
+        import pickle
+
+        to_np = functools.partial(jax.tree_util.tree_map, np.asarray)
+        with open(path, "wb") as f:
+            pickle.dump(
+                {
+                    "config": {
+                        "in_dim": self.in_dim,
+                        "hidden_dim": self.hidden_dim,
+                        "latent_dim": self.latent_dim,
+                        "vae_epochs": self.vae_epochs,
+                        "vae_lr": self.vae_lr, "vae_beta": self.vae_beta,
+                        "reg_epochs": self.reg_epochs,
+                        "encoder_lr": self.encoder_lr,
+                        "head_lr": self.head_lr, "seed": self.seed,
+                    },
+                    "vae_params": to_np(self.vae_params),
+                    "params": to_np(self.params),
+                    "fea_norm_vec": self.fea_norm_vec,
+                    "use_workload_embedding": getattr(
+                        self, "use_workload_embedding", False),
+                    "workload_embed_total_dim": getattr(
+                        self, "workload_embed_total_dim", 10),
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "SegmentVAEModelInternal":
+        import pickle
+
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        model = cls(**blob["config"])
+        to_j = functools.partial(jax.tree_util.tree_map, jnp.asarray)
+        model.vae_params = to_j(blob["vae_params"])
+        model.params = to_j(blob["params"])
+        model.fea_norm_vec = blob["fea_norm_vec"]
+        model.use_workload_embedding = blob.get(
+            "use_workload_embedding", False)
+        model.workload_embed_total_dim = blob.get(
+            "workload_embed_total_dim", 10)
+        return model
+
+
 def few_shot_fit(base_cls, features_by_task, labels_by_task,
                  mode: str = "base_only", in_dim: int = 164,
                  fine_tune_epochs: int = 30, **model_kw):

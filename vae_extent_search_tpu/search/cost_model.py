@@ -31,13 +31,20 @@ class LearnedCostModel(PythonCostModel):
         # xgb_model.py:108); the MLP pads it to 10 dims, the tree models
         # use the raw 9 tags
         self._embed_total = 10 if kind in ("mlp", "lstm", "mha",
-                                           "tabnet") else 9
+                                           "tabnet", "vae") else 9
         if internal is None:
             extra = self._embed_total if use_workload_embedding else 0
             if kind == "mlp":
                 from ..models.segment import MLPModelInternal
 
                 internal = MLPModelInternal(in_dim=164 + extra)
+            elif kind == "vae":
+                # the for_inference lineage: SegmentVAE + latent
+                # regression as the search's cost model
+                # (vae_reg_feature_ansor*.ipynb / e2e_vae_reg_feature)
+                from ..models.segment import SegmentVAEModelInternal
+
+                internal = SegmentVAEModelInternal(in_dim=164 + extra)
             elif kind == "gbdt":
                 from ..models.gbdt import GBDTModelInternal
 
@@ -146,6 +153,10 @@ class LearnedCostModel(PythonCostModel):
             from ..models.segment import MLPModelInternal
 
             return cls(MLPModelInternal.load(path), kind)
+        if kind == "vae":
+            from ..models.segment import SegmentVAEModelInternal
+
+            return cls(SegmentVAEModelInternal.load(path), kind)
         if kind == "gbdt":
             from ..models.gbdt import GBDTModelInternal
 
