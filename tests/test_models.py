@@ -628,7 +628,13 @@ def test_segment_vae_cost_model_learns(tmp_path):
     # refits keep the pretrained VAE encoder (tune_vae: later phases only
     # retrain the regression model) and stay finite
     m.fit_base(feats, labels)
-    assert np.isfinite(m.predict_on_features(feats)).all()
+    pred2 = m.predict_on_features(feats)
+    assert np.isfinite(pred2).all()
+
+    # frozen batch-norm stats: scores are per-program (independent of
+    # what else is in the predict batch, unlike train-mode batch stats)
+    sub = m.predict_on_features(feats[:7])
+    assert np.allclose(sub, pred2[:7], atol=1e-5), (sub, pred2[:7])
 
     # unlowerable states (all-zero rows) score -inf
     bad = np.zeros((3, 12), np.float32)

@@ -411,15 +411,33 @@ def init_segment_vae_params(key, in_dim: int, hidden_dim: int = 256,
     }
 
 
-def segment_vae_encode(params, features, segment_ids, n_seg):
-    """Returns (mu, logvar, segment_sum_target)."""
+def segment_vae_encode(params, features, segment_ids, n_seg,
+                       stats_valid=None, norm_stats=None):
+    """Returns (mu, logvar, segment_sum_target).
+
+    Batch-standardization of the segment sums (BatchNorm1d equivalent):
+    by default train-mode full-batch statistics (the reference trains and
+    predicts on one fixed candidate pool, so the stats are consistent).
+    ``stats_valid`` restricts the statistics to real segments when the
+    batch carries padding rows; ``norm_stats=(mean, var)`` applies frozen
+    statistics instead — BatchNorm eval semantics for models that predict
+    on batches other than the one they were fit on."""
     h = mlp_apply(params["segment_encoder"], features, final_activation=True)
     seg = jax.ops.segment_sum(h, segment_ids, num_segments=n_seg + 1)[:n_seg]
-    # batch-standardization of the segment sums (BatchNorm1d train-mode
-    # equivalent under full-batch training); sqrt(var + eps) keeps the
-    # gradient finite on constant channels (one-hot feature columns)
-    mean = seg.mean(axis=0, keepdims=True)
-    var = seg.var(axis=0, keepdims=True)
+    if norm_stats is not None:
+        mean, var = norm_stats
+    elif stats_valid is not None:
+        denom = jnp.maximum(stats_valid.sum(), 1)
+        v = stats_valid[:, None]
+        mean = jnp.sum(jnp.where(v, seg, 0.0), axis=0, keepdims=True) / denom
+        var = jnp.sum(
+            jnp.where(v, (seg - mean) ** 2, 0.0), axis=0, keepdims=True
+        ) / denom
+    else:
+        mean = seg.mean(axis=0, keepdims=True)
+        var = seg.var(axis=0, keepdims=True)
+    # sqrt(var + eps) keeps the gradient finite on constant channels
+    # (one-hot feature columns)
     normed = (seg - mean) * jax.lax.rsqrt(var + 1e-5)
     out = mlp_apply(params["l0"], normed, final_activation=True) + normed
     out = mlp_apply(params["l1"], out, final_activation=True) + out
@@ -428,9 +446,9 @@ def segment_vae_encode(params, features, segment_ids, n_seg):
 
 
 def segment_vae_loss(params, features, segment_ids, n_seg, valid, key,
-                     beta: float = 1e-4):
+                     beta: float = 1e-4, stats_valid=None):
     mu, logvar, target = segment_vae_encode(params, features, segment_ids,
-                                            n_seg)
+                                            n_seg, stats_valid=stats_valid)
     std = jnp.exp(0.5 * logvar)
     z = mu + std * jax.random.normal(key, mu.shape, mu.dtype)
     recon = mlp_apply(params["decoder"], z, final_activation=False)
@@ -478,7 +496,8 @@ def load_pretrained_segment_encoder(pred_params: Dict,
     return out
 
 
-def segment_predictor_encode(params, features, segment_ids, n_seg):
+def segment_predictor_encode(params, features, segment_ids, n_seg,
+                             stats_valid=None, norm_stats=None):
     return segment_vae_encode(
         {
             "segment_encoder": params["segment_encoder"],
@@ -486,6 +505,7 @@ def segment_predictor_encode(params, features, segment_ids, n_seg):
             "fc_mean": params["fc_mean"], "fc_logvar": params["fc_logvar"],
         },
         features, segment_ids, n_seg,
+        stats_valid=stats_valid, norm_stats=norm_stats,
     )
 
 
@@ -507,14 +527,14 @@ def segment_predict_cost(params, z, dropout_key=None,
 
 
 def segment_predictor_loss(params, features, segment_ids, n_seg, labels,
-                           valid, key, config: Dict):
+                           valid, key, config: Dict, stats_valid=None):
     """reg + pair + smooth + KL phase loss over segment encodings
     (vae_experiments/trainer.py:298-568 Regression_Trainer)."""
     from .predictor import pair_loss
 
     k_smooth, k_drop = jax.random.split(key)
     mu, logvar, _ = segment_predictor_encode(params, features, segment_ids,
-                                             n_seg)
+                                             n_seg, stats_valid=stats_valid)
     cost = segment_predict_cost(params, mu, k_drop,
                                 config.get("dropout", 0.1))
     denom = jnp.maximum(valid.sum(), 1)
@@ -547,7 +567,8 @@ def segment_predictor_loss(params, features, segment_ids, n_seg, labels,
 @functools.partial(jax.jit, static_argnames=("n_seg", "epochs"))
 def fit_segment_predictor(params, features, segment_ids, labels, valid, key,
                           n_seg: int, epochs: int = 300,
-                          encoder_lr: float = 1e-5, head_lr: float = 1e-4):
+                          encoder_lr: float = 1e-5, head_lr: float = 1e-4,
+                          stats_valid=None):
     """Full phase training as one compiled scan (same design as
     fit_predictor)."""
     enc_keys = ("segment_encoder", "l0", "l1", "fc_mean", "fc_logvar")
@@ -571,7 +592,8 @@ def fit_segment_predictor(params, features, segment_ids, labels, valid, key,
         key, sub = jax.random.split(key)
         (loss, aux), grads = jax.value_and_grad(
             segment_predictor_loss, has_aux=True
-        )(params, features, segment_ids, n_seg, labels, valid, sub, cfg)
+        )(params, features, segment_ids, n_seg, labels, valid, sub, cfg,
+          stats_valid)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         better = loss < best_loss
@@ -606,7 +628,8 @@ def _sgdr_schedule(lr: float, epochs: int, t0: int = 30, t_mult: int = 2):
 
 @functools.partial(jax.jit, static_argnames=("n_seg", "epochs", "lr"))
 def fit_segment_vae(params, features, segment_ids, valid, key, n_seg: int,
-                    epochs: int = 200, lr: float = 2e-4, beta: float = 1e-4):
+                    epochs: int = 200, lr: float = 2e-4, beta: float = 1e-4,
+                    stats_valid=None):
     """SegmentVAE pretraining as one compiled scan (reference
     VAE_Trainer.train_vae defaults: 200 epochs, lr 2e-4, beta 1e-4,
     AdamW with cosine-warm-restart LR cycles)."""
@@ -618,7 +641,8 @@ def fit_segment_vae(params, features, segment_ids, valid, key, n_seg: int,
         key, sub = jax.random.split(key)
         (loss, aux), grads = jax.value_and_grad(
             segment_vae_loss, has_aux=True
-        )(params, features, segment_ids, n_seg, valid, sub, beta)
+        )(params, features, segment_ids, n_seg, valid, sub, beta,
+          stats_valid)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params, opt_state, key), loss
@@ -710,9 +734,26 @@ def search_segment_vae_hyperparams(features, segment_ids, valid, n_seg: int,
 
 
 @functools.partial(jax.jit, static_argnames=("n_seg",))
-def _segment_predictor_scores(params, features, segment_ids, n_seg):
-    mu, _, _ = segment_predictor_encode(params, features, segment_ids, n_seg)
+def _segment_predictor_scores(params, features, segment_ids, n_seg,
+                              norm_stats=None):
+    mu, _, _ = segment_predictor_encode(params, features, segment_ids, n_seg,
+                                        norm_stats=norm_stats)
     return segment_predict_cost(params, mu)
+
+
+@functools.partial(jax.jit, static_argnames=("n_seg",))
+def _segment_norm_stats(params, features, segment_ids, valid, n_seg):
+    """Frozen batch-norm statistics over the fit set's valid segments
+    (BatchNorm1d running-stats / eval-mode equivalent)."""
+    h = mlp_apply(params["segment_encoder"], features, final_activation=True)
+    seg = jax.ops.segment_sum(h, segment_ids, num_segments=n_seg + 1)[:n_seg]
+    denom = jnp.maximum(valid.sum(), 1)
+    v = valid[:, None]
+    mean = jnp.sum(jnp.where(v, seg, 0.0), axis=0, keepdims=True) / denom
+    var = jnp.sum(
+        jnp.where(v, (seg - mean) ** 2, 0.0), axis=0, keepdims=True
+    ) / denom
+    return mean, var
 
 
 def _flatten_programs(features_list, labels, fea_norm_vec,
@@ -773,6 +814,7 @@ class SegmentVAEModelInternal:
         self.vae_params = None
         self.params = None
         self.fea_norm_vec = None
+        self.norm_stats = None
 
     def fit_base(self, features_list, labels, valid_split: float = 0.1,
                  verbose: bool = False, keep_norm: bool = False):
@@ -784,6 +826,11 @@ class SegmentVAEModelInternal:
         )
         key = jax.random.PRNGKey(self.seed)
         k_vae, k_pred, k_fit = jax.random.split(key, 3)
+        # batch-norm statistics are restricted to the real (non-padding)
+        # segments during fit and FROZEN afterwards for prediction —
+        # this model predicts on batches other than its fit set (GA
+        # generations), so train-mode batch stats would shift between
+        # fit and predict (BatchNorm eval semantics instead)
         if self.vae_params is None:
             # pretrain once per search (reference tune_vae.py:100-110:
             # the SegmentVAE trains on the initial pool, later phases
@@ -794,6 +841,7 @@ class SegmentVAEModelInternal:
             self.vae_params, _ = fit_segment_vae(
                 self.vae_params, feats, seg_ids, valid, k_vae, n_seg,
                 epochs=self.vae_epochs, lr=self.vae_lr, beta=self.vae_beta,
+                stats_valid=valid,
             )
         params = init_segment_predictor_params(
             k_pred, self.in_dim, self.hidden_dim, self.latent_dim
@@ -802,7 +850,10 @@ class SegmentVAEModelInternal:
         self.params, _ = fit_segment_predictor(
             params, feats, seg_ids, labs, valid, k_fit, n_seg,
             epochs=self.reg_epochs, encoder_lr=self.encoder_lr,
-            head_lr=self.head_lr,
+            head_lr=self.head_lr, stats_valid=valid,
+        )
+        self.norm_stats = _segment_norm_stats(
+            self.params, feats, seg_ids, valid, n_seg
         )
         return self
 
@@ -813,7 +864,7 @@ class SegmentVAEModelInternal:
             features_list, None, self.fea_norm_vec
         )
         scores = np.asarray(_segment_predictor_scores(
-            self.params, feats, seg_ids, n_seg
+            self.params, feats, seg_ids, n_seg, self.norm_stats
         ))[: len(features_list)].astype(np.float32)
         from .gbdt import _invalid_rows_mask
 
@@ -841,6 +892,7 @@ class SegmentVAEModelInternal:
                     },
                     "vae_params": to_np(self.vae_params),
                     "params": to_np(self.params),
+                    "norm_stats": to_np(self.norm_stats),
                     "fea_norm_vec": self.fea_norm_vec,
                     "use_workload_embedding": getattr(
                         self, "use_workload_embedding", False),
@@ -860,6 +912,7 @@ class SegmentVAEModelInternal:
         to_j = functools.partial(jax.tree_util.tree_map, jnp.asarray)
         model.vae_params = to_j(blob["vae_params"])
         model.params = to_j(blob["params"])
+        model.norm_stats = to_j(blob.get("norm_stats"))
         model.fea_norm_vec = blob["fea_norm_vec"]
         model.use_workload_embedding = blob.get(
             "use_workload_embedding", False)
