@@ -1,0 +1,396 @@
+"""TPU histogram gradient boosting — the pack-sum training protocol at
+TenSet-pretraining scale.
+
+models/boost.py runs the reference's xgb training protocol
+(pack_sum_square_error objective + pack_sum_rmse / a-peak@N eval
+callbacks + best-iteration early stopping, reference
+cost_model/xgb_model.py:120-250,470-745) on a pure-numpy histogram
+booster, which is sized for the search loop (10^2-10^5 rows). The
+reference's *other* GBDT use is pretraining on millions of TenSet
+rows (README.md:20-27: 51M records; docs/try_pretrained_models
+RMSE 0.0809 on a 500-file corpus) — a scale the numpy tree grower
+cannot reach. This module runs the same protocol with the per-round
+work as XLA programs on the accelerator:
+
+- trees grow LEVEL-WISE over a complete binary tree of static depth:
+  per level, 256-bin (grad, hess) histograms per (feature, node) via
+  ``jax.ops.segment_sum`` over chunked feature keys, XGBoost split
+  gain ``0.5[G_L^2/(H_L+lam) + G_R^2/(H_R+lam) - G^2/(H+lam)] - gamma``
+  via cumulative sums, one flattened argmax per node;
+- a node that does not split (gain <= 0, H < 2*min_child_weight,
+  or < 2 rows) becomes "dead": its split bin is set past the last
+  real bin so every row routes down the LEFT spine, which makes the
+  eventual depth-D leaf value equal the early-leaf Newton step
+  ``-eta * G/(H + lambda)`` the numpy grower would have emitted;
+- the pack-sum objective is a device ``segment_sum`` + gather, so a
+  full boosting round never leaves the chip; only the every-25-round
+  eval callbacks pull predictions to the host;
+- splits compare ``bin <= k`` exactly like boost._grow_tree, and the
+  finished ensemble is converted back to ``boost.Booster``/``_Tree``
+  (float thresholds ``edges[k]``), so prediction, pickling, and the
+  GBDTModelInternal save/load format are unchanged.
+
+Tie-breaking matches the numpy grower: gains are laid out
+feature-major / bin-minor and argmax takes the first maximum, which
+reproduces "first max bin within a feature, strictly-greater across
+features". The one intended divergence: histograms accumulate in f32
+on device (numpy uses f64), so exact-tie gains can split differently
+on adversarial data; the parity test uses continuous features where
+this does not occur.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import boost
+from .boost import Booster, DMatrix, _Tree
+
+logger = logging.getLogger("vae_extent_search_tpu.boost_tpu")
+
+_FEATURE_CHUNK = 32
+
+
+# ---------------------------------------------------------------------------
+# Device tree growth
+# ---------------------------------------------------------------------------
+
+
+def _level_histograms(binned, node, grad, hess, m: int, nb: int):
+    """(grad, hess) histograms per (feature, node, bin) -> [d, m, nb].
+
+    TPU scatters serialize, so the histogram is computed as one-hot
+    MATMULS on the MXU instead: per feature,
+    ``hist[bin, (node, g|h)] = onehot(bins_f)^T @ B`` where
+    ``B[row] = onehot(node_row) * (g_row, h_row)``. One-hot values are
+    exact in f32, so this is bit-for-bit the scatter result up to f32
+    summation order. ``lax.map`` over features keeps the transient
+    one-hot at [n, nb]."""
+    n, d = binned.shape
+    nodeoh = jax.nn.one_hot(node, m, dtype=jnp.float32)        # [n, m]
+    B = jnp.concatenate(
+        [nodeoh * grad[:, None], nodeoh * hess[:, None]], axis=1)
+
+    def one_feature(bcol):
+        A = jax.nn.one_hot(bcol.astype(jnp.int32), nb,
+                           dtype=jnp.float32)                  # [n, nb]
+        return jax.lax.dot_general(
+            A, B, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # [nb, 2m]
+
+    H = jax.lax.map(one_feature, binned.T)                     # [d, nb, 2m]
+    ghist = jnp.moveaxis(H[:, :, :m], 1, 2)                    # [d, m, nb]
+    hhist = jnp.moveaxis(H[:, :, m:], 1, 2)
+    return ghist, hhist
+
+
+def _grow_tree_device(binned, n_edges, grad, hess, *, max_depth: int,
+                      nb: int, eta: float, reg_lambda: float, gamma: float,
+                      min_child_weight: float):
+    """One tree as a complete binary heap of static depth.
+
+    Returns (feat [2^D-1], bin_thr [2^D-1], split [2^D-1] bool,
+    leafval [2^D], leaf_of_row [n]) where level ``l`` occupies heap
+    slots [2^l - 1, 2^(l+1) - 1)."""
+    n, d = binned.shape
+    node = jnp.zeros(n, jnp.int32)
+    ones = jnp.ones(n, jnp.float32)
+    feat_lv, bin_lv, split_lv = [], [], []
+    bin_pos = jnp.arange(nb - 1, dtype=jnp.int32)
+    for level in range(max_depth):
+        m = 1 << level
+        Gn = jax.ops.segment_sum(grad, node, num_segments=m)
+        Hn = jax.ops.segment_sum(hess, node, num_segments=m)
+        Cn = jax.ops.segment_sum(ones, node, num_segments=m)
+        ghist, hhist = _level_histograms(binned, node, grad, hess, m, nb)
+        gl = jnp.cumsum(ghist, axis=2)[:, :, :-1]       # [d, m, nb-1]
+        hl = jnp.cumsum(hhist, axis=2)[:, :, :-1]
+        gr = Gn[None, :, None] - gl
+        hr = Hn[None, :, None] - hl
+        parent = (Gn * Gn / (Hn + reg_lambda))[None, :, None]
+        ok = ((hl >= min_child_weight) & (hr >= min_child_weight)
+              & (bin_pos[None, None, :] < n_edges[:, None, None]))
+        gain = 0.5 * (gl * gl / (hl + reg_lambda)
+                      + gr * gr / (hr + reg_lambda) - parent) - gamma
+        gain = jnp.where(ok, gain, -jnp.inf)
+        flat = jnp.moveaxis(gain, 1, 0).reshape(m, d * (nb - 1))
+        best = jnp.argmax(flat, axis=1)
+        best_gain = jnp.take_along_axis(flat, best[:, None], 1)[:, 0]
+        can_split = ((best_gain > 0.0) & (Hn >= 2 * min_child_weight)
+                     & (Cn >= 2))
+        f_best = jnp.where(can_split, (best // (nb - 1)).astype(jnp.int32), 0)
+        k_best = jnp.where(can_split, (best % (nb - 1)).astype(jnp.int32),
+                           nb - 1)  # dead: every bin <= nb-1 -> all left
+        feat_lv.append(f_best)
+        bin_lv.append(k_best)
+        split_lv.append(can_split)
+        fb = f_best[node]
+        kb = k_best[node]
+        rowbin = jnp.take_along_axis(
+            binned, fb[:, None].astype(jnp.int32), axis=1)[:, 0]
+        node = 2 * node + (rowbin > kb).astype(jnp.int32)
+    m = 1 << max_depth
+    G = jax.ops.segment_sum(grad, node, num_segments=m)
+    H = jax.ops.segment_sum(hess, node, num_segments=m)
+    leafval = -eta * G / (H + reg_lambda)
+    return (jnp.concatenate(feat_lv), jnp.concatenate(bin_lv),
+            jnp.concatenate(split_lv), leafval, node)
+
+
+def _descend_device(binned, feat, bin_thr, max_depth: int):
+    """Leaf index of each (pre-binned) row under a heap-layout tree."""
+    n = binned.shape[0]
+    node = jnp.zeros(n, jnp.int32)
+    off = 0
+    for level in range(max_depth):
+        fb = feat[off + node]
+        kb = bin_thr[off + node]
+        rowbin = jnp.take_along_axis(
+            binned, fb[:, None].astype(jnp.int32), axis=1)[:, 0]
+        node = 2 * node + (rowbin > kb).astype(jnp.int32)
+        off += 1 << level
+    return node
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_depth", "nb", "n_packs", "eta", "reg_lambda",
+                     "gamma", "min_child_weight", "weighted"))
+def _pack_sum_round(binned, n_edges, pack_ids, pack_label, row_weight,
+                    preds, *, max_depth: int, nb: int, n_packs: int,
+                    eta: float, reg_lambda: float, gamma: float,
+                    min_child_weight: float, weighted: bool):
+    """One full boosting round under the pack-sum objective, on device:
+    grad/hess from per-pack summed predictions (boost.py
+    pack_sum_square_error), tree growth, and the train-set prediction
+    update (leaf value of each row's final node)."""
+    sums = jax.ops.segment_sum(preds, pack_ids, num_segments=n_packs)
+    grad = sums[pack_ids] - pack_label[pack_ids]
+    hess = jnp.ones_like(grad)
+    if weighted:
+        grad = grad * row_weight
+        hess = hess * row_weight
+    feat, bin_thr, split, leafval, leaf_of_row = _grow_tree_device(
+        binned, n_edges, grad, hess, max_depth=max_depth, nb=nb, eta=eta,
+        reg_lambda=reg_lambda, gamma=gamma, min_child_weight=min_child_weight)
+    preds = preds + leafval[leaf_of_row]
+    return preds, feat, bin_thr, split, leafval
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_depth", "nb", "eta", "reg_lambda", "gamma",
+                     "min_child_weight"))
+def _plain_round(binned, n_edges, grad, hess, preds, *, max_depth: int,
+                 nb: int, eta: float, reg_lambda: float, gamma: float,
+                 min_child_weight: float):
+    """One round with host-supplied (grad, hess) — the generic custom
+    objective path (one device round-trip per round)."""
+    feat, bin_thr, split, leafval, leaf_of_row = _grow_tree_device(
+        binned, n_edges, grad, hess, max_depth=max_depth, nb=nb, eta=eta,
+        reg_lambda=reg_lambda, gamma=gamma, min_child_weight=min_child_weight)
+    preds = preds + leafval[leaf_of_row]
+    return preds, feat, bin_thr, split, leafval
+
+
+@functools.partial(jax.jit, static_argnames=("max_depth",))
+def _eval_update(binned_ev, preds_ev, feat, bin_thr, leafval, *,
+                 max_depth: int):
+    leaf = _descend_device(binned_ev, feat, bin_thr, max_depth)
+    return preds_ev + leafval[leaf]
+
+
+# ---------------------------------------------------------------------------
+# Host-side conversion + training loop
+# ---------------------------------------------------------------------------
+
+
+def _to_numpy_tree(feat, bin_thr, split, leafval, thresholds,
+                   max_depth: int) -> _Tree:
+    """Heap-layout device tree -> boost._Tree (float thresholds), same
+    node-visit order as the numpy grower's stack (so repr-level
+    comparisons line up too)."""
+    feat = np.asarray(feat)
+    bin_thr = np.asarray(bin_thr)
+    split = np.asarray(split)
+    leafval = np.asarray(leafval, np.float32)
+    offs = np.cumsum([0] + [1 << l for l in range(max_depth)])
+    tree = _Tree()
+
+    def rec(level: int, idx: int) -> int:
+        me = tree._new_node()
+        if level < max_depth and split[offs[level] + idx]:
+            j = int(feat[offs[level] + idx])
+            k = int(bin_thr[offs[level] + idx])
+            tree.feature[me] = j
+            tree.threshold[me] = float(thresholds[j][k])
+            # numpy stack pops right child first after pushing
+            # (left, right); visit order does not affect predictions,
+            # build left-first for readability
+            tree.left[me] = rec(level + 1, 2 * idx)
+            tree.right[me] = rec(level + 1, 2 * idx + 1)
+        else:
+            # dead/bottom node: all rows flowed down the left spine
+            tree.value[me] = float(leafval[idx << (max_depth - level)])
+        return me
+
+    rec(0, 0)
+    return tree
+
+
+def _bin_against(dmat: DMatrix, thresholds: List[np.ndarray]) -> np.ndarray:
+    """Bin a foreign eval matrix with the train-set thresholds so the
+    device descent (bin <= k) equals the float compare x <= edges[k]."""
+    n, d = dmat.data.shape
+    out = np.zeros((n, d), np.int32)
+    for j in range(d):
+        if len(thresholds[j]):
+            # side="left": bin(x) <= k  <=>  x <= edges[k]
+            out[:, j] = np.searchsorted(
+                thresholds[j], dmat.data[:, j], side="left")
+    return out
+
+
+def train(params: dict, dtrain: DMatrix, num_boost_round: int = 300,
+          obj: Optional[Callable] = None,
+          fevals: Sequence[Callable] = (),
+          evals: Sequence[Tuple[DMatrix, str]] = (),
+          metric: Optional[str] = None, maximize: bool = False,
+          stopping_rounds: Optional[int] = None,
+          verbose_eval: int = 25, skip_every: int = 5,
+          log_file: Optional[str] = None) -> Booster:
+    """Drop-in for boost.train with device-resident rounds.
+
+    ``obj is boost.pack_sum_square_error`` (or the string "pack_sum")
+    selects the fully on-device objective: no host transfer inside a
+    round. Any other callable still works — predictions are pulled to
+    the host, the objective runs in numpy, and (grad, hess) are pushed
+    back (one round-trip per round). Eval callbacks, early stopping,
+    and printing reproduce boost.train / reference
+    xgb_model.py custom_callback:629-745 semantics."""
+    max_depth = int(params.get("max_depth", 6))
+    eta = float(params.get("eta", 0.3))
+    reg_lambda = float(params.get("lambda", 1.0))
+    gamma = float(params.get("gamma", 0.0))
+    min_child_weight = float(params.get("min_child_weight", 1.0))
+    base_score = float(params.get("base_score", 0.0))
+
+    dtrain._ensure_binned()
+    thresholds = dtrain._thresholds
+    nb = max(2, max(len(e) for e in thresholds) + 1)
+    binned = jnp.asarray(dtrain._binned.T)                    # [n, d] uint8
+    n_edges = jnp.asarray(
+        np.asarray([len(e) for e in thresholds], np.int32))
+    n = len(dtrain)
+
+    pack_fast = (obj is boost.pack_sum_square_error or obj == "pack_sum")
+    if pack_fast:
+        pack_ids_np = dtrain.pack_ids
+        n_packs = int(pack_ids_np.max()) + 1 if len(pack_ids_np) else 1
+        # boost.pack_sum_square_error grads against the per-row label
+        # (rows of a pack carry the pack's label); gather it per pack
+        pack_label_np = np.zeros(n_packs, np.float32)
+        pack_label_np[pack_ids_np] = dtrain.get_label()
+        pack_ids = jnp.asarray(pack_ids_np.astype(np.int32))
+        pack_label = jnp.asarray(pack_label_np)
+        w = dtrain.get_weight()
+        weighted = len(w) > 0
+        row_weight = jnp.asarray(w.astype(np.float32)) if weighted \
+            else jnp.ones(n, jnp.float32)  # unused when weighted=False
+
+    preds = jnp.full(n, base_score, jnp.float32)
+    # eval sets: dtrain shares the train predictions; foreign sets get
+    # binned against the train thresholds and accumulated per round
+    eval_state = []   # dicts: {dm, tag, binned (None = train), preds}
+    for dm, tag in evals:
+        if dm is dtrain:
+            eval_state.append(dict(dm=dm, tag=tag, binned=None, preds=None))
+        else:
+            eval_state.append(dict(
+                dm=dm, tag=tag,
+                binned=jnp.asarray(_bin_against(dm, thresholds)),
+                preds=jnp.full(len(dm), base_score, jnp.float32)))
+
+    bst = Booster(base_score)
+    best_score = -np.inf if maximize else np.inf
+    best_iteration = 0
+    kw = dict(max_depth=max_depth, nb=nb, eta=eta, reg_lambda=reg_lambda,
+              gamma=gamma, min_child_weight=min_child_weight)
+
+    for i in range(num_boost_round):
+        if pack_fast:
+            preds, feat, bin_thr, split, leafval = _pack_sum_round(
+                binned, n_edges, pack_ids, pack_label, row_weight, preds,
+                n_packs=n_packs, weighted=weighted, **kw)
+        else:
+            if obj is not None:
+                g, h = obj(np.asarray(preds), dtrain)
+            else:
+                g = np.asarray(preds) - dtrain.label
+                h = np.ones_like(g)
+                w = dtrain.get_weight()
+                if len(w):
+                    g, h = g * w, h * w
+            preds, feat, bin_thr, split, leafval = _plain_round(
+                binned, n_edges, jnp.asarray(g, jnp.float32),
+                jnp.asarray(h, jnp.float32), preds, **kw)
+        bst.trees.append(_to_numpy_tree(feat, bin_thr, split, leafval,
+                                        thresholds, max_depth))
+        for s in eval_state:
+            if s["binned"] is not None:
+                s["preds"] = _eval_update(s["binned"], s["preds"], feat,
+                                          bin_thr, leafval,
+                                          max_depth=max_depth)
+
+        if i % skip_every == 1:   # reference custom_callback:676
+            continue
+        need_eval = (fevals and (verbose_eval and i % verbose_eval == 0
+                                 or (metric and stopping_rounds)))
+        if not need_eval:
+            continue
+        eval_res = []
+        pred_tr_np = None
+        for feval in fevals:
+            for s in eval_state:
+                if s["binned"] is None:
+                    if pred_tr_np is None:
+                        pred_tr_np = np.asarray(preds)
+                    name, score = feval(pred_tr_np, dtrain)
+                else:
+                    name, score = feval(np.asarray(s["preds"]), s["dm"])
+                eval_res.append((f"{s['tag']}-{name}", score))
+        if metric and eval_res:
+            short = metric.split("-")[1]
+            eval_res.sort(key=lambda x: x[0] if short not in x[0]
+                          else "a" + x[0])
+        if verbose_eval and eval_res and i % verbose_eval == 0:
+            infos = ["XGB iter: %3d" % i]
+            infos += ["%s: %.6f" % kv for kv in eval_res]
+            line = "\t".join(infos)
+            logger.debug(line)
+            print(line)
+            if log_file:
+                with open(log_file, "a") as f:
+                    f.write(line + "\n")
+        if metric and stopping_rounds:
+            score = dict(eval_res).get(metric)
+            if score is not None:
+                better = score > best_score if maximize \
+                    else score < best_score
+                if better:
+                    best_score, best_iteration = score, i
+                    bst.set_attr(best_score=best_score,
+                                 best_iteration=best_iteration)
+                elif i - best_iteration >= stopping_rounds:
+                    logger.debug("XGB stopped. Best iteration: %d",
+                                 best_iteration)
+                    del bst.trees[best_iteration + 1:]
+                    break
+    return bst

@@ -60,6 +60,11 @@ def _pack_ids(features_list) -> np.ndarray:
     return np.asarray(ids, np.int64)
 
 
+# past this many per-store rows, the native pack-sum protocol grows its
+# trees on the accelerator (models/boost_tpu.py) when one is attached
+_TPU_BOOST_MIN_ROWS = 200_000
+
+
 class GBDTModelInternal:
     def __init__(self, max_depth: int = 6, learning_rate: float = 0.2,
                  n_estimators: int = 300, seed: int = 43,
@@ -215,7 +220,14 @@ class GBDTModelInternal:
         """The reference's full pack-sum protocol (xgb_model.py:120-250)
         on the in-repo booster: per-store rows, pack_sum_square_error
         objective, pack_sum_rmse + a-peak@N eval callbacks every 25
-        rounds, best-iteration early stopping after 100."""
+        rounds, best-iteration early stopping after 100.
+
+        Tree growth engine: the numpy grower (models/boost.py) at
+        search-loop scale; past ``_TPU_BOOST_MIN_ROWS`` rows with an
+        accelerator attached, the same protocol runs its per-round work
+        on device (models/boost_tpu.py) — that is what makes
+        TenSet-pretraining-scale corpora (millions of per-store rows)
+        trainable in-framework. ``VES_BOOST_TPU=1/0`` forces/forbids."""
         from . import boost
 
         rows = np.concatenate(features_list)
@@ -225,7 +237,8 @@ class GBDTModelInternal:
             rows, label=labels[pack_ids], pack_ids=pack_ids,
             weight=None if w is None else w[pack_ids],
             group_sizes=[len(features_list)])
-        self.model = boost.train(
+        train_fn = self._native_train_fn(len(rows))
+        self.model = train_fn(
             {
                 "max_depth": self.max_depth, "eta": self.learning_rate,
                 "gamma": 0.003, "min_child_weight": 2,
@@ -240,6 +253,31 @@ class GBDTModelInternal:
             verbose_eval=25 if verbose else 0,
         )
         self._train_shape = rows.shape[1]
+
+    @staticmethod
+    def _native_train_fn(n_rows: int):
+        """boost.train or (at scale, with an accelerator) the
+        device-round boost_tpu.train — both produce the same
+        boost.Booster, so saving/prediction are engine-agnostic."""
+        import os
+
+        force = os.environ.get("VES_BOOST_TPU")
+        if force == "0":
+            from . import boost
+            return boost.train
+        if force == "1":
+            from . import boost_tpu
+            return boost_tpu.train
+        if n_rows >= _TPU_BOOST_MIN_ROWS:
+            try:
+                import jax
+                if jax.default_backend() != "cpu":
+                    from . import boost_tpu
+                    return boost_tpu.train
+            except Exception:  # pragma: no cover - jax init failure
+                pass
+        from . import boost
+        return boost.train
 
     # ------------------------------------------------------------------
     def predict_on_features(self, features_list) -> np.ndarray:
