@@ -371,3 +371,96 @@ def test_gbdt_native_tpu_engine_selection(monkeypatch):
     m2.fit_base(feats, y)
     pred2 = m2.predict_on_features(feats)
     assert np.corrcoef(pred, pred2)[0, 1] > 0.999
+
+
+def test_boost_tpu_pallas_histogram_engine_parity():
+    """The fused VMEM histogram kernel (ops/hist_pallas.py, interpret
+    mode here) produces the same trees as the XLA matmul formulation
+    through a full training run."""
+    import os
+
+    from vae_extent_search_tpu.models import boost_tpu
+
+    rng = np.random.default_rng(9)
+    X = rng.standard_normal((350, 11)).astype(np.float32)
+    y = (X[:, 0] - 0.5 * X[:, 2] ** 2).astype(np.float32)
+    params = {"max_depth": 4, "eta": 0.3}
+    old = os.environ.get("VES_BOOST_HIST")
+    try:
+        os.environ["VES_BOOST_HIST"] = "xla"
+        b1 = boost_tpu.train(params, boost.DMatrix(X, label=y),
+                             num_boost_round=6, verbose_eval=0)
+        os.environ["VES_BOOST_HIST"] = "pallas_interpret"
+        b2 = boost_tpu.train(params, boost.DMatrix(X, label=y),
+                             num_boost_round=6, verbose_eval=0)
+    finally:
+        if old is None:
+            os.environ.pop("VES_BOOST_HIST", None)
+        else:
+            os.environ["VES_BOOST_HIST"] = old
+    assert np.abs(b1.predict(X) - b2.predict(X)).max() < 1e-4
+    for t1, t2 in zip(b1.trees, b2.trees):
+        assert t1.feature == t2.feature
+
+
+def test_hist_pallas_kernel_values():
+    """Kernel histograms (interpret mode) equal a direct scatter,
+    including bin-axis padding to full lanes and inert zero-g/h
+    padding rows."""
+    import jax.numpy as jnp
+
+    from vae_extent_search_tpu.ops.hist_pallas import hist_pallas
+
+    rng = np.random.default_rng(2)
+    n, d, m, nb = 700, 9, 4, 40    # nb < 128 exercises lane padding
+    binned = rng.integers(0, nb, (n, d)).astype(np.uint8)
+    node = rng.integers(0, m, n).astype(np.int32)
+    g = rng.standard_normal(n).astype(np.float32)
+    h = rng.random(n).astype(np.float32)
+    gh, hh = hist_pallas(jnp.asarray(binned), jnp.asarray(node),
+                         jnp.asarray(g), jnp.asarray(h), m=m, nb=nb,
+                         blk=256, fg=4, interpret=True)
+    ref_g = np.zeros((d, m, nb), np.float32)
+    ref_h = np.zeros((d, m, nb), np.float32)
+    np.add.at(ref_g, (np.arange(d)[None, :], node[:, None],
+                      binned), g[:, None])
+    np.add.at(ref_h, (np.arange(d)[None, :], node[:, None],
+                      binned), h[:, None])
+    assert np.abs(np.asarray(gh) - ref_g).max() < 1e-4
+    assert np.abs(np.asarray(hh) - ref_h).max() < 1e-4
+
+
+def test_boost_tpu_scan_path_callback_parity():
+    """The scan fast path (device metrics + post-hoc callback replay)
+    reproduces the numpy engine's eval lines — same rounds, same
+    metric names/order, values within f32 tolerance — including the
+    a-peak argmax tie-break toward the largest pack index."""
+    rng = np.random.default_rng(3)
+    rows = rng.random((600, 8)).astype(np.float32)
+    pack_ids = np.repeat(np.arange(150), 4)
+    labels = (rows.reshape(150, 4, 8).sum((1, 2)) / 10).astype(np.float32)
+
+    from vae_extent_search_tpu.models import boost_tpu
+
+    def run(train_fn):
+        d = boost.DMatrix(rows, label=labels[pack_ids], pack_ids=pack_ids,
+                          group_sizes=[150])
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            train_fn({"max_depth": 4, "eta": 0.5}, d, num_boost_round=40,
+                     obj=boost.pack_sum_square_error,
+                     fevals=[boost.pack_sum_rmse,
+                             boost.pack_sum_average_peak_score(1)],
+                     evals=[(d, "tr")], metric="tr-rmse",
+                     stopping_rounds=100, verbose_eval=25)
+        return buf.getvalue().strip().splitlines()
+
+    lines_np = run(boost.train)
+    lines_dev = run(boost_tpu.train)
+    assert len(lines_np) == len(lines_dev) and len(lines_np) >= 2
+    for a, b in zip(lines_np, lines_dev):
+        fa = re.findall(r"([\w@-]+): ([\d.]+)", a)
+        fb = re.findall(r"([\w@-]+): ([\d.]+)", b)
+        assert [k for k, _ in fa] == [k for k, _ in fb]
+        for (_, va), (_, vb) in zip(fa, fb):
+            assert abs(float(va) - float(vb)) < 2e-5, (a, b)

@@ -91,25 +91,45 @@ def _level_histograms(binned, node, grad, hess, m: int, nb: int):
     return ghist, hhist
 
 
-def _grow_tree_device(binned, n_edges, grad, hess, *, max_depth: int,
-                      nb: int, eta: float, reg_lambda: float, gamma: float,
-                      min_child_weight: float):
+def _grow_tree_device(hist_input, binned_T, n_edges, grad, hess, *,
+                      max_depth: int, nb: int, eta: float,
+                      reg_lambda: float, gamma: float,
+                      min_child_weight: float, hist_engine: str = "xla"):
     """One tree as a complete binary heap of static depth.
 
     Returns (feat [2^D-1], bin_thr [2^D-1], split [2^D-1] bool,
-    leafval [2^D], leaf_of_row [n]) where level ``l`` occupies heap
-    slots [2^l - 1, 2^(l+1) - 1)."""
-    n, d = binned.shape
+    leafval [2^D], row_update [n]) where level ``l`` occupies heap
+    slots [2^l - 1, 2^(l+1) - 1).
+
+    ``hist_engine="pallas"`` builds the level histograms with the
+    fused VMEM one-hot kernel (ops/hist_pallas.py) — ``hist_input`` is
+    then the pre-packed ``pack_bins_host`` tensor; for the XLA matmul
+    formulation it is row-major [n, d]. Per-node grad/hess totals come
+    free as the bin-axis sum of feature 0's histogram (every row lands
+    in exactly one bin). Row routing reads each split node's feature
+    as one contiguous dynamic row slice of ``binned_T`` [d, n] — TPU
+    gathers serialize like scatters, and the masked [n, d] reduction
+    tried first cost ~30 ms/level at 400k rows; the m-slice loop is
+    ~20x cheaper."""
+    d, n = binned_T.shape
     node = jnp.zeros(n, jnp.int32)
-    ones = jnp.ones(n, jnp.float32)
     feat_lv, bin_lv, split_lv = [], [], []
     bin_pos = jnp.arange(nb - 1, dtype=jnp.int32)
     for level in range(max_depth):
         m = 1 << level
-        Gn = jax.ops.segment_sum(grad, node, num_segments=m)
-        Hn = jax.ops.segment_sum(hess, node, num_segments=m)
-        Cn = jax.ops.segment_sum(ones, node, num_segments=m)
-        ghist, hhist = _level_histograms(binned, node, grad, hess, m, nb)
+        if hist_engine.startswith("pallas"):
+            from ..ops.hist_pallas import hist_pallas_packed
+            ghist, hhist = hist_pallas_packed(
+                hist_input, node, grad, hess, d=d, m=m, nb=nb,
+                interpret=hist_engine == "pallas_interpret")
+        else:
+            ghist, hhist = _level_histograms(hist_input, node, grad,
+                                             hess, m, nb)
+        Gn = ghist[0].sum(axis=-1)
+        Hn = hhist[0].sum(axis=-1)
+        Cn = jnp.zeros(m, jnp.float32)
+        for c in range(m):
+            Cn = Cn.at[c].set(jnp.sum((node == c).astype(jnp.float32)))
         gl = jnp.cumsum(ghist, axis=2)[:, :, :-1]       # [d, m, nb-1]
         hl = jnp.cumsum(hhist, axis=2)[:, :, :-1]
         gr = Gn[None, :, None] - gl
@@ -131,17 +151,30 @@ def _grow_tree_device(binned, n_edges, grad, hess, *, max_depth: int,
         feat_lv.append(f_best)
         bin_lv.append(k_best)
         split_lv.append(can_split)
-        fb = f_best[node]
-        kb = k_best[node]
-        rowbin = jnp.take_along_axis(
-            binned, fb[:, None].astype(jnp.int32), axis=1)[:, 0]
-        node = 2 * node + (rowbin > kb).astype(jnp.int32)
+        # route: per split node, its feature's bins are one contiguous
+        # row of binned_T (dynamic slice, traced row index)
+        goes_right = jnp.zeros(n, jnp.bool_)
+        for c in range(m):
+            col = jax.lax.dynamic_slice(
+                binned_T, (f_best[c], 0), (1, n))[0].astype(jnp.int32)
+            goes_right = jnp.where((node == c) & (col > k_best[c]),
+                                   True, goes_right)
+        node = 2 * node + goes_right.astype(jnp.int32)
     m = 1 << max_depth
-    G = jax.ops.segment_sum(grad, node, num_segments=m)
-    H = jax.ops.segment_sum(hess, node, num_segments=m)
+    # final-leaf Newton steps + per-row prediction update, loop-wise
+    # (m reductions beat [n, m] one-hot materializations on TPU)
+    G = jnp.zeros(m, jnp.float32)
+    H = jnp.zeros(m, jnp.float32)
+    for c in range(m):
+        in_c = node == c
+        G = G.at[c].set(jnp.sum(jnp.where(in_c, grad, 0.0)))
+        H = H.at[c].set(jnp.sum(jnp.where(in_c, hess, 0.0)))
     leafval = -eta * G / (H + reg_lambda)
+    row_update = jnp.zeros(n, jnp.float32)
+    for c in range(m):
+        row_update = jnp.where(node == c, leafval[c], row_update)
     return (jnp.concatenate(feat_lv), jnp.concatenate(bin_lv),
-            jnp.concatenate(split_lv), leafval, node)
+            jnp.concatenate(split_lv), leafval, row_update)
 
 
 def _descend_device(binned, feat, bin_thr, max_depth: int):
@@ -162,41 +195,50 @@ def _descend_device(binned, feat, bin_thr, max_depth: int):
 @functools.partial(
     jax.jit,
     static_argnames=("max_depth", "nb", "n_packs", "eta", "reg_lambda",
-                     "gamma", "min_child_weight", "weighted"))
-def _pack_sum_round(binned, n_edges, pack_ids, pack_label, row_weight,
-                    preds, *, max_depth: int, nb: int, n_packs: int,
-                    eta: float, reg_lambda: float, gamma: float,
-                    min_child_weight: float, weighted: bool):
+                     "gamma", "min_child_weight", "weighted",
+                     "hist_engine", "sorted_packs"))
+def _pack_sum_round(hist_input, binned_T, n_edges, pack_ids, label_row,
+                    row_weight, preds, *, max_depth: int, nb: int,
+                    n_packs: int, eta: float, reg_lambda: float,
+                    gamma: float, min_child_weight: float, weighted: bool,
+                    hist_engine: str = "xla", sorted_packs: bool = False):
     """One full boosting round under the pack-sum objective, on device:
     grad/hess from per-pack summed predictions (boost.py
     pack_sum_square_error), tree growth, and the train-set prediction
-    update (leaf value of each row's final node)."""
-    sums = jax.ops.segment_sum(preds, pack_ids, num_segments=n_packs)
-    grad = sums[pack_ids] - pack_label[pack_ids]
+    update (leaf value of each row's final node). ``label_row`` is the
+    per-row label (rows of a pack carry the pack's label), so only the
+    prediction sums need a per-round expansion."""
+    sums = jax.ops.segment_sum(preds, pack_ids, num_segments=n_packs,
+                               indices_are_sorted=sorted_packs)
+    grad = jnp.take(sums, pack_ids, indices_are_sorted=sorted_packs
+                    ) - label_row
     hess = jnp.ones_like(grad)
     if weighted:
         grad = grad * row_weight
         hess = hess * row_weight
-    feat, bin_thr, split, leafval, leaf_of_row = _grow_tree_device(
-        binned, n_edges, grad, hess, max_depth=max_depth, nb=nb, eta=eta,
-        reg_lambda=reg_lambda, gamma=gamma, min_child_weight=min_child_weight)
-    preds = preds + leafval[leaf_of_row]
+    feat, bin_thr, split, leafval, row_update = _grow_tree_device(
+        hist_input, binned_T, n_edges, grad, hess, max_depth=max_depth,
+        nb=nb, eta=eta, reg_lambda=reg_lambda, gamma=gamma,
+        min_child_weight=min_child_weight, hist_engine=hist_engine)
+    preds = preds + row_update
     return preds, feat, bin_thr, split, leafval
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("max_depth", "nb", "eta", "reg_lambda", "gamma",
-                     "min_child_weight"))
-def _plain_round(binned, n_edges, grad, hess, preds, *, max_depth: int,
-                 nb: int, eta: float, reg_lambda: float, gamma: float,
-                 min_child_weight: float):
+                     "min_child_weight", "hist_engine"))
+def _plain_round(hist_input, binned_T, n_edges, grad, hess, preds, *,
+                 max_depth: int, nb: int, eta: float, reg_lambda: float,
+                 gamma: float, min_child_weight: float,
+                 hist_engine: str = "xla"):
     """One round with host-supplied (grad, hess) — the generic custom
     objective path (one device round-trip per round)."""
-    feat, bin_thr, split, leafval, leaf_of_row = _grow_tree_device(
-        binned, n_edges, grad, hess, max_depth=max_depth, nb=nb, eta=eta,
-        reg_lambda=reg_lambda, gamma=gamma, min_child_weight=min_child_weight)
-    preds = preds + leafval[leaf_of_row]
+    feat, bin_thr, split, leafval, row_update = _grow_tree_device(
+        hist_input, binned_T, n_edges, grad, hess, max_depth=max_depth,
+        nb=nb, eta=eta, reg_lambda=reg_lambda, gamma=gamma,
+        min_child_weight=min_child_weight, hist_engine=hist_engine)
+    preds = preds + row_update
     return preds, feat, bin_thr, split, leafval
 
 
@@ -285,21 +327,32 @@ def train(params: dict, dtrain: DMatrix, num_boost_round: int = 300,
     dtrain._ensure_binned()
     thresholds = dtrain._thresholds
     nb = max(2, max(len(e) for e in thresholds) + 1)
-    binned = jnp.asarray(dtrain._binned.T)                    # [n, d] uint8
+    n = len(dtrain)
+    # the fused VMEM histogram kernel on real accelerators; the XLA
+    # matmul formulation elsewhere (and under VES_BOOST_HIST=xla)
+    import os
+    hist_engine = os.environ.get("VES_BOOST_HIST")
+    if hist_engine not in ("xla", "pallas", "pallas_interpret"):
+        hist_engine = ("pallas" if jax.default_backend() not in
+                       ("cpu",) else "xla")
+    binned_T = jnp.asarray(dtrain._binned)                    # [d, n] uint8
+    if hist_engine.startswith("pallas"):
+        from ..ops.hist_pallas import pack_bins_host
+        hist_input = jnp.asarray(pack_bins_host(dtrain._binned))
+    else:
+        hist_input = jnp.asarray(dtrain._binned.T)            # [n, d]
     n_edges = jnp.asarray(
         np.asarray([len(e) for e in thresholds], np.int32))
-    n = len(dtrain)
 
     pack_fast = (obj is boost.pack_sum_square_error or obj == "pack_sum")
     if pack_fast:
         pack_ids_np = dtrain.pack_ids
         n_packs = int(pack_ids_np.max()) + 1 if len(pack_ids_np) else 1
-        # boost.pack_sum_square_error grads against the per-row label
-        # (rows of a pack carry the pack's label); gather it per pack
-        pack_label_np = np.zeros(n_packs, np.float32)
-        pack_label_np[pack_ids_np] = dtrain.get_label()
+        sorted_packs = bool(np.all(np.diff(pack_ids_np) >= 0))
         pack_ids = jnp.asarray(pack_ids_np.astype(np.int32))
-        pack_label = jnp.asarray(pack_label_np)
+        # rows of a pack carry the pack's label, so the per-row label
+        # needs no per-round expansion
+        label_row = jnp.asarray(dtrain.get_label().astype(np.float32))
         w = dtrain.get_weight()
         weighted = len(w) > 0
         row_weight = jnp.asarray(w.astype(np.float32)) if weighted \
@@ -322,50 +375,14 @@ def train(params: dict, dtrain: DMatrix, num_boost_round: int = 300,
     best_score = -np.inf if maximize else np.inf
     best_iteration = 0
     kw = dict(max_depth=max_depth, nb=nb, eta=eta, reg_lambda=reg_lambda,
-              gamma=gamma, min_child_weight=min_child_weight)
+              gamma=gamma, min_child_weight=min_child_weight,
+              hist_engine=hist_engine)
 
-    for i in range(num_boost_round):
-        if pack_fast:
-            preds, feat, bin_thr, split, leafval = _pack_sum_round(
-                binned, n_edges, pack_ids, pack_label, row_weight, preds,
-                n_packs=n_packs, weighted=weighted, **kw)
-        else:
-            if obj is not None:
-                g, h = obj(np.asarray(preds), dtrain)
-            else:
-                g = np.asarray(preds) - dtrain.label
-                h = np.ones_like(g)
-                w = dtrain.get_weight()
-                if len(w):
-                    g, h = g * w, h * w
-            preds, feat, bin_thr, split, leafval = _plain_round(
-                binned, n_edges, jnp.asarray(g, jnp.float32),
-                jnp.asarray(h, jnp.float32), preds, **kw)
-        bst.trees.append(_to_numpy_tree(feat, bin_thr, split, leafval,
-                                        thresholds, max_depth))
-        for s in eval_state:
-            if s["binned"] is not None:
-                s["preds"] = _eval_update(s["binned"], s["preds"], feat,
-                                          bin_thr, leafval,
-                                          max_depth=max_depth)
-
-        if i % skip_every == 1:   # reference custom_callback:676
-            continue
-        need_eval = (fevals and (verbose_eval and i % verbose_eval == 0
-                                 or (metric and stopping_rounds)))
-        if not need_eval:
-            continue
-        eval_res = []
-        pred_tr_np = None
-        for feval in fevals:
-            for s in eval_state:
-                if s["binned"] is None:
-                    if pred_tr_np is None:
-                        pred_tr_np = np.asarray(preds)
-                    name, score = feval(pred_tr_np, dtrain)
-                else:
-                    name, score = feval(np.asarray(s["preds"]), s["dm"])
-                eval_res.append((f"{s['tag']}-{name}", score))
+    def _callback_step(i, eval_res):
+        """Reference custom_callback semantics for one round's eval
+        results: sort, print every verbose_eval, track best, return
+        True when early stopping should truncate + stop."""
+        nonlocal best_score, best_iteration
         if metric and eval_res:
             short = metric.split("-")[1]
             eval_res.sort(key=lambda x: x[0] if short not in x[0]
@@ -391,6 +408,201 @@ def train(params: dict, dtrain: DMatrix, num_boost_round: int = 300,
                 elif i - best_iteration >= stopping_rounds:
                     logger.debug("XGB stopped. Best iteration: %d",
                                  best_iteration)
+                    return True
+        return False
+
+    # -- scan fast path: the full protocol in round chunks -------------
+    # One dispatch per chunk instead of per round (a tunneled device
+    # pays a ~6-30 ms host round-trip per dispatch), with the standard
+    # protocol fevals computed ON DEVICE per round and the callback /
+    # early-stop semantics replayed on the returned metric series —
+    # exact, because stopping only truncates trees and the training
+    # trajectory never depends on the metric.
+    metric_kinds = _device_feval_kinds(fevals, dtrain)
+    scannable = (pack_fast and metric_kinds is not None
+                 and all(s["binned"] is None for s in eval_state))
+    if scannable:
+        tags = [s["tag"] for s in eval_state]
+        cnt = np.bincount(pack_ids_np, minlength=n_packs).astype(np.float32)
+        lp = np.bincount(pack_ids_np, weights=dtrain.get_label(),
+                         minlength=n_packs).astype(np.float32)
+        label_pack = jnp.asarray(lp / np.maximum(cnt, 1.0))
+        present = jnp.asarray(cnt > 0)
+        num_present = float((cnt > 0).sum())
+        names = {"rmse": "rmse"}
+        chunk = 50
+        i = 0
+        stopped = False
+        while i < num_boost_round and not stopped:
+            k = min(chunk, num_boost_round - i)
+            preds, ys = _pack_sum_scan(
+                hist_input, binned_T, n_edges, pack_ids, label_row,
+                row_weight, preds, label_pack, present,
+                k=k, n_packs=n_packs, weighted=weighted,
+                sorted_packs=sorted_packs,
+                metric_kinds=metric_kinds, num_present=num_present, **kw)
+            feats, bins_, splits, leafs, mets = jax.device_get(ys)
+            for j in range(k):
+                bst.trees.append(_to_numpy_tree(
+                    feats[j], bins_[j], splits[j], leafs[j], thresholds,
+                    max_depth))
+                ii = i + j
+                if ii % skip_every == 1:
+                    continue
+                eval_res = []
+                for mi, (kind, N) in enumerate(metric_kinds):
+                    name = "rmse" if kind == "rmse" else f"a-peak@{N}"
+                    for tag in tags:
+                        eval_res.append((f"{tag}-{name}",
+                                         float(mets[j][mi])))
+                if _callback_step(ii, eval_res):
                     del bst.trees[best_iteration + 1:]
+                    stopped = True
                     break
+            i += k
+        return bst
+
+    # -- general path: one dispatch per round --------------------------
+    # per-round tree arrays stay device-resident (futures in this
+    # list); they convert to numpy trees in ONE transfer at the end
+    pending: List[tuple] = []
+
+    def _flush_trees():
+        if not pending:
+            return
+        for feat, bin_thr, split, leafval in jax.device_get(pending):
+            bst.trees.append(_to_numpy_tree(feat, bin_thr, split, leafval,
+                                            thresholds, max_depth))
+        pending.clear()
+
+    for i in range(num_boost_round):
+        if pack_fast:
+            preds, feat, bin_thr, split, leafval = _pack_sum_round(
+                hist_input, binned_T, n_edges, pack_ids, label_row,
+                row_weight, preds, n_packs=n_packs, weighted=weighted,
+                sorted_packs=sorted_packs, **kw)
+        else:
+            if obj is not None:
+                g, h = obj(np.asarray(preds), dtrain)
+            else:
+                g = np.asarray(preds) - dtrain.label
+                h = np.ones_like(g)
+                w = dtrain.get_weight()
+                if len(w):
+                    g, h = g * w, h * w
+            preds, feat, bin_thr, split, leafval = _plain_round(
+                hist_input, binned_T, n_edges, jnp.asarray(g, jnp.float32),
+                jnp.asarray(h, jnp.float32), preds, **kw)
+        pending.append((feat, bin_thr, split, leafval))
+        for s in eval_state:
+            if s["binned"] is not None:
+                s["preds"] = _eval_update(s["binned"], s["preds"], feat,
+                                          bin_thr, leafval,
+                                          max_depth=max_depth)
+
+        if i % skip_every == 1:   # reference custom_callback:676
+            continue
+        need_eval = (fevals and (verbose_eval and i % verbose_eval == 0
+                                 or (metric and stopping_rounds)))
+        if not need_eval:
+            continue
+        eval_res = []
+        pred_tr_np = None
+        for feval in fevals:
+            for s in eval_state:
+                if s["binned"] is None:
+                    if pred_tr_np is None:
+                        pred_tr_np = np.asarray(preds)
+                    name, score = feval(pred_tr_np, dtrain)
+                else:
+                    name, score = feval(np.asarray(s["preds"]), s["dm"])
+                eval_res.append((f"{s['tag']}-{name}", score))
+        if _callback_step(i, eval_res):
+            _flush_trees()
+            del bst.trees[best_iteration + 1:]
+            break
+    _flush_trees()
     return bst
+
+
+def _device_feval_kinds(fevals, dtrain):
+    """Map the standard protocol fevals to on-device metric specs:
+    -> tuple of ("rmse", 0) / ("apeak", N), or None when any feval has
+    no device equivalent (or needs multi-group a-peak, which the scan
+    path does not model)."""
+    kinds = []
+    single_group = (not dtrain.group_sizes) or len(dtrain.group_sizes) == 1
+    for feval in fevals:
+        if feval is boost.pack_sum_rmse:
+            kinds.append(("rmse", 0))
+            continue
+        qual = getattr(feval, "__qualname__", "")
+        if "pack_sum_average_peak_score" in qual and single_group:
+            N = None
+            for cell in (feval.__closure__ or ()):
+                if isinstance(cell.cell_contents, int):
+                    N = cell.cell_contents
+            if N is not None:
+                kinds.append(("apeak", N))
+                continue
+        return None
+    return tuple(kinds)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_depth", "nb", "n_packs", "eta", "reg_lambda",
+                     "gamma", "min_child_weight", "weighted",
+                     "hist_engine", "sorted_packs", "k", "metric_kinds",
+                     "num_present"))
+def _pack_sum_scan(hist_input, binned_T, n_edges, pack_ids, label_row,
+                   row_weight, preds, label_pack, present, *, k: int,
+                   max_depth: int, nb: int, n_packs: int, eta: float,
+                   reg_lambda: float, gamma: float,
+                   min_child_weight: float, weighted: bool,
+                   hist_engine: str, sorted_packs: bool,
+                   metric_kinds: tuple, num_present: float):
+    """k pack-sum boosting rounds as ONE compiled scan, emitting the
+    per-round tree arrays plus the device-computed protocol metrics
+    (pack_sum_rmse / a-peak@N over per-pack summed predictions of the
+    post-update ensemble, exactly like the host fevals)."""
+
+    def body(preds, _):
+        sums = jax.ops.segment_sum(preds, pack_ids, num_segments=n_packs,
+                                   indices_are_sorted=sorted_packs)
+        grad = jnp.take(sums, pack_ids, indices_are_sorted=sorted_packs
+                        ) - label_row
+        hess = jnp.ones_like(grad)
+        if weighted:
+            grad = grad * row_weight
+            hess = hess * row_weight
+        feat, bin_thr, split, leafval, row_update = _grow_tree_device(
+            hist_input, binned_T, n_edges, grad, hess,
+            max_depth=max_depth, nb=nb, eta=eta, reg_lambda=reg_lambda,
+            gamma=gamma, min_child_weight=min_child_weight,
+            hist_engine=hist_engine)
+        preds = preds + row_update
+        mets = []
+        if metric_kinds:
+            sums_new = jax.ops.segment_sum(
+                preds, pack_ids, num_segments=n_packs,
+                indices_are_sorted=sorted_packs)
+            max_label = jnp.max(jnp.where(present, label_pack, -jnp.inf))
+            for kind, N in metric_kinds:
+                if kind == "rmse":
+                    err = jnp.where(present, sums_new - label_pack, 0.0)
+                    mets.append(jnp.sqrt(jnp.sum(err * err) / num_present))
+                else:
+                    masked = jnp.where(present, sums_new, -jnp.inf)
+                    # np.argsort(sums)[::-1] breaks ties toward the
+                    # LARGEST pack index; lax.top_k toward the
+                    # smallest — reverse to match the host feval
+                    _, idx_r = jax.lax.top_k(masked[::-1], N)
+                    idx = n_packs - 1 - idx_r
+                    curve = jax.lax.cummax(label_pack[idx]) / max_label
+                    mets.append(jnp.mean(curve))
+        met_vec = (jnp.stack(mets) if mets
+                   else jnp.zeros(0, jnp.float32))
+        return preds, (feat, bin_thr, split, leafval, met_vec)
+
+    return jax.lax.scan(body, preds, None, length=k)

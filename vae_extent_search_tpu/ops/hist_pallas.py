@@ -1,0 +1,152 @@
+"""Pallas TPU kernel: gradient/hessian bin histograms for GBDT growth.
+
+The histogram step of level-wise tree growth needs, per (feature f,
+tree-node c, bin b):
+
+    H[f, c, b] = sum over rows r in node c with bins[r, f] == b
+                 of (grad[r], hess[r])
+
+TPU scatters serialize, so models/boost_tpu.py first reformulated this
+as one-hot matmuls in XLA — but XLA must materialize each [n, nb]
+one-hot in HBM, which makes the step memory-bound (~820 MB of traffic
+per feature at 400k rows). This kernel generates both one-hots INSIDE
+VMEM and contracts on the MXU:
+
+    A_f = (bins[:, f] == iota_nb)                   [blk, nb]   (VMEM)
+    Bt  = [[nodeoh_t * g], [nodeoh_t * h]]          [2m, blk]   (VMEM)
+    H_f += Bt @ A_f                                 [2m, nb]
+
+Both operands are built in their MXU-native orientations — Bt is
+``[M, K]`` (node/g/h arrive lane-major as [1, n] rows), A is ``[K, N]``
+(bins arrive sublane-major from the feature-grouped pack) — so Mosaic
+inserts no transposes; an earlier [blk, 2m] B layout paid a per-step
+relayout that flattened throughput to ~80 ms/level regardless of m.
+The bin axis (nb, padded to full lanes) rides the MXU lane dimension.
+
+HBM sees the raw inputs once per level: bins (1 B/row/feature), node +
+g + h (12 B/row, re-read per feature group). ``fg`` features share one
+grid step (one Bt build, fg small dots) to amortize grid overhead;
+accumulation uses the standard revisited-output pattern (row-block
+innermost, output block resident in VMEM across the row sweep).
+
+Rows with g = h = 0 contribute nothing (their Bt column is zero), so
+padding n with zeros is safe regardless of the padded rows' bin/node
+values. Per-node grad/hess totals are the bin-axis sum of any
+feature's histogram (every row lands in exactly one bin) — the tree
+grower uses that instead of a separate segment_sum.
+
+The caller pre-packs bins ONCE per fit (host-side; DMatrix already
+holds [d, n]) into ``binned3 [ceil(d/fg), n, fg]`` via
+``pack_bins_host`` — the feature-group axis is the (full) last dim so
+the block shape satisfies Mosaic's lane-divisibility rule.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+import numpy as np
+
+_DEF_BLK = 4096
+_DEF_FG = 8
+
+
+def pack_bins_host(binned_dn: np.ndarray, fg: int = _DEF_FG,
+                   blk: int = _DEF_BLK):
+    """[d, n] uint8 (DMatrix._binned) -> [ceil(d/fg), n_pad, fg] uint8,
+    rows padded to the row-block size (inert: the kernel's g/h padding
+    zeroes their contribution)."""
+    d, n = binned_dn.shape
+    d_pad = -(-d // fg) * fg
+    n_pad = -(-n // blk) * blk
+    out = np.zeros((d_pad // fg, n_pad, fg), np.uint8)
+    for g in range(d_pad // fg):
+        chunk = binned_dn[g * fg:(g + 1) * fg]
+        out[g, :n, :chunk.shape[0]] = chunk.T
+    return out
+
+
+def _body(bins_ref, node_ref, g_ref, h_ref, out_ref, *, m: int, nb: int,
+          fg: int):
+    from jax.experimental import pallas as pl
+
+    f32 = jnp.float32
+    rb = pl.program_id(1)
+    node = node_ref[...]                                   # [1, blk] i32
+    nodeoh_t = (node == jax.lax.broadcasted_iota(
+        jnp.int32, (m, 1), 0)).astype(f32)                 # [m, blk]
+    Bt = jnp.concatenate(
+        [nodeoh_t * g_ref[...], nodeoh_t * h_ref[...]], axis=0)  # [2m, blk]
+    iota_b = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
+    bins = bins_ref[0]                                     # [blk, fg]
+    for f in range(fg):
+        A = (bins[:, f][:, None].astype(jnp.int32)
+             == iota_b).astype(f32)                        # [blk, nb]
+        acc = jax.lax.dot_general(
+            Bt, A, (((1,), (0,)), ((), ())),
+            preferred_element_type=f32)                    # [2m, nb]
+
+        @pl.when(rb == 0)
+        def _init():
+            out_ref[f] = acc
+
+        @pl.when(rb != 0)
+        def _accum():
+            out_ref[f] += acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d", "m", "nb", "blk", "fg", "interpret"))
+def hist_pallas_packed(binned3, node, grad, hess, *, d: int, m: int,
+                       nb: int, blk: int = _DEF_BLK, fg: int = _DEF_FG,
+                       interpret: bool = False):
+    """-> (ghist, hhist), each [d, m, nb] f32.
+
+    binned3: [ceil(d/fg), n_pad, fg] uint8 from ``pack_bins_host``;
+    node: [n] int32 in [0, m); grad/hess: [n] f32 (padded internally to
+    n_pad with inert zeros)."""
+    from jax.experimental import pallas as pl
+
+    n_groups, n_pad, _ = binned3.shape
+    nb_pad = -(-nb // 128) * 128       # full MXU lanes; extra bins stay 0
+    n = node.shape[0]
+    if n_pad != n:
+        node = jnp.pad(node, (0, n_pad - n))
+        grad = jnp.pad(grad, (0, n_pad - n))
+        hess = jnp.pad(hess, (0, n_pad - n))
+    grid = (n_groups, n_pad // blk)
+    out = pl.pallas_call(
+        functools.partial(_body, m=m, nb=nb_pad, fg=fg),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, blk, fg), lambda fgi, rb: (fgi, rb, 0)),
+            pl.BlockSpec((1, blk), lambda fgi, rb: (0, rb)),
+            pl.BlockSpec((1, blk), lambda fgi, rb: (0, rb)),
+            pl.BlockSpec((1, blk), lambda fgi, rb: (0, rb)),
+        ],
+        out_specs=pl.BlockSpec((fg, 2 * m, nb_pad),
+                               lambda fgi, rb: (fgi, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_groups * fg, 2 * m, nb_pad),
+                                       jnp.float32),
+        interpret=interpret,
+    )(binned3, node[None, :].astype(jnp.int32),
+      grad[None, :].astype(jnp.float32), hess[None, :].astype(jnp.float32))
+    out = out[:d, :, :nb]
+    return out[:, :m, :], out[:, m:, :]
+
+
+def hist_pallas(binned, node, grad, hess, *, m: int, nb: int,
+                blk: int = _DEF_BLK, fg: int = _DEF_FG,
+                interpret: bool = False):
+    """Convenience wrapper over row-major [n, d] bins (packs on the
+    host per call — tests and one-off use; the training loop pre-packs
+    once via ``pack_bins_host``)."""
+    n, d = binned.shape
+    binned3 = jnp.asarray(
+        pack_bins_host(np.asarray(binned).T, fg=fg, blk=blk))
+    return hist_pallas_packed(binned3, node, grad, hess, d=d, m=m, nb=nb,
+                              blk=blk, fg=fg, interpret=interpret)
