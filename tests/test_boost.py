@@ -464,3 +464,38 @@ def test_boost_tpu_scan_path_callback_parity():
         assert [k for k, _ in fa] == [k for k, _ in fb]
         for (_, va), (_, vb) in zip(fa, fb):
             assert abs(float(va) - float(vb)) < 2e-5, (a, b)
+
+
+def test_boost_tpu_sharded_matches_single_device():
+    """Data-parallel GBDT on the 8-device CPU mesh: rows sharded,
+    per-level histograms psum'd — the trees and callback metrics must
+    match single-device training (and thus the numpy engine)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from vae_extent_search_tpu.models import boost_tpu
+
+    rng = np.random.default_rng(12)
+    rows = rng.standard_normal((600, 10)).astype(np.float32)
+    pack_ids = np.repeat(np.arange(200), 3)
+    labels = (rows.reshape(200, 3, 10).sum((1, 2)) / 8).astype(np.float32)
+
+    def mk():
+        return boost.DMatrix(rows, label=labels[pack_ids],
+                             pack_ids=pack_ids, group_sizes=[200])
+
+    params = {"max_depth": 4, "eta": 0.3}
+    common = dict(num_boost_round=12, obj=boost.pack_sum_square_error,
+                  fevals=[boost.pack_sum_rmse],
+                  metric="tr-rmse", stopping_rounds=100, verbose_eval=0)
+    d1 = mk()
+    b1 = boost_tpu.train(params, d1, evals=[(d1, "tr")], **common)
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    d2 = mk()
+    b2 = boost_tpu.train(params, d2, evals=[(d2, "tr")], mesh=mesh,
+                         **common)
+    assert len(b1.trees) == len(b2.trees)
+    p1, p2 = b1.predict(d1), b2.predict(d2)
+    assert np.abs(p1 - p2).max() < 1e-4, np.abs(p1 - p2).max()
+    for t1, t2 in zip(b1.trees[:4], b2.trees[:4]):
+        assert t1.feature == t2.feature

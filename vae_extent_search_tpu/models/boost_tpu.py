@@ -94,7 +94,8 @@ def _level_histograms(binned, node, grad, hess, m: int, nb: int):
 def _grow_tree_device(hist_input, binned_T, n_edges, grad, hess, *,
                       max_depth: int, nb: int, eta: float,
                       reg_lambda: float, gamma: float,
-                      min_child_weight: float, hist_engine: str = "xla"):
+                      min_child_weight: float, hist_engine: str = "xla",
+                      axis_name=None, valid=None):
     """One tree as a complete binary heap of static depth.
 
     Returns (feat [2^D-1], bin_thr [2^D-1], split [2^D-1] bool,
@@ -110,11 +111,24 @@ def _grow_tree_device(hist_input, binned_T, n_edges, grad, hess, *,
     as one contiguous dynamic row slice of ``binned_T`` [d, n] — TPU
     gathers serialize like scatters, and the masked [n, d] reduction
     tried first cost ~30 ms/level at 400k rows; the m-slice loop is
-    ~20x cheaper."""
+    ~20x cheaper.
+
+    Multi-chip (``axis_name`` set, under shard_map with rows sharded
+    over that mesh axis): histograms and per-node stats accumulate
+    locally and ``psum`` — the collective moves the [d, 2m, nb]
+    histogram (megabytes) instead of any row-sized tensor; split
+    selection is then replicated on every chip and routing stays
+    local. ``valid`` masks padding rows out of the row-count check
+    (their grad/hess are already zeroed by weight-0 padding)."""
     d, n = binned_T.shape
     node = jnp.zeros(n, jnp.int32)
     feat_lv, bin_lv, split_lv = [], [], []
     bin_pos = jnp.arange(nb - 1, dtype=jnp.int32)
+
+    def _allsum(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
+
+    real = jnp.float32(1.0) if valid is None else valid.astype(jnp.float32)
     for level in range(max_depth):
         m = 1 << level
         if hist_engine.startswith("pallas"):
@@ -125,11 +139,15 @@ def _grow_tree_device(hist_input, binned_T, n_edges, grad, hess, *,
         else:
             ghist, hhist = _level_histograms(hist_input, node, grad,
                                              hess, m, nb)
+        if axis_name:
+            ghist, hhist = _allsum(ghist), _allsum(hhist)
         Gn = ghist[0].sum(axis=-1)
         Hn = hhist[0].sum(axis=-1)
         Cn = jnp.zeros(m, jnp.float32)
         for c in range(m):
-            Cn = Cn.at[c].set(jnp.sum((node == c).astype(jnp.float32)))
+            Cn = Cn.at[c].set(
+                jnp.sum((node == c).astype(jnp.float32) * real))
+        Cn = _allsum(Cn)
         gl = jnp.cumsum(ghist, axis=2)[:, :, :-1]       # [d, m, nb-1]
         hl = jnp.cumsum(hhist, axis=2)[:, :, :-1]
         gr = Gn[None, :, None] - gl
@@ -169,6 +187,7 @@ def _grow_tree_device(hist_input, binned_T, n_edges, grad, hess, *,
         in_c = node == c
         G = G.at[c].set(jnp.sum(jnp.where(in_c, grad, 0.0)))
         H = H.at[c].set(jnp.sum(jnp.where(in_c, hess, 0.0)))
+    G, H = _allsum(G), _allsum(H)
     leafval = -eta * G / (H + reg_lambda)
     row_update = jnp.zeros(n, jnp.float32)
     for c in range(m):
@@ -307,7 +326,8 @@ def train(params: dict, dtrain: DMatrix, num_boost_round: int = 300,
           metric: Optional[str] = None, maximize: bool = False,
           stopping_rounds: Optional[int] = None,
           verbose_eval: int = 25, skip_every: int = 5,
-          log_file: Optional[str] = None) -> Booster:
+          log_file: Optional[str] = None,
+          mesh=None, data_axis: str = "data") -> Booster:
     """Drop-in for boost.train with device-resident rounds.
 
     ``obj is boost.pack_sum_square_error`` (or the string "pack_sum")
@@ -316,7 +336,12 @@ def train(params: dict, dtrain: DMatrix, num_boost_round: int = 300,
     the host, the objective runs in numpy, and (grad, hess) are pushed
     back (one round-trip per round). Eval callbacks, early stopping,
     and printing reproduce boost.train / reference
-    xgb_model.py custom_callback:629-745 semantics."""
+    xgb_model.py custom_callback:629-745 semantics.
+
+    ``mesh``: a jax.sharding.Mesh for data-parallel training — rows
+    shard over ``data_axis``, per-level histograms psum over ICI, and
+    every chip grows identical trees (applies to the scan fast path;
+    other configurations fall back to single-device)."""
     max_depth = int(params.get("max_depth", 6))
     eta = float(params.get("eta", 0.3))
     reg_lambda = float(params.get("lambda", 1.0))
@@ -429,18 +454,29 @@ def train(params: dict, dtrain: DMatrix, num_boost_round: int = 300,
         label_pack = jnp.asarray(lp / np.maximum(cnt, 1.0))
         present = jnp.asarray(cnt > 0)
         num_present = float((cnt > 0).sum())
-        names = {"rmse": "rmse"}
+        scan_kw = dict(n_packs=n_packs, weighted=weighted,
+                       sorted_packs=sorted_packs,
+                       metric_kinds=metric_kinds,
+                       num_present=num_present, **kw)
+        if mesh is None:
+            def run_chunk(k, preds):
+                return _pack_sum_scan(
+                    hist_input, binned_T, n_edges, pack_ids, label_row,
+                    row_weight, preds, label_pack, present, k=k,
+                    **scan_kw)
+        else:
+            run_chunk = _make_sharded_chunk_runner(
+                dtrain, mesh, data_axis, hist_engine, pack_ids_np,
+                n_packs, base_score, scan_kw,
+                np.asarray(row_weight) if weighted else None,
+                label_pack, present)
+            preds = None  # the runner owns the (padded, sharded) preds
         chunk = 50
         i = 0
         stopped = False
         while i < num_boost_round and not stopped:
             k = min(chunk, num_boost_round - i)
-            preds, ys = _pack_sum_scan(
-                hist_input, binned_T, n_edges, pack_ids, label_row,
-                row_weight, preds, label_pack, present,
-                k=k, n_packs=n_packs, weighted=weighted,
-                sorted_packs=sorted_packs,
-                metric_kinds=metric_kinds, num_present=num_present, **kw)
+            preds, ys = run_chunk(k, preds)
             feats, bins_, splits, leafs, mets = jax.device_get(ys)
             for j in range(k):
                 bst.trees.append(_to_numpy_tree(
@@ -525,6 +561,71 @@ def train(params: dict, dtrain: DMatrix, num_boost_round: int = 300,
     return bst
 
 
+def _make_sharded_chunk_runner(dtrain, mesh, data_axis, hist_engine,
+                               pack_ids_np, n_packs, base_score, scan_kw,
+                               row_weight_np, label_pack, present):
+    """Data-parallel chunk runner: rows padded to shards x row-block
+    and sharded over ``data_axis``; padding rows carry weight 0 and
+    valid=False so they are inert in histograms, pack sums, and row
+    counts. Every shard emits identical trees (histograms psum)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..ops.hist_pallas import _DEF_BLK, pack_bins_host
+
+    n = len(dtrain)
+    nsh = mesh.shape[data_axis]
+    unit = nsh * (_DEF_BLK if hist_engine.startswith("pallas") else 1)
+    n_pad = -(-n // unit) * unit
+    pad = n_pad - n
+    binned_dn = np.pad(dtrain._binned, ((0, 0), (0, pad)))
+    if hist_engine.startswith("pallas"):
+        hist_np = pack_bins_host(binned_dn)        # rows already padded
+        hist_spec = P(None, data_axis, None)
+    else:
+        hist_np = np.ascontiguousarray(binned_dn.T)
+        hist_spec = P(data_axis, None)
+
+    def shard(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    last = pack_ids_np[-1] if len(pack_ids_np) else 0
+    args = (
+        shard(hist_np, hist_spec),
+        shard(binned_dn, P(None, data_axis)),
+        jnp.asarray(np.asarray(
+            [len(e) for e in dtrain._thresholds], np.int32)),
+        shard(np.pad(pack_ids_np.astype(np.int32), (0, pad),
+                     constant_values=last), P(data_axis)),
+        shard(np.pad(dtrain.get_label().astype(np.float32), (0, pad)),
+              P(data_axis)),
+        shard(np.pad((row_weight_np if row_weight_np is not None
+                      else np.ones(n)).astype(np.float32), (0, pad)),
+              P(data_axis)),
+    )
+    valid = shard(np.arange(n_pad) < n, P(data_axis))
+    preds0 = shard(np.full(n_pad, base_score, np.float32), P(data_axis))
+    skw = dict(scan_kw, weighted=True)
+
+    fns = {}
+
+    def run_chunk(k, preds):
+        if preds is None:
+            preds = preds0
+        if k not in fns:
+            fns[k] = jax.jit(jax.shard_map(
+                functools.partial(_pack_sum_scan, k=k,
+                                  axis_name=data_axis, **skw),
+                mesh=mesh,
+                in_specs=(hist_spec, P(None, data_axis), P(),
+                          P(data_axis), P(data_axis), P(data_axis),
+                          P(data_axis), P(), P(), P(data_axis)),
+                out_specs=(P(data_axis), (P(), P(), P(), P(), P())),
+                check_vma=False))
+        return fns[k](*args[:6], preds, label_pack, present, valid)
+
+    return run_chunk
+
+
 def _device_feval_kinds(fevals, dtrain):
     """Map the standard protocol fevals to on-device metric specs:
     -> tuple of ("rmse", 0) / ("apeak", N), or None when any feval has
@@ -554,22 +655,33 @@ def _device_feval_kinds(fevals, dtrain):
     static_argnames=("max_depth", "nb", "n_packs", "eta", "reg_lambda",
                      "gamma", "min_child_weight", "weighted",
                      "hist_engine", "sorted_packs", "k", "metric_kinds",
-                     "num_present"))
+                     "num_present", "axis_name"))
 def _pack_sum_scan(hist_input, binned_T, n_edges, pack_ids, label_row,
-                   row_weight, preds, label_pack, present, *, k: int,
-                   max_depth: int, nb: int, n_packs: int, eta: float,
-                   reg_lambda: float, gamma: float,
+                   row_weight, preds, label_pack, present, valid=None, *,
+                   k: int, max_depth: int, nb: int, n_packs: int,
+                   eta: float, reg_lambda: float, gamma: float,
                    min_child_weight: float, weighted: bool,
                    hist_engine: str, sorted_packs: bool,
-                   metric_kinds: tuple, num_present: float):
+                   metric_kinds: tuple, num_present: float,
+                   axis_name=None):
     """k pack-sum boosting rounds as ONE compiled scan, emitting the
     per-round tree arrays plus the device-computed protocol metrics
     (pack_sum_rmse / a-peak@N over per-pack summed predictions of the
-    post-update ensemble, exactly like the host fevals)."""
+    post-update ensemble, exactly like the host fevals).
+
+    Under shard_map (``axis_name``, rows sharded), pack sums psum
+    across shards — packs may straddle shard boundaries — and
+    ``valid`` keeps row-padding out of them; tree arrays and metrics
+    come out replicated."""
+
+    def _pack_sums(preds):
+        p = preds if valid is None else jnp.where(valid, preds, 0.0)
+        s = jax.ops.segment_sum(p, pack_ids, num_segments=n_packs,
+                                indices_are_sorted=sorted_packs)
+        return jax.lax.psum(s, axis_name) if axis_name else s
 
     def body(preds, _):
-        sums = jax.ops.segment_sum(preds, pack_ids, num_segments=n_packs,
-                                   indices_are_sorted=sorted_packs)
+        sums = _pack_sums(preds)
         grad = jnp.take(sums, pack_ids, indices_are_sorted=sorted_packs
                         ) - label_row
         hess = jnp.ones_like(grad)
@@ -580,13 +692,11 @@ def _pack_sum_scan(hist_input, binned_T, n_edges, pack_ids, label_row,
             hist_input, binned_T, n_edges, grad, hess,
             max_depth=max_depth, nb=nb, eta=eta, reg_lambda=reg_lambda,
             gamma=gamma, min_child_weight=min_child_weight,
-            hist_engine=hist_engine)
+            hist_engine=hist_engine, axis_name=axis_name, valid=valid)
         preds = preds + row_update
         mets = []
         if metric_kinds:
-            sums_new = jax.ops.segment_sum(
-                preds, pack_ids, num_segments=n_packs,
-                indices_are_sorted=sorted_packs)
+            sums_new = _pack_sums(preds)
             max_label = jnp.max(jnp.where(present, label_pack, -jnp.inf))
             for kind, N in metric_kinds:
                 if kind == "rmse":
