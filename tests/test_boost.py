@@ -499,3 +499,43 @@ def test_boost_tpu_sharded_matches_single_device():
     assert np.abs(p1 - p2).max() < 1e-4, np.abs(p1 - p2).max()
     for t1, t2 in zip(b1.trees[:4], b2.trees[:4]):
         assert t1.feature == t2.feature
+
+
+def test_boost_tpu_tiered_histograms_parity():
+    """Real per-store matrices are mostly one-hot columns (98/164
+    binary); the low-cardinality tier packs nb//sw of them per MXU dot
+    via lane-expanded bins. Mixed binary+continuous training through
+    the tiered kernel (interpret) must match the XLA engine tree for
+    tree, including splits ON binary columns."""
+    import os
+
+    from vae_extent_search_tpu.models import boost_tpu
+
+    rng = np.random.default_rng(21)
+    n = 500
+    X = np.zeros((n, 40), np.float32)
+    X[:, :30] = (rng.random((n, 30)) < 0.4)         # binary block
+    X[:, 30:] = rng.standard_normal((n, 10))
+    y = (2.0 * X[:, 3] - 1.5 * X[:, 17] + X[:, 35]
+         + 0.05 * rng.standard_normal(n)).astype(np.float32)
+    params = {"max_depth": 4, "eta": 0.3}
+    old = os.environ.get("VES_BOOST_HIST")
+    try:
+        os.environ["VES_BOOST_HIST"] = "xla"
+        b1 = boost_tpu.train(params, boost.DMatrix(X, label=y),
+                             num_boost_round=8, verbose_eval=0)
+        os.environ["VES_BOOST_HIST"] = "pallas_interpret"
+        b2 = boost_tpu.train(params, boost.DMatrix(X, label=y),
+                             num_boost_round=8, verbose_eval=0)
+    finally:
+        if old is None:
+            os.environ.pop("VES_BOOST_HIST", None)
+        else:
+            os.environ["VES_BOOST_HIST"] = old
+    assert np.abs(b1.predict(X) - b2.predict(X)).max() < 1e-4
+    split_feats = set()
+    for t1, t2 in zip(b1.trees, b2.trees):
+        assert t1.feature == t2.feature
+        assert np.allclose(t1.threshold, t2.threshold)
+        split_feats.update(f for f in t1.feature if f >= 0)
+    assert split_feats & set(range(30)), "no binary-column splits hit"

@@ -50,7 +50,10 @@ def bench(train_fn, rows, pack_ids, labels, params, n_rounds,
     d._ensure_binned()
     t_bin = time.perf_counter() - t_bin
     if warmup:
-        train_fn(params, d, num_boost_round=warmup,
+        # warm with the SAME round count: the scan fast path compiles
+        # per chunk length, so a different warmup k leaves the timed
+        # run paying a fresh compile
+        train_fn(params, d, num_boost_round=n_rounds,
                  obj=boost.pack_sum_square_error, verbose_eval=0)
     t0 = time.perf_counter()
     bst = train_fn(params, d, num_boost_round=n_rounds,

@@ -95,7 +95,7 @@ def _grow_tree_device(hist_input, binned_T, n_edges, grad, hess, *,
                       max_depth: int, nb: int, eta: float,
                       reg_lambda: float, gamma: float,
                       min_child_weight: float, hist_engine: str = "xla",
-                      axis_name=None, valid=None):
+                      axis_name=None, valid=None, hist_meta: tuple = ()):
     """One tree as a complete binary heap of static depth.
 
     Returns (feat [2^D-1], bin_thr [2^D-1], split [2^D-1] bool,
@@ -129,42 +129,99 @@ def _grow_tree_device(hist_input, binned_T, n_edges, grad, hess, *,
         return jax.lax.psum(x, axis_name) if axis_name else x
 
     real = jnp.float32(1.0) if valid is None else valid.astype(jnp.float32)
+
+    def _tier_best(ghist, hhist, Gn, Hn, n_edges_t, feat_ids_t, nbt):
+        """Best split per node within one histogram tier -> (gain [m],
+        orig-order flat index [m]) where the flat index is
+        f_orig*(nb-1)+k — comparing it reproduces the global
+        first-maximum tie-break in ORIGINAL feature order (features
+        within a tier keep ascending original order)."""
+        gl = jnp.cumsum(ghist, axis=2)[:, :, :-1]   # [d_t, m, nbt-1]
+        hl = jnp.cumsum(hhist, axis=2)[:, :, :-1]
+        gr = Gn[None, :, None] - gl
+        hr = Hn[None, :, None] - hl
+        parent = (Gn * Gn / (Hn + reg_lambda))[None, :, None]
+        pos = jnp.arange(nbt - 1, dtype=jnp.int32)
+        ok = ((hl >= min_child_weight) & (hr >= min_child_weight)
+              & (pos[None, None, :] < n_edges_t[:, None, None]))
+        gain = 0.5 * (gl * gl / (hl + reg_lambda)
+                      + gr * gr / (hr + reg_lambda) - parent) - gamma
+        gain = jnp.where(ok, gain, -jnp.inf)
+        d_t = ghist.shape[0]
+        flat = jnp.moveaxis(gain, 1, 0).reshape(-1, d_t * (nbt - 1))
+        best = jnp.argmax(flat, axis=1)
+        best_gain = jnp.take_along_axis(flat, best[:, None], 1)[:, 0]
+        f_orig = feat_ids_t[(best // (nbt - 1)).astype(jnp.int32)]
+        k = (best % (nbt - 1)).astype(jnp.int32)
+        return best_gain, f_orig * (nb - 1) + k
+
     for level in range(max_depth):
         m = 1 << level
+        tiers = []   # (gain [m], orig_flat [m]) candidates to merge
         if hist_engine.startswith("pallas"):
             from ..ops.hist_pallas import hist_pallas_packed
-            ghist, hhist = hist_pallas_packed(
-                hist_input, node, grad, hess, d=d, m=m, nb=nb,
-                interpret=hist_engine == "pallas_interpret")
+            interp = hist_engine == "pallas_interpret"
+            if hist_meta:
+                d_small, d_big, sw = hist_meta
+                (packed_big, packed_small, ids_small, ids_big,
+                 ne_small, ne_big) = hist_input
+                nb_pad = -(-nb // 128) * 128
+                fpd = nb_pad // sw
+                n_dots = -(-d_small // fpd)
+                gs, hs = hist_pallas_packed(
+                    packed_small, node, grad, hess, d=n_dots, m=m,
+                    nb=nb_pad, fg=1, sw=sw, interpret=interp)
+                # [n_dots, m, nb_pad] -> per-feature windows
+                gs = jnp.moveaxis(gs.reshape(n_dots, m, fpd, sw), 2, 1
+                                  ).reshape(n_dots * fpd, m, sw)[:d_small]
+                hs = jnp.moveaxis(hs.reshape(n_dots, m, fpd, sw), 2, 1
+                                  ).reshape(n_dots * fpd, m, sw)[:d_small]
+                if axis_name:
+                    gs, hs = _allsum(gs), _allsum(hs)
+                Gn = gs[0].sum(axis=-1)
+                Hn = hs[0].sum(axis=-1)
+                tiers.append(_tier_best(gs, hs, Gn, Hn, ne_small,
+                                        ids_small, sw))
+                if d_big:
+                    gb, hb = hist_pallas_packed(
+                        packed_big, node, grad, hess, d=d_big, m=m,
+                        nb=nb, interpret=interp)
+                    if axis_name:
+                        gb, hb = _allsum(gb), _allsum(hb)
+                    tiers.append(_tier_best(gb, hb, Gn, Hn, ne_big,
+                                            ids_big, nb))
+            else:
+                ghist, hhist = hist_pallas_packed(
+                    hist_input, node, grad, hess, d=d, m=m, nb=nb,
+                    interpret=interp)
         else:
             ghist, hhist = _level_histograms(hist_input, node, grad,
                                              hess, m, nb)
-        if axis_name:
-            ghist, hhist = _allsum(ghist), _allsum(hhist)
-        Gn = ghist[0].sum(axis=-1)
-        Hn = hhist[0].sum(axis=-1)
+        if not tiers:
+            if axis_name:
+                ghist, hhist = _allsum(ghist), _allsum(hhist)
+            Gn = ghist[0].sum(axis=-1)
+            Hn = hhist[0].sum(axis=-1)
+            tiers.append(_tier_best(
+                ghist, hhist, Gn, Hn, n_edges,
+                jnp.arange(d, dtype=jnp.int32), nb))
         Cn = jnp.zeros(m, jnp.float32)
         for c in range(m):
             Cn = Cn.at[c].set(
                 jnp.sum((node == c).astype(jnp.float32) * real))
         Cn = _allsum(Cn)
-        gl = jnp.cumsum(ghist, axis=2)[:, :, :-1]       # [d, m, nb-1]
-        hl = jnp.cumsum(hhist, axis=2)[:, :, :-1]
-        gr = Gn[None, :, None] - gl
-        hr = Hn[None, :, None] - hl
-        parent = (Gn * Gn / (Hn + reg_lambda))[None, :, None]
-        ok = ((hl >= min_child_weight) & (hr >= min_child_weight)
-              & (bin_pos[None, None, :] < n_edges[:, None, None]))
-        gain = 0.5 * (gl * gl / (hl + reg_lambda)
-                      + gr * gr / (hr + reg_lambda) - parent) - gamma
-        gain = jnp.where(ok, gain, -jnp.inf)
-        flat = jnp.moveaxis(gain, 1, 0).reshape(m, d * (nb - 1))
-        best = jnp.argmax(flat, axis=1)
-        best_gain = jnp.take_along_axis(flat, best[:, None], 1)[:, 0]
+        best_gain, best_flat = tiers[0]
+        for g2, fl2 in tiers[1:]:
+            take2 = (g2 > best_gain) | ((g2 == best_gain)
+                                        & (fl2 < best_flat))
+            best_gain = jnp.where(take2, g2, best_gain)
+            best_flat = jnp.where(take2, fl2, best_flat)
         can_split = ((best_gain > 0.0) & (Hn >= 2 * min_child_weight)
                      & (Cn >= 2))
-        f_best = jnp.where(can_split, (best // (nb - 1)).astype(jnp.int32), 0)
-        k_best = jnp.where(can_split, (best % (nb - 1)).astype(jnp.int32),
+        f_best = jnp.where(can_split,
+                           (best_flat // (nb - 1)).astype(jnp.int32), 0)
+        k_best = jnp.where(can_split,
+                           (best_flat % (nb - 1)).astype(jnp.int32),
                            nb - 1)  # dead: every bin <= nb-1 -> all left
         feat_lv.append(f_best)
         bin_lv.append(k_best)
@@ -215,12 +272,13 @@ def _descend_device(binned, feat, bin_thr, max_depth: int):
     jax.jit,
     static_argnames=("max_depth", "nb", "n_packs", "eta", "reg_lambda",
                      "gamma", "min_child_weight", "weighted",
-                     "hist_engine", "sorted_packs"))
+                     "hist_engine", "sorted_packs", "hist_meta"))
 def _pack_sum_round(hist_input, binned_T, n_edges, pack_ids, label_row,
                     row_weight, preds, *, max_depth: int, nb: int,
                     n_packs: int, eta: float, reg_lambda: float,
                     gamma: float, min_child_weight: float, weighted: bool,
-                    hist_engine: str = "xla", sorted_packs: bool = False):
+                    hist_engine: str = "xla", sorted_packs: bool = False,
+                    hist_meta: tuple = ()):
     """One full boosting round under the pack-sum objective, on device:
     grad/hess from per-pack summed predictions (boost.py
     pack_sum_square_error), tree growth, and the train-set prediction
@@ -238,7 +296,8 @@ def _pack_sum_round(hist_input, binned_T, n_edges, pack_ids, label_row,
     feat, bin_thr, split, leafval, row_update = _grow_tree_device(
         hist_input, binned_T, n_edges, grad, hess, max_depth=max_depth,
         nb=nb, eta=eta, reg_lambda=reg_lambda, gamma=gamma,
-        min_child_weight=min_child_weight, hist_engine=hist_engine)
+        min_child_weight=min_child_weight, hist_engine=hist_engine,
+        hist_meta=hist_meta)
     preds = preds + row_update
     return preds, feat, bin_thr, split, leafval
 
@@ -246,17 +305,18 @@ def _pack_sum_round(hist_input, binned_T, n_edges, pack_ids, label_row,
 @functools.partial(
     jax.jit,
     static_argnames=("max_depth", "nb", "eta", "reg_lambda", "gamma",
-                     "min_child_weight", "hist_engine"))
+                     "min_child_weight", "hist_engine", "hist_meta"))
 def _plain_round(hist_input, binned_T, n_edges, grad, hess, preds, *,
                  max_depth: int, nb: int, eta: float, reg_lambda: float,
                  gamma: float, min_child_weight: float,
-                 hist_engine: str = "xla"):
+                 hist_engine: str = "xla", hist_meta: tuple = ()):
     """One round with host-supplied (grad, hess) — the generic custom
     objective path (one device round-trip per round)."""
     feat, bin_thr, split, leafval, row_update = _grow_tree_device(
         hist_input, binned_T, n_edges, grad, hess, max_depth=max_depth,
         nb=nb, eta=eta, reg_lambda=reg_lambda, gamma=gamma,
-        min_child_weight=min_child_weight, hist_engine=hist_engine)
+        min_child_weight=min_child_weight, hist_engine=hist_engine,
+        hist_meta=hist_meta)
     preds = preds + row_update
     return preds, feat, bin_thr, split, leafval
 
@@ -361,11 +421,42 @@ def train(params: dict, dtrain: DMatrix, num_boost_round: int = 300,
         hist_engine = ("pallas" if jax.default_backend() not in
                        ("cpu",) else "xla")
     binned_T = jnp.asarray(dtrain._binned)                    # [d, n] uint8
-    if hist_engine.startswith("pallas"):
-        from ..ops.hist_pallas import pack_bins_host
-        hist_input = jnp.asarray(pack_bins_host(dtrain._binned))
+    hist_meta: tuple = ()
+    cache = getattr(dtrain, "_ves_pack_cache", None)
+    if cache is not None and cache[0] == hist_engine:
+        hist_input, hist_meta = cache[1], cache[2]
+    elif hist_engine.startswith("pallas"):
+        from ..ops.hist_pallas import (pack_bins_host,
+                                       pack_bins_host_expanded,
+                                       plan_tiers)
+        nb_pad = -(-nb // 128) * 128
+        idx_small, idx_big, _ = plan_tiers(
+            np.asarray([len(e) for e in thresholds]), sw=2)
+        # two kernel launches only pay off when enough columns are
+        # (near-)binary — real per-store corpora have ~98/164
+        # (VES_BOOST_TIER=0 disables, for A/B timing)
+        if (len(idx_small) >= 16
+                and os.environ.get("VES_BOOST_TIER") != "0"):
+            ne = np.asarray([len(e) for e in thresholds], np.int32)
+            packed_small = jnp.asarray(pack_bins_host_expanded(
+                dtrain._binned[idx_small], sw=2, nb=nb_pad))
+            packed_big = (jnp.asarray(pack_bins_host(
+                dtrain._binned[idx_big])) if len(idx_big)
+                else jnp.zeros((1, 1, 1), jnp.uint8))  # unused: d_big=0
+            hist_input = (
+                packed_big, packed_small,
+                jnp.asarray(idx_small.astype(np.int32)),
+                jnp.asarray(idx_big.astype(np.int32)),
+                jnp.asarray(ne[idx_small]), jnp.asarray(ne[idx_big]))
+            hist_meta = (len(idx_small), len(idx_big), 2)
+        else:
+            hist_input = jnp.asarray(pack_bins_host(dtrain._binned))
     else:
         hist_input = jnp.asarray(dtrain._binned.T)            # [n, d]
+    if cache is None:
+        # host packing of a 1M-row corpus costs seconds; repeated fits
+        # on one DMatrix (few-shot, warm-up) must not repay it
+        dtrain._ves_pack_cache = (hist_engine, hist_input, hist_meta)
     n_edges = jnp.asarray(
         np.asarray([len(e) for e in thresholds], np.int32))
 
@@ -401,7 +492,7 @@ def train(params: dict, dtrain: DMatrix, num_boost_round: int = 300,
     best_iteration = 0
     kw = dict(max_depth=max_depth, nb=nb, eta=eta, reg_lambda=reg_lambda,
               gamma=gamma, min_child_weight=min_child_weight,
-              hist_engine=hist_engine)
+              hist_engine=hist_engine, hist_meta=hist_meta)
 
     def _callback_step(i, eval_res):
         """Reference custom_callback semantics for one round's eval
@@ -604,7 +695,8 @@ def _make_sharded_chunk_runner(dtrain, mesh, data_axis, hist_engine,
     )
     valid = shard(np.arange(n_pad) < n, P(data_axis))
     preds0 = shard(np.full(n_pad, base_score, np.float32), P(data_axis))
-    skw = dict(scan_kw, weighted=True)
+    # the runner packs its own (single-tier) hist input
+    skw = dict(scan_kw, weighted=True, hist_meta=())
 
     fns = {}
 
@@ -655,7 +747,7 @@ def _device_feval_kinds(fevals, dtrain):
     static_argnames=("max_depth", "nb", "n_packs", "eta", "reg_lambda",
                      "gamma", "min_child_weight", "weighted",
                      "hist_engine", "sorted_packs", "k", "metric_kinds",
-                     "num_present", "axis_name"))
+                     "num_present", "axis_name", "hist_meta"))
 def _pack_sum_scan(hist_input, binned_T, n_edges, pack_ids, label_row,
                    row_weight, preds, label_pack, present, valid=None, *,
                    k: int, max_depth: int, nb: int, n_packs: int,
@@ -663,7 +755,7 @@ def _pack_sum_scan(hist_input, binned_T, n_edges, pack_ids, label_row,
                    min_child_weight: float, weighted: bool,
                    hist_engine: str, sorted_packs: bool,
                    metric_kinds: tuple, num_present: float,
-                   axis_name=None):
+                   axis_name=None, hist_meta: tuple = ()):
     """k pack-sum boosting rounds as ONE compiled scan, emitting the
     per-round tree arrays plus the device-computed protocol metrics
     (pack_sum_rmse / a-peak@N over per-pack summed predictions of the
@@ -692,7 +784,8 @@ def _pack_sum_scan(hist_input, binned_T, n_edges, pack_ids, label_row,
             hist_input, binned_T, n_edges, grad, hess,
             max_depth=max_depth, nb=nb, eta=eta, reg_lambda=reg_lambda,
             gamma=gamma, min_child_weight=min_child_weight,
-            hist_engine=hist_engine, axis_name=axis_name, valid=valid)
+            hist_engine=hist_engine, axis_name=axis_name, valid=valid,
+            hist_meta=hist_meta)
         preds = preds + row_update
         mets = []
         if metric_kinds:

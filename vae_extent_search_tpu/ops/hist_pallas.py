@@ -69,8 +69,51 @@ def pack_bins_host(binned_dn: np.ndarray, fg: int = _DEF_FG,
     return out
 
 
+def plan_tiers(n_edges: np.ndarray, sw: int = 2):
+    """Split features into a low-cardinality tier (n_bins <= sw: the
+    per-store one-hot/enum columns — 98 of 164 on real corpora) that
+    packs nb//sw features per MXU dot, and the full-width remainder.
+
+    Returns (idx_small, idx_big, inv_perm): inv_perm restores the
+    ORIGINAL feature order from concat(small, big) so split-gain
+    tie-breaking is unchanged."""
+    n_edges = np.asarray(n_edges)
+    small = np.where(n_edges + 1 <= sw)[0]
+    big = np.where(n_edges + 1 > sw)[0]
+    order = np.concatenate([small, big])
+    inv = np.empty(len(n_edges), np.int64)
+    inv[order] = np.arange(len(n_edges))
+    return small, big, inv
+
+
+def pack_bins_host_expanded(binned_dn: np.ndarray, sw: int, nb: int,
+                            fg: int = 1, blk: int = _DEF_BLK):
+    """Lane-expanded pack for a low-cardinality tier: feature j of a
+    dot occupies lanes [j*sw, (j+1)*sw) and its bin value is replicated
+    across that window, so the kernel's single ``== iota % sw`` lights
+    all nb//sw features' one-hots at once.
+
+    [d_t, n] uint8 -> [ceil(G/fg), n_pad, fg*nb] uint8 where
+    G = ceil(d_t / (nb//sw)) dots."""
+    d_t, n = binned_dn.shape
+    fpd = nb // sw                   # features per dot
+    G = max(1, -(-d_t // fpd))
+    g_pad = -(-G // fg) * fg
+    n_pad = -(-n // blk) * blk
+    out = np.zeros((g_pad // fg, n_pad, fg * nb), np.uint8)
+    # value sw (never == iota%sw in [0, sw)) keeps padding windows dark
+    out[:, :, :] = sw
+    for j in range(d_t):
+        dot, slot = divmod(j, fpd)
+        chunk, f = divmod(dot, fg)
+        lane0 = f * nb + slot * sw
+        col = binned_dn[j][:, None]                      # [n, 1]
+        out[chunk, :n, lane0:lane0 + sw] = col
+    return out
+
+
 def _body(bins_ref, node_ref, g_ref, h_ref, out_ref, *, m: int, nb: int,
-          fg: int):
+          fg: int, sw: int):
     from jax.experimental import pallas as pl
 
     f32 = jnp.float32
@@ -81,10 +124,19 @@ def _body(bins_ref, node_ref, g_ref, h_ref, out_ref, *, m: int, nb: int,
     Bt = jnp.concatenate(
         [nodeoh_t * g_ref[...], nodeoh_t * h_ref[...]], axis=0)  # [2m, blk]
     iota_b = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
-    bins = bins_ref[0]                                     # [blk, fg]
+    bins = bins_ref[0]                         # [blk, fg] or [blk, fg*nb]
     for f in range(fg):
-        A = (bins[:, f][:, None].astype(jnp.int32)
-             == iota_b).astype(f32)                        # [blk, nb]
+        if sw == nb:
+            # one feature per dot: full-width one-hot of its bin column
+            A = (bins[:, f][:, None].astype(jnp.int32)
+                 == iota_b).astype(f32)                    # [blk, nb]
+        else:
+            # nb//sw features per dot: bins arrive lane-EXPANDED (each
+            # feature's bin value replicated over its sw-lane window),
+            # so a single modular-iota compare lights every feature's
+            # one-hot window at once
+            A = (bins[:, f * nb:(f + 1) * nb].astype(jnp.int32)
+                 == iota_b % sw).astype(f32)               # [blk, nb]
         acc = jax.lax.dot_general(
             Bt, A, (((1,), (0,)), ((), ())),
             preferred_element_type=f32)                    # [2m, nb]
@@ -100,19 +152,25 @@ def _body(bins_ref, node_ref, g_ref, h_ref, out_ref, *, m: int, nb: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("d", "m", "nb", "blk", "fg", "interpret"))
+    static_argnames=("d", "m", "nb", "blk", "fg", "sw", "interpret"))
 def hist_pallas_packed(binned3, node, grad, hess, *, d: int, m: int,
                        nb: int, blk: int = _DEF_BLK, fg: int = _DEF_FG,
-                       interpret: bool = False):
-    """-> (ghist, hhist), each [d, m, nb] f32.
+                       sw: int = 0, interpret: bool = False):
+    """-> (ghist, hhist), each [d, m, nb] f32 (plain mode) or
+    [d_dots, m, nb_pad] (expanded mode, caller reshapes windows).
 
-    binned3: [ceil(d/fg), n_pad, fg] uint8 from ``pack_bins_host``;
+    binned3: [ceil(d/fg), n_pad, fg] uint8 from ``pack_bins_host``
+    (plain, sw=0), or [ceil(G/fg), n_pad, fg*nb_pad] from
+    ``pack_bins_host_expanded`` (sw>0: nb//sw features per dot);
     node: [n] int32 in [0, m); grad/hess: [n] f32 (padded internally to
     n_pad with inert zeros)."""
     from jax.experimental import pallas as pl
 
-    n_groups, n_pad, _ = binned3.shape
+    n_groups, n_pad, last = binned3.shape
     nb_pad = -(-nb // 128) * 128       # full MXU lanes; extra bins stay 0
+    expanded = sw > 0
+    if expanded:
+        assert last == fg * nb_pad, (last, fg, nb_pad)
     n = node.shape[0]
     if n_pad != n:
         node = jnp.pad(node, (0, n_pad - n))
@@ -120,10 +178,11 @@ def hist_pallas_packed(binned3, node, grad, hess, *, d: int, m: int,
         hess = jnp.pad(hess, (0, n_pad - n))
     grid = (n_groups, n_pad // blk)
     out = pl.pallas_call(
-        functools.partial(_body, m=m, nb=nb_pad, fg=fg),
+        functools.partial(_body, m=m, nb=nb_pad, fg=fg,
+                          sw=sw if expanded else nb_pad),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, blk, fg), lambda fgi, rb: (fgi, rb, 0)),
+            pl.BlockSpec((1, blk, last), lambda fgi, rb: (fgi, rb, 0)),
             pl.BlockSpec((1, blk), lambda fgi, rb: (0, rb)),
             pl.BlockSpec((1, blk), lambda fgi, rb: (0, rb)),
             pl.BlockSpec((1, blk), lambda fgi, rb: (0, rb)),
@@ -135,6 +194,9 @@ def hist_pallas_packed(binned3, node, grad, hess, *, d: int, m: int,
         interpret=interpret,
     )(binned3, node[None, :].astype(jnp.int32),
       grad[None, :].astype(jnp.float32), hess[None, :].astype(jnp.float32))
+    if expanded:
+        out = out[:d]                               # d = dot count here
+        return out[:, :m, :], out[:, m:, :]
     out = out[:d, :, :nb]
     return out[:, :m, :], out[:, m:, :]
 
