@@ -539,3 +539,33 @@ def test_boost_tpu_tiered_histograms_parity():
         assert np.allclose(t1.threshold, t2.threshold)
         split_feats.update(f for f in t1.feature if f >= 0)
     assert split_feats & set(range(30)), "no binary-column splits hit"
+
+
+def test_boost_tpu_all_binary_corpus():
+    """Every feature lands in the low-cardinality tier (d_big == 0) —
+    the big-tier kernel must be skipped, splits still found, parity
+    with the XLA engine kept."""
+    import os
+
+    from vae_extent_search_tpu.models import boost_tpu
+
+    rng = np.random.default_rng(5)
+    X = (rng.random((400, 24)) < 0.5).astype(np.float32)
+    y = (X[:, 1] * 2 - X[:, 7] + 0.01 * rng.standard_normal(400)
+         ).astype(np.float32)
+    params = {"max_depth": 3, "eta": 0.4}
+    old = os.environ.get("VES_BOOST_HIST")
+    try:
+        os.environ["VES_BOOST_HIST"] = "xla"
+        b1 = boost_tpu.train(params, boost.DMatrix(X, label=y),
+                             num_boost_round=6, verbose_eval=0)
+        os.environ["VES_BOOST_HIST"] = "pallas_interpret"
+        b2 = boost_tpu.train(params, boost.DMatrix(X, label=y),
+                             num_boost_round=6, verbose_eval=0)
+    finally:
+        if old is None:
+            os.environ.pop("VES_BOOST_HIST", None)
+        else:
+            os.environ["VES_BOOST_HIST"] = old
+    assert np.abs(b1.predict(X) - b2.predict(X)).max() < 1e-4
+    assert any(f >= 0 for t in b2.trees for f in t.feature)
