@@ -569,3 +569,38 @@ def test_boost_tpu_all_binary_corpus():
             os.environ["VES_BOOST_HIST"] = old
     assert np.abs(b1.predict(X) - b2.predict(X)).max() < 1e-4
     assert any(f >= 0 for t in b2.trees for f in t.feature)
+
+
+def test_search_policy_reference_model_names(tmp_path):
+    """The reference's cost-model names work in policy strings:
+    'sketch.xgb[-no-update]' / 'sketch.lgbm' resolve to the GBDT
+    internals, and a train_model-saved pickle loads back through
+    make_search_policies --load-model (round-2 regression: these fell
+    through to the sequence-model loader)."""
+    import pickle
+
+    from vae_extent_search_tpu.models.gbdt import (GBDTModelInternal,
+                                                   LGBModelInternal)
+    from vae_extent_search_tpu.search.cost_model import (
+        LearnedCostModel, make_search_policies)
+
+    policies, model = make_search_policies("sketch.xgb", [])
+    assert isinstance(model.internal, GBDTModelInternal)
+    _, model = make_search_policies("sketch.lgbm", [])
+    assert isinstance(model.internal, LGBModelInternal)
+
+    rng = np.random.default_rng(0)
+    feats = [rng.random((3, 8)).astype(np.float32) for _ in range(30)]
+    y = np.asarray([f.sum() for f in feats], np.float32)
+    m = GBDTModelInternal(backend="xgb", n_estimators=20)
+    m.use_workload_embedding = False
+    m.fit_base(feats, y)
+    path = str(tmp_path / "xgb.pkl")
+    m.save(path)
+    _, loaded = make_search_policies("sketch.xgb-no-update", [],
+                                     load_model_file=path)
+    assert isinstance(loaded.internal, GBDTModelInternal)
+    pred = loaded.internal.predict_on_features(feats)
+    assert np.corrcoef(pred, y)[0, 1] > 0.8
+    # frozen: update must be a no-op
+    loaded.update([], [])

@@ -45,11 +45,15 @@ class LearnedCostModel(PythonCostModel):
                 from ..models.segment import SegmentVAEModelInternal
 
                 internal = SegmentVAEModelInternal(in_dim=164 + extra)
-            elif kind == "gbdt":
+            elif kind in ("gbdt", "xgb"):
                 from ..models.gbdt import GBDTModelInternal
 
-                internal = GBDTModelInternal()
-            elif kind == "lgb":
+                # reference name "xgb" forces the xgb backend (falls
+                # back to the in-repo pack-sum booster when absent);
+                # "gbdt" keeps backend auto-selection
+                internal = GBDTModelInternal(
+                    backend="xgb" if kind == "xgb" else "auto")
+            elif kind in ("lgb", "lgbm"):
                 from ..models.gbdt import LGBModelInternal
 
                 internal = LGBModelInternal()
@@ -157,11 +161,11 @@ class LearnedCostModel(PythonCostModel):
             from ..models.segment import SegmentVAEModelInternal
 
             return cls(SegmentVAEModelInternal.load(path), kind)
-        if kind == "gbdt":
+        if kind in ("gbdt", "xgb"):
             from ..models.gbdt import GBDTModelInternal
 
             return cls(GBDTModelInternal.load(path), kind)
-        if kind == "lgb":
+        if kind in ("lgb", "lgbm"):
             from ..models.gbdt import LGBModelInternal
 
             return cls(LGBModelInternal.load(path), kind)
