@@ -329,21 +329,24 @@ def test_boost_tpu_foreign_eval_set_and_early_stop():
         captured.append(np.array(preds))
         return "rmse", float(np.sqrt(np.mean((preds - dm.label) ** 2)))
 
+    # no early stop (stopping_rounds > rounds): the final captured
+    # device accumulation must equal host float-threshold prediction
+    # over the full untruncated ensemble — the bin<=k vs x<=edges[k]
+    # equivalence of _bin_against
     bst = boost_tpu.train({"max_depth": 3, "eta": 0.4}, dtrain,
                           num_boost_round=30, fevals=[feval_rmse],
                           evals=[(dval, "te")], metric="te-rmse",
-                          stopping_rounds=5, verbose_eval=0)
-    # the device-accumulated eval predictions equal host tree.predict
-    assert np.allclose(captured[-1],
-                       bst.predict(dval)[: len(captured[-1])]
-                       if len(bst.trees) else 0,
-                       atol=1e-4) or len(bst.trees) < 30
-    direct = bst.predict(dval)
-    # re-descending all kept trees on raw floats reproduces the last
-    # captured accumulation only when no truncation happened after it;
-    # at minimum the final booster must be finite and sane
-    assert np.isfinite(direct).all()
+                          stopping_rounds=100, verbose_eval=0)
+    assert len(bst.trees) == 30
+    assert np.allclose(captured[-1], bst.predict(dval), atol=1e-4)
     assert bst.attr("best_iteration") is not None
+    # and the early-stop path still truncates + stays finite
+    captured.clear()
+    bst2 = boost_tpu.train({"max_depth": 3, "eta": 0.4}, dtrain,
+                           num_boost_round=30, fevals=[feval_rmse],
+                           evals=[(dval, "te")], metric="te-rmse",
+                           stopping_rounds=3, verbose_eval=0)
+    assert np.isfinite(bst2.predict(dval)).all()
 
 
 def test_gbdt_native_tpu_engine_selection(monkeypatch):

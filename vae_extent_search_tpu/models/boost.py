@@ -138,13 +138,25 @@ class _Tree:
 
 def _grow_tree(dtrain: DMatrix, grad: np.ndarray, hess: np.ndarray,
                max_depth: int, eta: float, reg_lambda: float,
-               gamma: float, min_child_weight: float) -> _Tree:
+               gamma: float, min_child_weight: float):
+    """-> (tree, train_update [n]) where train_update carries each
+    row's leaf value under the GROWTH-time (binned) partition.
+
+    The training loop must advance predictions with this vector, not
+    tree.predict: growth routes ``bin <= k`` while float prediction
+    routes ``x <= edges[k]``, and quantile edges can coincide exactly
+    with data values — a row sitting on an edge then belongs to the
+    right child during training but the left at predict time. Real
+    xgboost (tree_method=hist) also updates from growth-time leaf
+    assignments; this also keeps the device engine
+    (models/boost_tpu.py) bit-consistent with this one."""
     dtrain._ensure_binned()
     binned = dtrain._binned            # [d, n] uint8
     thresholds = dtrain._thresholds
     d = binned.shape[0]
     tree = _Tree()
     root = tree._new_node()
+    train_update = np.zeros(len(grad), np.float32)
     # (node_id, depth, row_indices)
     stack = [(root, 0, np.arange(len(grad)))]
     while stack:
@@ -153,6 +165,7 @@ def _grow_tree(dtrain: DMatrix, grad: np.ndarray, hess: np.ndarray,
         H = hess[rows].sum()
         if depth >= max_depth or H < 2 * min_child_weight or len(rows) < 2:
             tree.value[node] = -eta * G / (H + reg_lambda)
+            train_update[rows] = tree.value[node]
             continue
         parent_score = G * G / (H + reg_lambda)
         best = (0.0, -1, -1)  # (gain, feature, bin)
@@ -184,6 +197,7 @@ def _grow_tree(dtrain: DMatrix, grad: np.ndarray, hess: np.ndarray,
                 best = (float(gain[k]), j, k)
         if best[1] < 0:
             tree.value[node] = -eta * G / (H + reg_lambda)
+            train_update[rows] = tree.value[node]
             continue
         j, k = best[1], best[2]
         tree.feature[node] = j
@@ -195,7 +209,7 @@ def _grow_tree(dtrain: DMatrix, grad: np.ndarray, hess: np.ndarray,
         tree.right[node] = rnode
         stack.append((lnode, depth + 1, rows[mask]))
         stack.append((rnode, depth + 1, rows[~mask]))
-    return tree
+    return tree, train_update
 
 
 class Booster:
@@ -268,11 +282,13 @@ def train(params: dict, dtrain: DMatrix, num_boost_round: int = 300,
             w = dtrain.get_weight()
             if len(w):
                 grad, hess = grad * w, hess * w
-        tree = _grow_tree(dtrain, np.asarray(grad, np.float64),
-                          np.asarray(hess, np.float64), max_depth, eta,
-                          reg_lambda, gamma, min_child_weight)
+        tree, train_update = _grow_tree(
+            dtrain, np.asarray(grad, np.float64),
+            np.asarray(hess, np.float64), max_depth, eta,
+            reg_lambda, gamma, min_child_weight)
         bst.trees.append(tree)
-        pred_tr = pred_tr + tree.predict(dtrain.data)
+        # growth-consistent (binned) update — see _grow_tree docstring
+        pred_tr = pred_tr + train_update
         for dm, _tag in evals:
             if id(dm) == id(dtrain):
                 preds[id(dm)] = pred_tr
@@ -368,7 +384,11 @@ def max_curve(trial_scores):
 
 
 def pack_sum_average_peak_score(N: int):
-    """average-peak-score@N feval factory (xgb_model.py:579-627)."""
+    """average-peak-score@N feval factory (xgb_model.py:579-627).
+
+    The returned callable carries ``apeak_n = N`` so device-side
+    re-implementations (boost_tpu scan metrics) read N robustly
+    instead of sniffing closure cells."""
 
     def feval(raw_preds, dmatrix: DMatrix):
         group_sizes = dmatrix.group_sizes or [
@@ -387,4 +407,5 @@ def pack_sum_average_peak_score(N: int):
             scores.append(np.mean(curve))
         return "a-peak@%d" % N, float(np.mean(scores))
 
+    feval.apeak_n = N
     return feval

@@ -420,43 +420,52 @@ def train(params: dict, dtrain: DMatrix, num_boost_round: int = 300,
     if hist_engine not in ("xla", "pallas", "pallas_interpret"):
         hist_engine = ("pallas" if jax.default_backend() not in
                        ("cpu",) else "xla")
-    binned_T = jnp.asarray(dtrain._binned)                    # [d, n] uint8
-    hist_meta: tuple = ()
-    cache = getattr(dtrain, "_ves_pack_cache", None)
-    if cache is not None and cache[0] == hist_engine:
-        hist_input, hist_meta = cache[1], cache[2]
-    elif hist_engine.startswith("pallas"):
-        from ..ops.hist_pallas import (pack_bins_host,
-                                       pack_bins_host_expanded,
-                                       plan_tiers)
-        nb_pad = -(-nb // 128) * 128
-        idx_small, idx_big, _ = plan_tiers(
-            np.asarray([len(e) for e in thresholds]), sw=2)
-        # two kernel launches only pay off when enough columns are
-        # (near-)binary — real per-store corpora have ~98/164
-        # (VES_BOOST_TIER=0 disables, for A/B timing)
-        if (len(idx_small) >= 16
-                and os.environ.get("VES_BOOST_TIER") != "0"):
-            ne = np.asarray([len(e) for e in thresholds], np.int32)
-            packed_small = jnp.asarray(pack_bins_host_expanded(
-                dtrain._binned[idx_small], sw=2, nb=nb_pad))
-            packed_big = (jnp.asarray(pack_bins_host(
-                dtrain._binned[idx_big])) if len(idx_big)
-                else jnp.zeros((1, 1, 1), jnp.uint8))  # unused: d_big=0
-            hist_input = (
-                packed_big, packed_small,
-                jnp.asarray(idx_small.astype(np.int32)),
-                jnp.asarray(idx_big.astype(np.int32)),
-                jnp.asarray(ne[idx_small]), jnp.asarray(ne[idx_big]))
-            hist_meta = (len(idx_small), len(idx_big), 2)
+    def _packed_inputs():
+        """(binned_T, hist_input, hist_meta) for single-device round
+        work, built lazily — the mesh scan path packs shard-wise in
+        its own runner and must not pay (or pin in HBM) the
+        single-device packing. Host packing of a 1M-row corpus costs
+        seconds, so results cache on the DMatrix per engine."""
+        cache = getattr(dtrain, "_ves_pack_cache", None)
+        if cache is None:
+            cache = dtrain._ves_pack_cache = {}
+        if hist_engine in cache:
+            return cache[hist_engine]
+        binned_T = cache.get("binned_T")
+        if binned_T is None:
+            binned_T = cache["binned_T"] = jnp.asarray(dtrain._binned)
+        hist_meta: tuple = ()
+        if hist_engine.startswith("pallas"):
+            from ..ops.hist_pallas import (pack_bins_host,
+                                           pack_bins_host_expanded,
+                                           plan_tiers)
+            nb_pad = -(-nb // 128) * 128
+            idx_small, idx_big, _ = plan_tiers(
+                np.asarray([len(e) for e in thresholds]), sw=2)
+            # two kernel launches only pay off when enough columns
+            # are (near-)binary — real per-store corpora have ~98/164
+            # (VES_BOOST_TIER=0 disables, for A/B timing)
+            if (len(idx_small) >= 16
+                    and os.environ.get("VES_BOOST_TIER") != "0"):
+                ne = np.asarray([len(e) for e in thresholds], np.int32)
+                packed_small = jnp.asarray(pack_bins_host_expanded(
+                    dtrain._binned[idx_small], sw=2, nb=nb_pad))
+                packed_big = (jnp.asarray(pack_bins_host(
+                    dtrain._binned[idx_big])) if len(idx_big)
+                    else jnp.zeros((1, 1, 1), jnp.uint8))  # d_big=0
+                hist_input = (
+                    packed_big, packed_small,
+                    jnp.asarray(idx_small.astype(np.int32)),
+                    jnp.asarray(idx_big.astype(np.int32)),
+                    jnp.asarray(ne[idx_small]), jnp.asarray(ne[idx_big]))
+                hist_meta = (len(idx_small), len(idx_big), 2)
+            else:
+                hist_input = jnp.asarray(pack_bins_host(dtrain._binned))
         else:
-            hist_input = jnp.asarray(pack_bins_host(dtrain._binned))
-    else:
-        hist_input = jnp.asarray(dtrain._binned.T)            # [n, d]
-    if cache is None:
-        # host packing of a 1M-row corpus costs seconds; repeated fits
-        # on one DMatrix (few-shot, warm-up) must not repay it
-        dtrain._ves_pack_cache = (hist_engine, hist_input, hist_meta)
+            hist_input = jnp.asarray(dtrain._binned.T)        # [n, d]
+        cache[hist_engine] = (binned_T, hist_input, hist_meta)
+        return cache[hist_engine]
+
     n_edges = jnp.asarray(
         np.asarray([len(e) for e in thresholds], np.int32))
 
@@ -492,7 +501,7 @@ def train(params: dict, dtrain: DMatrix, num_boost_round: int = 300,
     best_iteration = 0
     kw = dict(max_depth=max_depth, nb=nb, eta=eta, reg_lambda=reg_lambda,
               gamma=gamma, min_child_weight=min_child_weight,
-              hist_engine=hist_engine, hist_meta=hist_meta)
+              hist_engine=hist_engine)
 
     def _callback_step(i, eval_res):
         """Reference custom_callback semantics for one round's eval
@@ -550,12 +559,16 @@ def train(params: dict, dtrain: DMatrix, num_boost_round: int = 300,
                        metric_kinds=metric_kinds,
                        num_present=num_present, **kw)
         if mesh is None:
+            binned_T, hist_input, hist_meta = _packed_inputs()
+
             def run_chunk(k, preds):
                 return _pack_sum_scan(
                     hist_input, binned_T, n_edges, pack_ids, label_row,
                     row_weight, preds, label_pack, present, k=k,
-                    **scan_kw)
+                    hist_meta=hist_meta, **scan_kw)
         else:
+            # the runner pads + packs shard-wise itself; the
+            # single-device packing is never built for this path
             run_chunk = _make_sharded_chunk_runner(
                 dtrain, mesh, data_axis, hist_engine, pack_ids_np,
                 n_packs, base_score, scan_kw,
@@ -592,6 +605,8 @@ def train(params: dict, dtrain: DMatrix, num_boost_round: int = 300,
     # -- general path: one dispatch per round --------------------------
     # per-round tree arrays stay device-resident (futures in this
     # list); they convert to numpy trees in ONE transfer at the end
+    binned_T, hist_input, hist_meta = _packed_inputs()
+    kw = dict(kw, hist_meta=hist_meta)
     pending: List[tuple] = []
 
     def _flush_trees():
@@ -729,15 +744,10 @@ def _device_feval_kinds(fevals, dtrain):
         if feval is boost.pack_sum_rmse:
             kinds.append(("rmse", 0))
             continue
-        qual = getattr(feval, "__qualname__", "")
-        if "pack_sum_average_peak_score" in qual and single_group:
-            N = None
-            for cell in (feval.__closure__ or ()):
-                if isinstance(cell.cell_contents, int):
-                    N = cell.cell_contents
-            if N is not None:
-                kinds.append(("apeak", N))
-                continue
+        N = getattr(feval, "apeak_n", None)
+        if N is not None and single_group:
+            kinds.append(("apeak", int(N)))
+            continue
         return None
     return tuple(kinds)
 
@@ -799,8 +809,13 @@ def _pack_sum_scan(hist_input, binned_T, n_edges, pack_ids, label_row,
                     masked = jnp.where(present, sums_new, -jnp.inf)
                     # np.argsort(sums)[::-1] breaks ties toward the
                     # LARGEST pack index; lax.top_k toward the
-                    # smallest — reverse to match the host feval
-                    _, idx_r = jax.lax.top_k(masked[::-1], N)
+                    # smallest — reverse to match the host feval.
+                    # Clamp N like the host's [:N] slice does: trials
+                    # never include absent packs (label 0 would
+                    # deflate the curve) and top_k cannot exceed the
+                    # axis size.
+                    k_eff = min(N, n_packs, int(num_present))
+                    _, idx_r = jax.lax.top_k(masked[::-1], k_eff)
                     idx = n_packs - 1 - idx_r
                     curve = jax.lax.cummax(label_pack[idx]) / max_label
                     mets.append(jnp.mean(curve))

@@ -427,12 +427,7 @@ def segment_vae_encode(params, features, segment_ids, n_seg,
     if norm_stats is not None:
         mean, var = norm_stats
     elif stats_valid is not None:
-        denom = jnp.maximum(stats_valid.sum(), 1)
-        v = stats_valid[:, None]
-        mean = jnp.sum(jnp.where(v, seg, 0.0), axis=0, keepdims=True) / denom
-        var = jnp.sum(
-            jnp.where(v, (seg - mean) ** 2, 0.0), axis=0, keepdims=True
-        ) / denom
+        mean, var = _masked_moments(seg, stats_valid)
     else:
         mean = seg.mean(axis=0, keepdims=True)
         var = seg.var(axis=0, keepdims=True)
@@ -741,12 +736,10 @@ def _segment_predictor_scores(params, features, segment_ids, n_seg,
     return segment_predict_cost(params, mu)
 
 
-@functools.partial(jax.jit, static_argnames=("n_seg",))
-def _segment_norm_stats(params, features, segment_ids, valid, n_seg):
-    """Frozen batch-norm statistics over the fit set's valid segments
-    (BatchNorm1d running-stats / eval-mode equivalent)."""
-    h = mlp_apply(params["segment_encoder"], features, final_activation=True)
-    seg = jax.ops.segment_sum(h, segment_ids, num_segments=n_seg + 1)[:n_seg]
+def _masked_moments(seg, valid):
+    """Biased per-channel (mean, var) over valid rows — the single
+    definition shared by train-time batch standardization and the
+    frozen predict-time statistics (they must agree numerically)."""
     denom = jnp.maximum(valid.sum(), 1)
     v = valid[:, None]
     mean = jnp.sum(jnp.where(v, seg, 0.0), axis=0, keepdims=True) / denom
@@ -754,6 +747,15 @@ def _segment_norm_stats(params, features, segment_ids, valid, n_seg):
         jnp.where(v, (seg - mean) ** 2, 0.0), axis=0, keepdims=True
     ) / denom
     return mean, var
+
+
+@functools.partial(jax.jit, static_argnames=("n_seg",))
+def _segment_norm_stats(params, features, segment_ids, valid, n_seg):
+    """Frozen batch-norm statistics over the fit set's valid segments
+    (BatchNorm1d running-stats / eval-mode equivalent)."""
+    h = mlp_apply(params["segment_encoder"], features, final_activation=True)
+    seg = jax.ops.segment_sum(h, segment_ids, num_segments=n_seg + 1)[:n_seg]
+    return _masked_moments(seg, valid)
 
 
 def _flatten_programs(features_list, labels, fea_norm_vec,
