@@ -607,3 +607,29 @@ def test_search_policy_reference_model_names(tmp_path):
     assert np.corrcoef(pred, y)[0, 1] > 0.8
     # frozen: update must be a no-op
     loaded.update([], [])
+
+
+def test_boost_tpu_weighted_pack_sum_parity():
+    """Per-row weights (reference use_weight: max(y, 0.1) tiled over
+    rows) flow through the device engine's weighted grad/hess path and
+    match the numpy engine."""
+    rows_list, labels, pack_ids = _pack_problem(n_prog=80, seed=8)
+    rows = np.concatenate(rows_list)
+    w = np.maximum(labels, 0.1)[pack_ids].astype(np.float32)
+
+    from vae_extent_search_tpu.models import boost_tpu
+
+    def mk():
+        return boost.DMatrix(rows, label=labels[pack_ids],
+                             pack_ids=pack_ids, weight=w,
+                             group_sizes=[80])
+
+    params = {"max_depth": 4, "eta": 0.3}
+    b1 = boost.train(params, mk(), num_boost_round=15,
+                     obj=boost.pack_sum_square_error, verbose_eval=0)
+    b2 = boost_tpu.train(params, mk(), num_boost_round=15,
+                         obj=boost.pack_sum_square_error, verbose_eval=0)
+    p1 = boost.pack_sum_predict_throughput(b1.predict(rows), pack_ids)
+    p2 = boost.pack_sum_predict_throughput(b2.predict(rows), pack_ids)
+    assert np.corrcoef(p1, p2)[0, 1] > 0.999
+    assert np.abs(p1 - p2).max() < 1e-3 * max(1.0, np.abs(p1).max())
