@@ -84,6 +84,8 @@ def main():
 
     tpu_round, bst_t = bench(boost_tpu.train, rows, pack_ids, labels,
                              params, args.rounds, warmup=2, tag="device")
+    if not args.numpy_rounds:
+        return
     np_round, bst_n = bench(boost.train, rows, pack_ids, labels, params,
                             args.numpy_rounds, warmup=0, tag="numpy ")
 
