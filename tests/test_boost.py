@@ -633,3 +633,45 @@ def test_boost_tpu_weighted_pack_sum_parity():
     p2 = boost.pack_sum_predict_throughput(b2.predict(rows), pack_ids)
     assert np.corrcoef(p1, p2)[0, 1] > 0.999
     assert np.abs(p1 - p2).max() < 1e-3 * max(1.0, np.abs(p1).max())
+
+
+def test_boost_tpu_sharded_tiered_matches_single_device():
+    """Mesh + tiered histograms (binary-heavy columns, interpret-mode
+    kernels): the sharded runner packs both tiers shard-row-wise and
+    must reproduce single-device training exactly."""
+    import os
+
+    import jax
+    from jax.sharding import Mesh
+
+    from vae_extent_search_tpu.models import boost_tpu
+
+    rng = np.random.default_rng(17)
+    n = 500
+    X = np.zeros((n, 30), np.float32)
+    X[:, :24] = (rng.random((n, 24)) < 0.4)
+    X[:, 24:] = rng.standard_normal((n, 6))
+    pack_ids = np.repeat(np.arange(125), 4)
+    labels = (X[:, 2] + X[:, 25]).reshape(125, 4).sum(1).astype(np.float32)
+
+    def mk():
+        return boost.DMatrix(X, label=labels[pack_ids],
+                             pack_ids=pack_ids, group_sizes=[125])
+
+    params = {"max_depth": 3, "eta": 0.3}
+    common = dict(num_boost_round=8, obj=boost.pack_sum_square_error,
+                  verbose_eval=0)
+    old = os.environ.get("VES_BOOST_HIST")
+    try:
+        os.environ["VES_BOOST_HIST"] = "pallas_interpret"
+        b1 = boost_tpu.train(params, mk(), **common)
+        mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+        b2 = boost_tpu.train(params, mk(), mesh=mesh, **common)
+    finally:
+        if old is None:
+            os.environ.pop("VES_BOOST_HIST", None)
+        else:
+            os.environ["VES_BOOST_HIST"] = old
+    assert np.abs(b1.predict(X) - b2.predict(X)).max() < 1e-4
+    for t1, t2 in zip(b1.trees, b2.trees):
+        assert t1.feature == t2.feature

@@ -674,9 +674,12 @@ def _make_sharded_chunk_runner(dtrain, mesh, data_axis, hist_engine,
     and sharded over ``data_axis``; padding rows carry weight 0 and
     valid=False so they are inert in histograms, pack sums, and row
     counts. Every shard emits identical trees (histograms psum)."""
+    import os
+
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from ..ops.hist_pallas import _DEF_BLK, pack_bins_host
+    from ..ops.hist_pallas import (_DEF_BLK, pack_bins_host,
+                                   pack_bins_host_expanded, plan_tiers)
 
     n = len(dtrain)
     nsh = mesh.shape[data_axis]
@@ -684,19 +687,49 @@ def _make_sharded_chunk_runner(dtrain, mesh, data_axis, hist_engine,
     n_pad = -(-n // unit) * unit
     pad = n_pad - n
     binned_dn = np.pad(dtrain._binned, ((0, 0), (0, pad)))
-    if hist_engine.startswith("pallas"):
-        hist_np = pack_bins_host(binned_dn)        # rows already padded
-        hist_spec = P(None, data_axis, None)
-    else:
-        hist_np = np.ascontiguousarray(binned_dn.T)
-        hist_spec = P(data_axis, None)
+    ne = np.asarray([len(e) for e in dtrain._thresholds], np.int32)
+    hist_meta: tuple = ()
 
     def shard(x, spec):
         return jax.device_put(x, NamedSharding(mesh, spec))
 
+    if hist_engine.startswith("pallas"):
+        nb = max(2, int(ne.max()) + 1)
+        nb_pad = -(-nb // 128) * 128
+        idx_small, idx_big, _ = plan_tiers(ne, sw=2)
+        if (len(idx_small) >= 16
+                and os.environ.get("VES_BOOST_TIER") != "0"):
+            # same tiering as single-device, packed shard-row-wise
+            p_small = shard(pack_bins_host_expanded(
+                binned_dn[idx_small], sw=2, nb=nb_pad),
+                P(None, data_axis, None))
+            if len(idx_big):
+                p_big = shard(pack_bins_host(binned_dn[idx_big]),
+                              P(None, data_axis, None))
+                big_spec = P(None, data_axis, None)
+            else:
+                p_big = jnp.zeros((1, 1, 1), jnp.uint8)  # unused: d_big=0
+                big_spec = P()
+            hist_in = (p_big, p_small,
+                       jnp.asarray(idx_small.astype(np.int32)),
+                       jnp.asarray(idx_big.astype(np.int32)),
+                       jnp.asarray(ne[idx_small]),
+                       jnp.asarray(ne[idx_big]))
+            hist_spec = (big_spec, P(None, data_axis, None),
+                         P(), P(), P(), P())
+            hist_meta = (len(idx_small), len(idx_big), 2)
+        else:
+            hist_in = shard(pack_bins_host(binned_dn),
+                            P(None, data_axis, None))
+            hist_spec = P(None, data_axis, None)
+    else:
+        hist_in = shard(np.ascontiguousarray(binned_dn.T),
+                        P(data_axis, None))
+        hist_spec = P(data_axis, None)
+
     last = pack_ids_np[-1] if len(pack_ids_np) else 0
     args = (
-        shard(hist_np, hist_spec),
+        hist_in,
         shard(binned_dn, P(None, data_axis)),
         jnp.asarray(np.asarray(
             [len(e) for e in dtrain._thresholds], np.int32)),
@@ -710,8 +743,8 @@ def _make_sharded_chunk_runner(dtrain, mesh, data_axis, hist_engine,
     )
     valid = shard(np.arange(n_pad) < n, P(data_axis))
     preds0 = shard(np.full(n_pad, base_score, np.float32), P(data_axis))
-    # the runner packs its own (single-tier) hist input
-    skw = dict(scan_kw, weighted=True, hist_meta=())
+    # the runner packs its own hist input (tiered like single-device)
+    skw = dict(scan_kw, weighted=True, hist_meta=hist_meta)
 
     fns = {}
 
