@@ -16,7 +16,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 from vae_extent_search_tpu.data import Dataset
-from vae_extent_search_tpu.models.segment import MLPModelInternal
+from vae_extent_search_tpu.models import load_model_pickle
 
 
 def eval_cost_model_on_weighted_tasks(model, task_datasets, weights, top_ks):
@@ -48,7 +48,7 @@ def main():
     p.add_argument("--top-ks", nargs="+", type=int, default=[1, 5])
     args = p.parse_args()
 
-    model = MLPModelInternal.load(args.model)
+    model = load_model_pickle(args.model)
     for path in args.datasets:
         with open(path, "rb") as f:
             ds: Dataset = pickle.load(f)

@@ -675,3 +675,33 @@ def test_boost_tpu_sharded_tiered_matches_single_device():
     assert np.abs(b1.predict(X) - b2.predict(X)).max() < 1e-4
     for t1, t2 in zip(b1.trees, b2.trees):
         assert t1.feature == t2.feature
+
+
+def test_load_model_pickle_dispatches_by_family(tmp_path):
+    """eval_model_on_dataset takes whatever model family train_model
+    saved — the generic loader must dispatch tree internals (pickled
+    self) and JAX blobs (dict) correctly (round-2 regression: the
+    script hardcoded MLPModelInternal.load and crashed on xgb pickles)."""
+    from vae_extent_search_tpu.models import load_model_pickle
+    from vae_extent_search_tpu.models.gbdt import GBDTModelInternal
+    from vae_extent_search_tpu.models.segment import MLPModelInternal
+
+    rng = np.random.default_rng(0)
+    feats = [rng.random((2, 8)).astype(np.float32) for _ in range(30)]
+    y = np.asarray([f.sum() for f in feats], np.float32)
+
+    g = GBDTModelInternal(backend="xgb", n_estimators=15)
+    g.use_workload_embedding = False
+    g.fit_base(feats, y)
+    gp = str(tmp_path / "g.pkl")
+    g.save(gp)
+    loaded = load_model_pickle(gp)
+    assert isinstance(loaded, GBDTModelInternal)
+    assert np.corrcoef(loaded.predict_on_features(feats), y)[0, 1] > 0.8
+
+    m = MLPModelInternal(in_dim=8, hidden_dim=32, n_epoch=30)
+    m.use_workload_embedding = False
+    m.fit_base(feats, y)
+    mp = str(tmp_path / "m.pkl")
+    m.save(mp)
+    assert isinstance(load_model_pickle(mp), MLPModelInternal)

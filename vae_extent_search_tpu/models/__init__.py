@@ -26,3 +26,28 @@ from .vae import (
     vae_forward,
     vae_loss,
 )
+
+
+def load_model_pickle(path: str):
+    """Load ANY saved cost-model internal by sniffing the pickle blob —
+    the reference's eval scripts take a model file of whatever family
+    train_model produced (mlp/xgb/lgbm/tabnet/...), so consumers must
+    not hardcode one loader. Tree internals pickle themselves; the JAX
+    models save dict blobs distinguished by their keys."""
+    import pickle
+
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    if not isinstance(blob, dict):
+        return blob                    # pickled internal (GBDT/LGB)
+    if "vae_params" in blob:
+        from .segment import SegmentVAEModelInternal
+
+        return SegmentVAEModelInternal.load(path)
+    if "arch" in blob:
+        from .variants import SequenceModelInternal
+
+        return SequenceModelInternal.load(path)
+    from .segment import MLPModelInternal
+
+    return MLPModelInternal.load(path)
