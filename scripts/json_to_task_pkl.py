@@ -25,7 +25,9 @@ def main():
     feats, throughputs, task_ids, min_costs = (
         get_per_store_features_from_file(args.log_file)
     )
-    out = args.out or args.log_file + ".task.pkl"
+    # default next to the CWD, not next to the (possibly read-only)
+    # input log
+    out = args.out or os.path.basename(args.log_file) + ".task.pkl"
     with open(out, "wb") as f:
         pickle.dump((feats, throughputs, task_ids, min_costs), f)
     print(f"{len(feats)} records, {len(min_costs)} tasks -> {out}")
