@@ -33,13 +33,63 @@ def dump_task(task: SearchTask, out_file: str, n_states: int,
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--workload-key", type=str, required=True)
+    p.add_argument("--workload-key", type=str, default=None)
+    p.add_argument("--all-tasks", type=str, default=None,
+                   help="all_tasks.pkl — dump every task in the file "
+                        "(shardable via --start-idx/--end-idx/--step-idx; "
+                        "existing non-empty outputs are skipped, so an "
+                        "interrupted sweep resumes)")
+    p.add_argument("--batch-size-1", action="store_true",
+                   help="with --all-tasks: restrict to the reference "
+                        "make_dataset.py batch-size-1 preset grid")
     p.add_argument("--target", type=str, default="llvm -mcpu=skylake-avx512")
     p.add_argument("--n-states", type=int, default=4000)
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--seed", type=int, default=2023)
+    p.add_argument("--start-idx", type=int, default=0)
+    p.add_argument("--end-idx", type=int, default=None)
+    p.add_argument("--step-idx", type=int, default=1)
     args = p.parse_args()
 
+    if args.all_tasks:
+        import time
+
+        from scripts.common import load_and_register_tasks
+
+        tasks = load_and_register_tasks(args.all_tasks)
+        if args.batch_size_1:
+            from scripts.make_dataset import preset_batch_size_1
+
+            keys = preset_batch_size_1(args.target)
+            tasks = [t for t in tasks if t.workload_key in keys]
+        end = args.end_idx if args.end_idx is not None else len(tasks)
+        tasks = tasks[args.start_idx:end:args.step_idx]
+        t0 = time.time()
+        for i, task in enumerate(tasks):
+            out = os.path.join(
+                TO_MEASURE_PROGRAM_FOLDER,
+                clean_name((task.workload_key,
+                            task.target.split()[0])) + ".json",
+            )
+            if os.path.exists(out) and os.path.getsize(out) > 0:
+                print(f"[{i + 1}/{len(tasks)}] exists, skip {out}",
+                      flush=True)
+                continue
+            try:
+                n = dump_task(task, out, args.n_states, args.seed)
+            except Exception as e:  # keep the sweep going; log the task
+                print(f"[{i + 1}/{len(tasks)}] FAILED "
+                      f"{task.workload_key[:60]}: {e!r}", flush=True)
+                if os.path.exists(out):
+                    os.remove(out)
+                continue
+            el = time.time() - t0
+            print(f"[{i + 1}/{len(tasks)}] dumped {n} states -> {out} "
+                  f"({el:.0f}s elapsed)", flush=True)
+        return
+
+    if not args.workload_key:
+        raise SystemExit("need --workload-key or --all-tasks")
     task = SearchTask(args.workload_key, args.target)
     out = args.out or os.path.join(
         TO_MEASURE_PROGRAM_FOLDER,

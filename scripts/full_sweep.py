@@ -68,7 +68,8 @@ def sweep_task(task: SearchTask, work_dir: str, n_states: int,
     ok = [i for i in range(len(vecs))
           if status[i] == 0 and vecs[i] is not None]
     if len(ok) < measure_size * 2:
-        return None
+        return None, {"reason": "pool_too_small", "pool": len(ok),
+                      "raw_pool": len(vecs)}
     # modal length (the experiment's implicit uniform-length requirement)
     from collections import Counter
 
@@ -77,7 +78,8 @@ def sweep_task(task: SearchTask, work_dir: str, n_states: int,
     feats = np.stack([vecs[i] for i in sel])
     labs = np.asarray([labels[i] for i in sel], np.float32)
     if len(feats) < measure_size * 2:
-        return None
+        return None, {"reason": "modal_bucket_too_small",
+                      "pool": len(feats), "raw_pool": len(vecs)}
 
     # one VAE pretrain per task, shared across sampling seeds (the
     # reference pretrains once per pool at script top level)
@@ -103,7 +105,7 @@ def sweep_task(task: SearchTask, work_dir: str, n_states: int,
             "train_size": res.train_size,
             "used_time": round(res.used_time, 2),
         })
-    return rows
+    return rows, None
 
 
 def main():
@@ -179,6 +181,8 @@ def main():
     print(f"[shard {shard_idx}/{num_shards}] {len(tasks)} tasks")
     t0 = time.time()
     all_rows = []
+    skipped = []
+    skipped_path = args.out_csv + ".skipped"
     for i, task in enumerate(tasks):
         key48 = task.workload_key[:48]
         seeds_to_run = []
@@ -190,7 +194,7 @@ def main():
         if not seeds_to_run:
             print(f"  task {i + 1}/{len(tasks)}: resumed (rows in log)")
             continue
-        rows = sweep_task(
+        rows, skip = sweep_task(
             task, args.work_dir, args.n_states, args.measure_size,
             seeds_to_run, args.max_phases, args.vae_epochs,
             args.reg_epochs, args.noise,
@@ -217,8 +221,27 @@ def main():
                   f"{found}/{len(rows)} seeds "
                   f"(phases {[r['phase'] for r in rows]})")
         else:
-            print(f"  task {i + 1}/{len(tasks)}: skipped (pool too small)")
+            # coverage honesty: every non-swept task lands in the
+            # sidecar with its reason + usable pool size, so the CSV's
+            # denominator is auditable (skips aren't silent)
+            skipped.append({"workload_key": task.workload_key,
+                            "target": task.target, **(skip or {})})
+            with open(skipped_path, "a", newline="") as f:
+                w = csv.DictWriter(
+                    f, fieldnames=["workload_key", "target", "reason",
+                                   "pool", "raw_pool"])
+                if f.tell() == 0:
+                    w.writeheader()
+                w.writerow(skipped[-1])
+            print(f"  task {i + 1}/{len(tasks)}: skipped "
+                  f"({(skip or {}).get('reason', '?')}, pool "
+                  f"{(skip or {}).get('pool', '?')}) -> {skipped_path}")
 
+    if all_rows or skipped:
+        n_swept = len({r["workload_key"] for r in all_rows})
+        print(f"coverage: {len(tasks)} tasks listed, ~{n_swept} swept "
+              f"this run, {len(skipped)} skipped "
+              f"(reasons in {skipped_path})")
     if all_rows:
         found_rate = np.mean([r["found"] for r in all_rows])
         mean_phase = np.mean([r["phase"] for r in all_rows])

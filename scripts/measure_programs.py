@@ -72,6 +72,8 @@ def main():
     p.add_argument("--start-idx", type=int, default=0)
     p.add_argument("--end-idx", type=int, default=None)
     p.add_argument("--step-idx", type=int, default=1)
+    p.add_argument("--resume", action="store_true",
+                   help="skip files whose output already exists non-empty")
     args = p.parse_args()
 
     if args.runner == "analytic":
@@ -108,8 +110,12 @@ def main():
     for i, in_file in enumerate(files):
         out = args.out_file if (args.out_file and len(files) == 1) else \
             os.path.join(MEASURE_RECORD_FOLDER, os.path.basename(in_file))
+        if args.resume and os.path.exists(out) and os.path.getsize(out) > 0:
+            print(f"[{i + 1}/{len(files)}] exists, skip {out}", flush=True)
+            continue
         n = remeasure_file(in_file, out, runner, batch=args.batch_size)
-        print(f"[{i + 1}/{len(files)}] measured {n} programs -> {out}")
+        print(f"[{i + 1}/{len(files)}] measured {n} programs -> {out}",
+              flush=True)
 
 
 if __name__ == "__main__":

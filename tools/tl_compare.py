@@ -51,11 +51,6 @@ def _load(path):
     return recs
 
 
-def _throughputs(recs) -> np.ndarray:
-    costs = np.asarray([r.res.mean_cost for r in recs])
-    return costs.min() / costs  # normalized throughput (feature.cc:1457)
-
-
 def _align(logs, mode: str):
     """Returns a list of per-file index arrays over the aligned rows."""
     if mode == "index":
@@ -75,10 +70,20 @@ def _align(logs, mode: str):
     return [np.asarray([km[k] for k in common], int) for km in keymaps]
 
 
+def _ranks(x: np.ndarray) -> np.ndarray:
+    """Average ranks over ties (scipy rankdata 'average' semantics) —
+    quantized throughputs otherwise get tie-order-dependent ranks."""
+    order = np.argsort(x, kind="stable")
+    ranks = np.empty(len(x), np.float64)
+    ranks[order] = np.arange(len(x), dtype=np.float64)
+    _, inv = np.unique(x, return_inverse=True)
+    sums = np.bincount(inv, weights=ranks)
+    counts = np.bincount(inv)
+    return (sums / counts)[inv]
+
+
 def _spearman(a: np.ndarray, b: np.ndarray) -> float:
-    ra = np.argsort(np.argsort(a)).astype(np.float64)
-    rb = np.argsort(np.argsort(b)).astype(np.float64)
-    return float(np.corrcoef(ra, rb)[0, 1])
+    return float(np.corrcoef(_ranks(a), _ranks(b))[0, 1])
 
 
 def main():

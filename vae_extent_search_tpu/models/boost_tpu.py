@@ -418,22 +418,30 @@ def train(params: dict, dtrain: DMatrix, num_boost_round: int = 300,
     import os
     hist_engine = os.environ.get("VES_BOOST_HIST")
     if hist_engine not in ("xla", "pallas", "pallas_interpret"):
-        hist_engine = ("pallas" if jax.default_backend() not in
-                       ("cpu",) else "xla")
+        # the VMEM kernel is written for TPU Mosaic semantics
+        # (MXU-oriented dots, revisited-output accumulation) — on any
+        # other accelerator fall back to the portable XLA matmul path
+        hist_engine = ("pallas" if jax.default_backend() == "tpu"
+                       else "xla")
     def _packed_inputs():
         """(binned_T, hist_input, hist_meta) for single-device round
         work, built lazily — the mesh scan path packs shard-wise in
-        its own runner and must not pay (or pin in HBM) the
-        single-device packing. Host packing of a 1M-row corpus costs
-        seconds, so results cache on the DMatrix per engine."""
+        its own runner and must not pay the single-device packing.
+        Host packing of a 1M-row corpus costs seconds, so the HOST
+        pack caches on the DMatrix per engine; device transfers are
+        re-done per train() call so no HBM stays pinned to the
+        DMatrix after train returns (~2x corpus bytes otherwise)."""
         cache = getattr(dtrain, "_ves_pack_cache", None)
         if cache is None:
             cache = dtrain._ves_pack_cache = {}
         if hist_engine in cache:
-            return cache[hist_engine]
-        binned_T = cache.get("binned_T")
-        if binned_T is None:
-            binned_T = cache["binned_T"] = jnp.asarray(dtrain._binned)
+            host_input, hist_meta = cache[hist_engine]
+            binned_T = jnp.asarray(dtrain._binned)
+            if isinstance(host_input, tuple):
+                return binned_T, tuple(jnp.asarray(a) for a in
+                                       host_input), hist_meta
+            return binned_T, jnp.asarray(host_input), hist_meta
+        binned_T = jnp.asarray(dtrain._binned)
         hist_meta: tuple = ()
         if hist_engine.startswith("pallas"):
             from ..ops.hist_pallas import (pack_bins_host,
@@ -448,23 +456,25 @@ def train(params: dict, dtrain: DMatrix, num_boost_round: int = 300,
             if (len(idx_small) >= 16
                     and os.environ.get("VES_BOOST_TIER") != "0"):
                 ne = np.asarray([len(e) for e in thresholds], np.int32)
-                packed_small = jnp.asarray(pack_bins_host_expanded(
-                    dtrain._binned[idx_small], sw=2, nb=nb_pad))
-                packed_big = (jnp.asarray(pack_bins_host(
-                    dtrain._binned[idx_big])) if len(idx_big)
-                    else jnp.zeros((1, 1, 1), jnp.uint8))  # d_big=0
-                hist_input = (
+                packed_small = pack_bins_host_expanded(
+                    dtrain._binned[idx_small], sw=2, nb=nb_pad)
+                packed_big = (pack_bins_host(dtrain._binned[idx_big])
+                              if len(idx_big)
+                              else np.zeros((1, 1, 1), np.uint8))  # d_big=0
+                host_input = (
                     packed_big, packed_small,
-                    jnp.asarray(idx_small.astype(np.int32)),
-                    jnp.asarray(idx_big.astype(np.int32)),
-                    jnp.asarray(ne[idx_small]), jnp.asarray(ne[idx_big]))
+                    idx_small.astype(np.int32), idx_big.astype(np.int32),
+                    ne[idx_small], ne[idx_big])
                 hist_meta = (len(idx_small), len(idx_big), 2)
             else:
-                hist_input = jnp.asarray(pack_bins_host(dtrain._binned))
+                host_input = pack_bins_host(dtrain._binned)
         else:
-            hist_input = jnp.asarray(dtrain._binned.T)        # [n, d]
-        cache[hist_engine] = (binned_T, hist_input, hist_meta)
-        return cache[hist_engine]
+            host_input = np.ascontiguousarray(dtrain._binned.T)  # [n, d]
+        cache[hist_engine] = (host_input, hist_meta)
+        if isinstance(host_input, tuple):
+            return binned_T, tuple(jnp.asarray(a) for a in
+                                   host_input), hist_meta
+        return binned_T, jnp.asarray(host_input), hist_meta
 
     n_edges = jnp.asarray(
         np.asarray([len(e) for e in thresholds], np.int32))
