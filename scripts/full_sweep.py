@@ -34,7 +34,8 @@ from vae_extent_search_tpu.search.sketch import make_states
 
 def sweep_task(task: SearchTask, work_dir: str, n_states: int,
                measure_size: int, seeds, max_phases: int,
-               vae_epochs: int, reg_epochs: int, noise: float):
+               vae_epochs: int, reg_epochs: int, noise: float,
+               mesh=None):
     log = os.path.join(
         work_dir,
         clean_name((task.workload_key, task.target.split()[0])) + ".json",
@@ -94,7 +95,7 @@ def sweep_task(task: SearchTask, work_dir: str, n_states: int,
             vae_epochs=vae_epochs, reg_epochs=reg_epochs,
             selection=SelectionConfig(num_select=measure_size),
             sampling_seed=seed, bucket_shapes=True,
-            pretrained_vae_params=vae_params,
+            pretrained_vae_params=vae_params, mesh=mesh,
         )
         rows.append({
             "workload_key": task.workload_key[:48],
@@ -128,6 +129,14 @@ def main():
     p.add_argument("--shard-idx", type=int, default=0)
     p.add_argument("--num-shards", type=int, default=1)
     p.add_argument("--auto-shard", action="store_true")
+    p.add_argument("--global-mesh", action="store_true",
+                   help="instead of sharding TASKS across processes "
+                        "(--auto-shard, the DCN contract), every process "
+                        "joins ONE global data mesh and each task's "
+                        "device work (train step, fused selection) runs "
+                        "collectively over all hosts' devices; process 0 "
+                        "writes the CSV (tests/_mh_collective_worker.py "
+                        "is the 2-process correctness gate for this path)")
     p.add_argument("--resume", action="store_true",
                    help="skip tasks whose rows already exist in --out-csv "
                         "(preemption recovery; relies on deterministic "
@@ -149,7 +158,24 @@ def main():
                     tasks.append(t)
 
     shard_idx, num_shards = args.shard_idx, args.num_shards
-    if args.auto_shard:
+    mesh = None
+    is_writer = True
+    if args.global_mesh:
+        import jax
+        import numpy as _np
+        from jax.sharding import Mesh
+
+        from vae_extent_search_tpu.parallel.multihost import (
+            maybe_initialize_distributed,
+        )
+
+        pid, _ = maybe_initialize_distributed()
+        # tasks are NOT sharded: every process runs the same loop and
+        # the per-task device work (pjit train step + sharded fused
+        # selection) collectives across all hosts' devices
+        mesh = Mesh(_np.asarray(jax.devices()), ("data",))
+        is_writer = pid == 0
+    elif args.auto_shard:
         from vae_extent_search_tpu.parallel.multihost import (
             maybe_initialize_distributed,
         )
@@ -197,7 +223,7 @@ def main():
         rows, skip = sweep_task(
             task, args.work_dir, args.n_states, args.measure_size,
             seeds_to_run, args.max_phases, args.vae_epochs,
-            args.reg_epochs, args.noise,
+            args.reg_epochs, args.noise, mesh=mesh,
         )
         # shape bucketing (bucket_shapes=True) lets tasks share compiled
         # programs; still drop the executable cache periodically so the
@@ -208,6 +234,10 @@ def main():
             jax.clear_caches()
         if rows:
             all_rows.extend(rows)
+            if not is_writer:
+                # global-mesh mode: every process computed the same
+                # rows; only process 0 owns the log
+                continue
             # append incrementally: a crash or preemption mid-sweep keeps
             # every completed task's rows (the log is the checkpoint)
             exists = os.path.exists(args.out_csv)
@@ -226,6 +256,8 @@ def main():
             # denominator is auditable (skips aren't silent)
             skipped.append({"workload_key": task.workload_key,
                             "target": task.target, **(skip or {})})
+            if not is_writer:
+                continue
             with open(skipped_path, "a", newline="") as f:
                 w = csv.DictWriter(
                     f, fieldnames=["workload_key", "target", "reason",

@@ -59,7 +59,9 @@ def make_model(spec: str, in_dim: int):
     if kind == "mlp":
         loss = parts[1] if len(parts) > 1 else "lambdaRank"
         return MLPModelInternal(in_dim=in_dim, loss_type=loss)
-    if kind == "lgb":
+    if kind in ("lgb", "lgbm"):
+        # "lgbm" is the reference's name (its train_model.py model
+        # table); lightgbm growth semantics via LGBModelInternal
         from vae_extent_search_tpu.models.gbdt import LGBModelInternal
 
         return LGBModelInternal()

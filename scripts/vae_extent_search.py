@@ -122,6 +122,10 @@ def run_experiment(record_file, out_dir, measure_size=64, seeds=(2000,),
             # search's found rate — that lives in "found"
             "top-1": 0 if res.final_recall_topk is None
             else int(res.final_recall_topk),
+            # full-pool rank the final model gave the true optimum
+            # (forensic for top-1 on noise-tied pools)
+            "optimum_rank": "" if res.final_optimum_rank is None
+            else res.final_optimum_rank,
             "found": int(res.found),
             "sampling_seed": seed,
         })
@@ -174,6 +178,8 @@ def run_gbdt_arm(record_file, out_dir, measure_size=64, seeds=(2000,),
             "used_time": round(res.used_time, 2),
             "top-1": 0 if res.final_recall_topk is None
             else int(res.final_recall_topk),
+            "optimum_rank": "" if res.final_optimum_rank is None
+            else res.final_optimum_rank,
             "found": int(res.found), "sampling_seed": seed,
         })
         print(f"gbdt seed {seed}: found={res.found} phase={res.phase} "

@@ -705,3 +705,175 @@ def test_load_model_pickle_dispatches_by_family(tmp_path):
     mp = str(tmp_path / "m.pkl")
     m.save(mp)
     assert isinstance(load_model_pickle(mp), MLPModelInternal)
+
+
+def _tree_shape(tree):
+    """(n_leaves, max_depth, set of (feature, threshold) splits)."""
+    n_leaves, max_d, splits = 0, 0, set()
+    stack = [(0, 0)]
+    while stack:
+        node, d = stack.pop()
+        max_d = max(max_d, d)
+        if tree.feature[node] < 0:
+            n_leaves += 1
+            continue
+        splits.add((int(tree.feature[node]),
+                    round(float(tree.threshold[node]), 6)))
+        stack.append((tree.left[node], d + 1))
+        stack.append((tree.right[node], d + 1))
+    return n_leaves, max_d, splits
+
+
+def test_lossguide_topology_differs_from_levelwise():
+    """Leaf-wise (lossguide) growth spends its num_leaves budget on the
+    globally best gains — on a corpus whose structure nests inside one
+    half of feature 0 it must grow an unbalanced chain deeper than
+    log2(num_leaves), while level-wise at the same leaf budget stays a
+    balanced depth-2 heap (lgbm_model.py:250 num_leaves semantics vs
+    xgboost-hist depth-wise)."""
+    rng = np.random.default_rng(7)
+    x = rng.random(4000).astype(np.float32)
+    extra = rng.random((4000, 3)).astype(np.float32)  # no-gain noise
+    X = np.column_stack([x, extra])
+    # nested steps inside x<0.5; tiny slope on the right half
+    y = (100.0 * (x < 0.125) + 50.0 * (x < 0.25) + 25.0 * (x < 0.5)
+         + 0.01 * x).astype(np.float32)
+
+    d_leaf = boost.DMatrix(X, label=y)
+    bst_leaf = boost.train(
+        {"grow_policy": "lossguide", "num_leaves": 4, "eta": 1.0,
+         "min_data_in_leaf": 1},
+        d_leaf, num_boost_round=1)
+    nl, depth, splits_leaf = _tree_shape(bst_leaf.trees[0])
+    assert nl == 4
+    assert depth == 3  # chain: 0.5 -> 0.25 -> 0.125, all on one side
+
+    d_lvl = boost.DMatrix(X, label=y)
+    bst_lvl = boost.train({"max_depth": 2, "eta": 1.0}, d_lvl,
+                          num_boost_round=1)
+    nl2, depth2, splits_lvl = _tree_shape(bst_lvl.trees[0])
+    assert depth2 <= 2
+    assert splits_leaf != splits_lvl
+    # the chain recovered all three nested thresholds
+    feats = {f for f, _ in splits_leaf}
+    assert feats == {0}
+    thr = sorted(t for _, t in splits_leaf)
+    assert np.allclose(thr, [0.125, 0.25, 0.5], atol=0.02)
+
+    # growth-consistent routing: ensemble prediction reproduces y
+    # (4 leaves capture the 4 steps; the 0.01*x slope stays as
+    # within-leaf residual)
+    pred = bst_leaf.predict(X)
+    assert float(np.corrcoef(pred, y)[0, 1]) > 0.995
+
+
+def test_lossguide_respects_num_leaves_and_gain_stop():
+    """num_leaves caps every tree; on a zero-signal corpus no split has
+    positive gain so the tree stays a stump."""
+    rng = np.random.default_rng(3)
+    X = rng.random((500, 6)).astype(np.float32)
+    y = rng.normal(size=500).astype(np.float32)
+
+    d = boost.DMatrix(X, label=y)
+    bst = boost.train({"grow_policy": "lossguide", "num_leaves": 8,
+                       "gamma": 10.0, "eta": 0.3}, d, num_boost_round=3)
+    for t in bst.trees:
+        nl, _, _ = _tree_shape(t)
+        assert nl == 1  # gamma kills every candidate gain
+
+    y2 = (X @ rng.random(6)).astype(np.float32)
+    d2 = boost.DMatrix(X, label=y2)
+    bst2 = boost.train({"grow_policy": "lossguide", "num_leaves": 8,
+                        "eta": 0.3, "min_data_in_leaf": 1},
+                       d2, num_boost_round=3)
+    for t in bst2.trees:
+        nl, _, _ = _tree_shape(t)
+        assert nl <= 8
+
+
+def test_lossguide_pack_sum_protocol_parity():
+    """The full pack-sum protocol (objective + rmse/a-peak fevals +
+    early stopping) runs unchanged on the lossguide grower — the LGB
+    arm is the same protocol with lightgbm growth semantics
+    (lgbm_model.py:241-249)."""
+    rows_list, labels, pack_ids = _pack_problem(120, seed=4)
+    rows = np.concatenate(rows_list)
+    d = boost.DMatrix(rows, label=labels[pack_ids], pack_ids=pack_ids,
+                      group_sizes=[len(labels)])
+    out = io.StringIO()
+    with redirect_stdout(out):
+        bst = boost.train(
+            {"grow_policy": "lossguide", "num_leaves": 31,
+             "eta": 0.16, "min_child_weight": 4, "seed": 0,
+             "feature_fraction": 0.84375, "bagging_fraction": 0.89435,
+             "bagging_freq": 4},
+            d, num_boost_round=120, obj=boost.pack_sum_square_error,
+            fevals=[boost.pack_sum_rmse,
+                    boost.pack_sum_average_peak_score(1)],
+            evals=[(d, "tr")], metric="tr-rmse", stopping_rounds=100,
+            verbose_eval=25)
+    text = out.getvalue()
+    assert re.search(r"tr-rmse:\s*\d", text) and "tr-a-peak@1" in text
+    pred = np.bincount(pack_ids, weights=bst.predict(rows),
+                       minlength=len(labels))
+    assert float(np.corrcoef(pred, labels)[0, 1]) > 0.9
+    # determinism: same seed -> identical ensemble
+    d2 = boost.DMatrix(rows, label=labels[pack_ids], pack_ids=pack_ids,
+                       group_sizes=[len(labels)])
+    bst2 = boost.train(
+        {"grow_policy": "lossguide", "num_leaves": 31, "eta": 0.16,
+         "min_child_weight": 4, "seed": 0, "feature_fraction": 0.84375,
+         "bagging_fraction": 0.89435, "bagging_freq": 4},
+        d2, num_boost_round=len(bst.trees),
+        obj=boost.pack_sum_square_error)
+    assert np.allclose(bst2.predict(rows), bst.predict(rows))
+
+
+def test_lgbm_model_selects_lossguide(monkeypatch):
+    """LGBModelInternal drives _fit_native with the reference's tuned
+    lightgbm params (lgbm_model.py:250-258) and the lossguide grower;
+    the device engine delegates lossguide to the host grower."""
+    from vae_extent_search_tpu.models import boost_tpu
+    from vae_extent_search_tpu.models.gbdt import HAS_LGB, LGBModelInternal
+
+    if HAS_LGB:
+        pytest.skip("real lightgbm present; native path not taken")
+
+    captured = {}
+    real_train = boost.train
+
+    def spy(params, *a, **kw):
+        captured.update(params)
+        return real_train(params, *a, **kw)
+
+    monkeypatch.setattr(boost, "train", spy)
+    rng = np.random.default_rng(9)
+    feats = [rng.random((rng.integers(2, 5), 10), dtype=np.float32)
+             for _ in range(80)]
+    y = np.asarray([f.sum() * 0.02 for f in feats], np.float32)
+    m = LGBModelInternal(n_estimators=60)
+    m.fit_base(feats, y)
+    assert captured["grow_policy"] == "lossguide"
+    assert captured["num_leaves"] == 72
+    assert abs(captured["eta"] - 0.1632095) < 1e-9
+    assert np.corrcoef(m.predict_on_features(feats), y)[0, 1] > 0.8
+    # every tree respects the num_leaves cap
+    for t in m.model.trees:
+        nl, _, _ = _tree_shape(t)
+        assert nl <= 72
+
+    # device engine delegation: identical ensemble from boost_tpu.train
+    rows = np.concatenate(feats)
+    pk = np.repeat(np.arange(len(feats)),
+                   [len(f) for f in feats]).astype(np.int64)
+    d1 = boost.DMatrix(rows, label=y[pk], pack_ids=pk,
+                       group_sizes=[len(y)])
+    d2 = boost.DMatrix(rows, label=y[pk], pack_ids=pk,
+                       group_sizes=[len(y)])
+    params = {"grow_policy": "lossguide", "num_leaves": 16,
+              "eta": 0.2, "seed": 1}
+    b1 = real_train(params, d1, num_boost_round=10,
+                    obj=boost.pack_sum_square_error)
+    b2 = boost_tpu.train(params, d2, num_boost_round=10,
+                         obj=boost.pack_sum_square_error)
+    assert np.allclose(b1.predict(rows), b2.predict(rows))

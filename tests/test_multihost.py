@@ -111,3 +111,39 @@ def test_merge_record_logs_idempotent(tmp_path):
     assert open(out).read().splitlines() == ["x", "y"]
     # out_path in in_paths is skipped, not read-while-appending
     assert merge_record_logs([str(a), out], out) == 0
+
+
+def test_two_process_collective_compute(tmp_path):
+    """Jitted collectives must actually CROSS the process boundary
+    (round-2 verdict item 3): two processes x 4 CPU devices enter ONE
+    global (data=4, model=2) mesh and run (a) the DPxTP train step —
+    the grad psum spans both hosts, (b) a fused sharded selection
+    phase, (c) data-parallel GBDT with cross-host histogram psums.
+    Both hosts must end with bit-identical params, selections, and
+    trees."""
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)  # the worker pins its own device count
+    env["VES_COORDINATOR"] = f"127.0.0.1:{port}"
+    env["VES_NUM_PROCESSES"] = "2"
+
+    procs, reports = [], []
+    for pid in range(2):
+        e = dict(env, VES_PROCESS_ID=str(pid))
+        rep = str(tmp_path / f"collective_{pid}.json")
+        reports.append(rep)
+        procs.append(subprocess.Popen(
+            [sys.executable,
+             os.path.join(REPO, "tests", "_mh_collective_worker.py"), rep],
+            env=e, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err.decode()[-3000:]
+
+    reps = [json.load(open(r)) for r in reports]
+    assert {r["pid"] for r in reps} == {0, 1}
+    for key in ("train_params", "selection", "gbdt_trees", "gbdt_pred"):
+        assert reps[0][key] == reps[1][key], (key, reps)
+    assert reps[0]["train_loss"] == reps[1]["train_loss"]

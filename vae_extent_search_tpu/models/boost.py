@@ -212,6 +212,128 @@ def _grow_tree(dtrain: DMatrix, grad: np.ndarray, hess: np.ndarray,
     return tree, train_update
 
 
+def _best_split(binned, thresholds, rows, grad, hess, reg_lambda,
+                gamma, min_child_weight, min_data_in_leaf,
+                feature_idx):
+    """Best (gain, feature, bin) over candidate features for one node —
+    the shared histogram split search of the lossguide grower."""
+    gj = grad[rows]
+    hj = hess[rows]
+    G = gj.sum()
+    H = hj.sum()
+    parent_score = G * G / (H + reg_lambda)
+    best = (0.0, -1, -1)
+    for j in feature_idx:
+        edges = thresholds[j]
+        if not len(edges):
+            continue
+        b = binned[j, rows]
+        nb = len(edges) + 1
+        gh = np.zeros(nb, np.float64)
+        hh = np.zeros(nb, np.float64)
+        ch = np.bincount(b, minlength=nb).astype(np.float64)
+        np.add.at(gh, b, gj)
+        np.add.at(hh, b, hj)
+        gl = np.cumsum(gh)[:-1]
+        hl = np.cumsum(hh)[:-1]
+        cl = np.cumsum(ch)[:-1]
+        gr, hr, cr = G - gl, H - hl, len(rows) - cl
+        ok = ((hl >= min_child_weight) & (hr >= min_child_weight)
+              & (cl >= min_data_in_leaf) & (cr >= min_data_in_leaf))
+        if not ok.any():
+            continue
+        gain = 0.5 * (gl * gl / (hl + reg_lambda)
+                      + gr * gr / (hr + reg_lambda)
+                      - parent_score) - gamma
+        gain = np.where(ok, gain, -np.inf)
+        k = int(np.argmax(gain))
+        if gain[k] > best[0]:
+            best = (float(gain[k]), j, k)
+    return best, G, H
+
+
+def _grow_tree_leafwise(dtrain: DMatrix, grad: np.ndarray,
+                        hess: np.ndarray, num_leaves: int,
+                        max_depth: int, eta: float, reg_lambda: float,
+                        gamma: float, min_child_weight: float,
+                        min_data_in_leaf: int = 20,
+                        feature_idx=None, bag_rows=None):
+    """LightGBM-semantics best-first ("lossguide") growth: keep a pool
+    of splittable leaves, always split the one with the globally
+    largest gain, stop at ``num_leaves`` leaves or when no leaf has a
+    positive-gain split (reference lgbm_model.py trains
+    boosting_type='gbdt' whose tree grower is leaf-wise with a
+    num_leaves cap — unlike xgboost-hist's level-wise default).
+
+    ``feature_idx``: candidate feature subset for this tree
+    (feature_fraction); ``bag_rows``: row subset the tree is grown on
+    (bagging_fraction/bagging_freq).  -> (tree, train_update[n]) where
+    train_update routes EVERY row (in- and out-of-bag) through the
+    finished tree by bin id, keeping score updates growth-consistent
+    (see _grow_tree docstring for why bin routing, not float
+    thresholds)."""
+    import heapq
+
+    dtrain._ensure_binned()
+    binned = dtrain._binned            # [d, n] uint8
+    thresholds = dtrain._thresholds
+    if feature_idx is None:
+        feature_idx = range(binned.shape[0])
+    all_rows = np.arange(len(grad))
+    rows0 = all_rows if bag_rows is None else bag_rows
+
+    tree = _Tree()
+    root = tree._new_node()
+    split_bin = {}                     # node -> (feature, bin) for routing
+    leaf_rows = {root: rows0}
+
+    def push(heap, node, depth, rows, tick):
+        (gain, j, k), G, H = _best_split(
+            binned, thresholds, rows, grad, hess, reg_lambda, gamma,
+            min_child_weight, min_data_in_leaf, feature_idx)
+        tree.value[node] = -eta * G / (H + reg_lambda)
+        depth_ok = max_depth <= 0 or depth < max_depth
+        if j >= 0 and gain > 0 and depth_ok and len(rows) >= 2:
+            # tick breaks gain ties toward the earlier-created leaf
+            # (lightgbm's deterministic ordering)
+            heapq.heappush(heap, (-gain, tick, node, depth, rows, j, k))
+
+    heap: list = []
+    push(heap, root, 0, rows0, 0)
+    n_leaves, tick = 1, 1
+    while heap and n_leaves < num_leaves:
+        _, _, node, depth, rows, j, k = heapq.heappop(heap)
+        mask = binned[j, rows] <= k
+        lnode = tree._new_node()
+        rnode = tree._new_node()
+        tree.feature[node] = j
+        tree.threshold[node] = float(thresholds[j][k])
+        tree.left[node], tree.right[node] = lnode, rnode
+        split_bin[node] = (j, k)
+        del leaf_rows[node]
+        lrows, rrows = rows[mask], rows[~mask]
+        leaf_rows[lnode] = lrows
+        leaf_rows[rnode] = rrows
+        push(heap, lnode, depth + 1, lrows, tick)
+        push(heap, rnode, depth + 1, rrows, tick + 1)
+        tick += 2
+        n_leaves += 1
+
+    # route every row (incl. out-of-bag) down by bin id
+    train_update = np.zeros(len(grad), np.float32)
+    stack = [(root, all_rows)]
+    while stack:
+        node, rows = stack.pop()
+        if tree.feature[node] < 0:
+            train_update[rows] = tree.value[node]
+            continue
+        j, k = split_bin[node]
+        mask = binned[j, rows] <= k
+        stack.append((tree.left[node], rows[mask]))
+        stack.append((tree.right[node], rows[~mask]))
+    return tree, train_update
+
+
 class Booster:
     """Trained model: base score + tree ensemble (+ xgboost-style str
     attributes for best-iteration bookkeeping)."""
@@ -264,6 +386,16 @@ def train(params: dict, dtrain: DMatrix, num_boost_round: int = 300,
     gamma = float(params.get("gamma", 0.0))
     min_child_weight = float(params.get("min_child_weight", 1.0))
     base_score = float(params.get("base_score", 0.0))
+    # lightgbm-semantics knobs (reference lgbm_model.py:141-150):
+    # grow_policy "lossguide" = best-first leaf-wise growth capped by
+    # num_leaves; feature_fraction / bagging_* are per-tree samplings
+    lossguide = params.get("grow_policy") == "lossguide"
+    num_leaves = int(params.get("num_leaves", 31))
+    min_data_in_leaf = int(params.get("min_data_in_leaf", 20))
+    feature_fraction = float(params.get("feature_fraction", 1.0))
+    bagging_fraction = float(params.get("bagging_fraction", 1.0))
+    bagging_freq = int(params.get("bagging_freq", 0))
+    rng = np.random.default_rng(int(params.get("seed", 0)))
 
     bst = Booster(base_score)
     preds = {id(dm): bst.predict(dm) for dm, _ in evals}
@@ -272,6 +404,7 @@ def train(params: dict, dtrain: DMatrix, num_boost_round: int = 300,
 
     best_score = -np.inf if maximize else np.inf
     best_iteration = 0
+    bag = None
 
     for i in range(num_boost_round):
         if obj is not None:
@@ -282,10 +415,33 @@ def train(params: dict, dtrain: DMatrix, num_boost_round: int = 300,
             w = dtrain.get_weight()
             if len(w):
                 grad, hess = grad * w, hess * w
-        tree, train_update = _grow_tree(
-            dtrain, np.asarray(grad, np.float64),
-            np.asarray(hess, np.float64), max_depth, eta,
-            reg_lambda, gamma, min_child_weight)
+        if lossguide:
+            d = dtrain.data.shape[1]
+            fidx = None
+            if feature_fraction < 1.0:
+                nf = max(1, int(round(feature_fraction * d)))
+                fidx = np.sort(rng.choice(d, nf, replace=False))
+            brows = None
+            if 0 < bagging_fraction < 1.0 and bagging_freq > 0:
+                # lightgbm re-bags every bagging_freq iterations;
+                # within a window trees share the bag
+                if i % bagging_freq == 0 or bag is None:
+                    n = len(dtrain)
+                    bag = np.sort(rng.choice(
+                        n, max(1, int(round(bagging_fraction * n))),
+                        replace=False))
+                brows = bag
+            tree, train_update = _grow_tree_leafwise(
+                dtrain, np.asarray(grad, np.float64),
+                np.asarray(hess, np.float64), num_leaves, max_depth
+                if "max_depth" in params else -1, eta, reg_lambda,
+                gamma, min_child_weight, min_data_in_leaf,
+                feature_idx=fidx, bag_rows=brows)
+        else:
+            tree, train_update = _grow_tree(
+                dtrain, np.asarray(grad, np.float64),
+                np.asarray(hess, np.float64), max_depth, eta,
+                reg_lambda, gamma, min_child_weight)
         bst.trees.append(tree)
         # growth-consistent (binned) update — see _grow_tree docstring
         pred_tr = pred_tr + train_update

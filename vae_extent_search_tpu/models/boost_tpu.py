@@ -402,6 +402,17 @@ def train(params: dict, dtrain: DMatrix, num_boost_round: int = 300,
     shard over ``data_axis``, per-level histograms psum over ICI, and
     every chip grows identical trees (applies to the scan fast path;
     other configurations fall back to single-device)."""
+    if params.get("grow_policy") == "lossguide":
+        # leaf-wise growth keeps a dynamic splittable-leaf pool — a
+        # data-dependent control structure the static-heap device tree
+        # cannot express; run the host lossguide grower instead
+        from .boost import train as _host_train
+        return _host_train(params, dtrain, num_boost_round, obj=obj,
+                           fevals=fevals, evals=evals, metric=metric,
+                           maximize=maximize,
+                           stopping_rounds=stopping_rounds,
+                           verbose_eval=verbose_eval,
+                           skip_every=skip_every, log_file=log_file)
     max_depth = int(params.get("max_depth", 6))
     eta = float(params.get("eta", 0.3))
     reg_lambda = float(params.get("lambda", 1.0))

@@ -239,11 +239,7 @@ class GBDTModelInternal:
             group_sizes=[len(features_list)])
         train_fn = self._native_train_fn(len(rows))
         self.model = train_fn(
-            {
-                "max_depth": self.max_depth, "eta": self.learning_rate,
-                "gamma": 0.003, "min_child_weight": 2,
-                "seed": self.seed,
-            },
+            self._native_params(),
             dtrain, num_boost_round=self.n_estimators,
             obj=boost.pack_sum_square_error,
             fevals=[boost.pack_sum_rmse,
@@ -253,6 +249,16 @@ class GBDTModelInternal:
             verbose_eval=25 if verbose else 0,
         )
         self._train_shape = rows.shape[1]
+
+    def _native_params(self) -> dict:
+        """Booster params for the in-repo engine — xgboost-faithful here
+        (xgb_model.py:138-149 depth 6, eta 0.2); LGBModelInternal
+        overrides with lightgbm's growth semantics."""
+        return {
+            "max_depth": self.max_depth, "eta": self.learning_rate,
+            "gamma": 0.003, "min_child_weight": 2,
+            "seed": self.seed,
+        }
 
     @staticmethod
     def _native_train_fn(n_rows: int):
@@ -271,7 +277,10 @@ class GBDTModelInternal:
         if n_rows >= _TPU_BOOST_MIN_ROWS:
             try:
                 import jax
-                if jax.default_backend() != "cpu":
+                # the device engine's Pallas kernel is written for TPU
+                # Mosaic semantics — auto-route only on a real TPU
+                # (VES_BOOST_TPU=1 still forces it elsewhere)
+                if jax.default_backend() == "tpu":
                     from . import boost_tpu
                     return boost_tpu.train
             except Exception:  # pragma: no cover - jax init failure
@@ -316,14 +325,33 @@ class GBDTModelInternal:
 
 
 class LGBModelInternal(GBDTModelInternal):
-    """LightGBM-backed variant (reference cost_model/lgbm_model.py);
-    falls back to the in-repo pack-sum booster (models/boost.py) when
-    lightgbm is unavailable — lgbm_model.py:246-247 runs the same
-    pack_sum_square_error objective + fevals as the xgb model."""
+    """LightGBM-semantics variant (reference cost_model/lgbm_model.py):
+    the same pack_sum_square_error objective + fevals as the xgb model
+    (lgbm_model.py:246-247) but with lightgbm's tree grower — best-first
+    leaf-wise ("lossguide") growth capped by num_leaves, per-tree
+    feature_fraction and bagging — and the reference's tuned params
+    (lgbm_model.py:250-258: num_leaves 72, lr 0.1632095,
+    feature_fraction 0.84375, bagging 0.89435/freq 4,
+    min_sum_hessian_in_leaf 4). Uses the real lightgbm library when
+    importable; otherwise the in-repo booster's lossguide grower
+    (models/boost.py _grow_tree_leafwise)."""
 
     def __init__(self, **kw):
         kw.setdefault("backend", "lgb")
+        kw.setdefault("learning_rate", 0.1632095)
         super().__init__(**kw)
+
+    def _native_params(self) -> dict:
+        return {
+            "grow_policy": "lossguide",
+            "num_leaves": 72,
+            "eta": self.learning_rate,
+            "feature_fraction": 0.84375,
+            "bagging_fraction": 0.89435,
+            "bagging_freq": 4,
+            "min_child_weight": 4,  # min_sum_hessian_in_leaf
+            "seed": self.seed,
+        }
 
 
 class RandomModelInternal:

@@ -159,6 +159,9 @@ class ActiveSearchResult:
     # ``found``). None when the optimum was hit before any model was
     # trained (phase-0 init hit).
     final_recall_topk: Optional[int] = None
+    # full-pool rank (1 = argmax) the final model assigns the true
+    # optimum; None when no model was trained (phase-0 init hit)
+    final_optimum_rank: Optional[int] = None
 
 
 def run_active_search(
@@ -363,6 +366,14 @@ def run_active_search(
         # the last phase's value lands in the CSV top-k column
         result.final_recall_topk = recall_at_k(
             np.asarray(all_pred)[:N], labels, k=stop_top_k)
+        # rank the model gives the true optimum over the full pool
+        # (1 = argmax; forensic for the top-1 column — on pools with a
+        # noise-tied plateau even a perfect predictor ranks the
+        # recorded optimum ~uniformly within the plateau)
+        pred_np = np.asarray(all_pred)[:N]
+        true_best = int(np.argmax(labels))
+        result.final_optimum_rank = int(
+            np.sum(pred_np > pred_np[true_best])) + 1
 
         # ---- select next batch on device ----
         k_sel, sub = jax.random.split(k_sel)
@@ -453,6 +464,8 @@ def run_gbdt_baseline_search(
         result.top1_hits.append(int(bool(true_top & set(sel))))
         result.final_recall_topk = recall_at_k(preds, labels,
                                                k=stop_top_k)
+        tb = int(np.argmax(labels))
+        result.final_optimum_rank = int(np.sum(preds > preds[tb])) + 1
         if true_top & set(sel):
             result.found = True
             break

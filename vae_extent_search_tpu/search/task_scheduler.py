@@ -33,6 +33,20 @@ def derive_similarity_tag(task: SearchTask, log_base: float = 1.618):
     return f"{names}-{int(math.log(dag.flop_ct) / math.log(log_base))}"
 
 
+def _measured_score(scheduler):
+    """(estimated latency over MEASURED tasks only, #unmeasured).
+
+    Before warm-up completes, unmeasured tasks still sit at the 1e10
+    dead-cost sentinel; summing those prints astronomical garbage (the
+    reference callback shares the flaw). The scheduler's own cur_score
+    keeps the sentinel semantics (the gradient strategy needs them) —
+    only the human-facing callbacks mask."""
+    costs = np.where(scheduler.best_costs < 1e9, scheduler.best_costs,
+                     0.0)
+    n_unmeasured = int(np.sum(scheduler.best_costs >= 1e9))
+    return scheduler._compute_score(costs), n_unmeasured
+
+
 class PrintTableInfo:
     def callback(self, scheduler):
         print("| ID | Latency (ms) | Speed (GFLOPS) | Trials |")
@@ -42,10 +56,13 @@ class PrintTableInfo:
                 task.compute_dag.flop_ct / cost / 1e9
                 if cost < 1e9 else 0.0
             )
-            print(f"| {i:2d} | {cost * 1e3:12.3f} | {gflops:14.2f} "
+            lat = f"{cost * 1e3:12.3f}" if cost < 1e9 else f"{'-':>12}"
+            print(f"| {i:2d} | {lat} | {gflops:14.2f} "
                   f"| {scheduler.task_cts[i]:6d} |")
-        print(f"Estimated total latency: "
-              f"{scheduler.cur_score * 1e3:.3f} ms  Trials: {scheduler.ct}")
+        score, miss = _measured_score(scheduler)
+        suffix = f" ({miss} tasks unmeasured)" if miss else ""
+        print(f"Estimated total latency: {score * 1e3:.3f} ms"
+              f"{suffix}  Trials: {scheduler.ct}")
 
 
 class LogEstimatedLatency:
@@ -53,11 +70,13 @@ class LogEstimatedLatency:
         self.log_file = log_file
 
     def callback(self, scheduler):
+        score, miss = _measured_score(scheduler)
         with open(self.log_file, "a") as f:
             f.write(
                 f"ElapsedTime(s)\t{time.time() - scheduler.tic:.0f}\t"
-                f"EstimatedLatency(ms)\t{scheduler.cur_score * 1e3:.3f}\t"
-                f"Trials\t{scheduler.ct}\n"
+                f"EstimatedLatency(ms)\t{score * 1e3:.3f}\t"
+                f"Trials\t{scheduler.ct}\t"
+                f"Unmeasured\t{miss}\n"
             )
 
 
