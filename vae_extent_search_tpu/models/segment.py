@@ -207,6 +207,75 @@ def compute_fea_norm_vec(features_list) -> np.ndarray:
     return mx
 
 
+# past this many per-store rows on an accelerator, fit_base "auto"
+# trains all epochs as one compiled scan (no per-batch dispatches)
+_SCAN_FIT_MIN_ROWS = 200_000
+
+
+@functools.lru_cache(maxsize=None)
+def _scan_fit_program(loss_type: str, add_sigmoid: bool, bs: int,
+                      patience: int, n_epoch: int, lr: float,
+                      grad_clip: float, has_val: bool):
+    """Build the jitted whole-training program for _fit_scan. Cached by
+    hyperparameter config; the stacked batch arrays are ARGUMENTS, so
+    jit's own shape cache handles geometry and nothing corpus-sized is
+    baked into the executable."""
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(grad_clip), optax.adam(lr)
+    )
+    loss_fn = LOSS_FNS[loss_type]
+
+    def batch_loss(params, feats, segs, labs, valid):
+        preds = segment_mlp_forward(params, feats, segs, bs, add_sigmoid)
+        return loss_fn(preds, labs, valid)
+
+    def val_rmse(params, feats, segs, labs, valid):
+        preds = segment_mlp_forward(params, feats, segs, bs, add_sigmoid)
+        return rmse_loss(preds, labs, valid)
+
+    def frozen_where(stop, old, new):
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(stop, a, b), old, new)
+
+    def run(params, TR, VA):
+        def epoch_step(carry, _):
+            params, opt_state, best_val, best_params, bad, stopped = carry
+
+            def one_batch(c, b):
+                p, o = c
+                l, grads = jax.value_and_grad(batch_loss)(p, *b)
+                updates, o = optimizer.update(grads, o, p)
+                p = optax.apply_updates(p, updates)
+                return (p, o), l
+
+            (new_p, new_o), ls = jax.lax.scan(
+                one_batch, (params, opt_state), TR)
+            params = frozen_where(stopped, params, new_p)
+            opt_state = frozen_where(stopped, opt_state, new_o)
+            if has_val:
+                val = jax.vmap(
+                    lambda f, s, l, v: val_rmse(params, f, s, l, v)
+                )(*VA).mean()
+            else:
+                val = ls.sum()
+            improved = (~stopped) & (val < best_val - 1e-7)
+            best_params = frozen_where(~improved, best_params, params)
+            best_val = jnp.where(improved, val, best_val)
+            bad = jnp.where(stopped, bad,
+                            jnp.where(improved, 0, bad + 1))
+            stopped = stopped | (bad >= patience)
+            return (params, opt_state, best_val, best_params, bad,
+                    stopped), val
+
+        carry0 = (params, optimizer.init(params), jnp.float32(np.inf),
+                  params, jnp.int32(0), jnp.bool_(False))
+        (_, _, _, best_params, _, _), vals = jax.lax.scan(
+            epoch_step, carry0, None, length=n_epoch)
+        return best_params, vals
+
+    return jax.jit(run)
+
+
 class MLPModelInternal:
     """Cost model: fit_base / predict / save / load
     (mlp_model.py MLPModelInternal; default loss lambdaRank, hidden 256,
@@ -215,7 +284,14 @@ class MLPModelInternal:
     def __init__(self, in_dim: int = 164, hidden_dim: int = 256,
                  loss_type: str = "lambdaRank", lr: float = 7e-4,
                  batch_size: int = 512, grad_clip: float = 0.5,
-                 n_epoch: int = 150, seed: int = 0):
+                 n_epoch: int = 150, seed: int = 0,
+                 fit_mode: str = "auto"):
+        # fit_mode: "host" = one jitted step per batch (the reference's
+        # loop shape, mlp_model.py:560-600); "scan" = ALL epochs as one
+        # compiled lax.scan over stacked batches (pretraining-scale
+        # path: no per-batch dispatch, which over the tunneled chip
+        # costs ~1-6 ms each); "auto" = scan past _SCAN_FIT_MIN_ROWS
+        # per-store rows on an accelerator backend.
         self.in_dim = in_dim
         self.hidden_dim = hidden_dim
         self.loss_type = loss_type
@@ -224,6 +300,7 @@ class MLPModelInternal:
         self.grad_clip = grad_clip
         self.n_epoch = n_epoch
         self.seed = seed
+        self.fit_mode = fit_mode
         self.params = None
         self.fea_norm_vec = None
         self._add_sigmoid = loss_type == "rmse"
@@ -289,6 +366,19 @@ class MLPModelInternal:
             self.fea_norm_vec,
         ) if va else []
 
+        mode = getattr(self, "fit_mode", "auto")  # old-pickle safe
+        if mode == "auto":
+            import jax as _jax
+
+            total_rows = sum(len(f) for f in features_list)
+            mode = ("scan" if total_rows >= _SCAN_FIT_MIN_ROWS
+                    and _jax.default_backend() != "cpu" else "host")
+        if mode == "scan" and tr_batches:
+            self._fit_scan(tr_batches, va_batches, verbose)
+            if checkpoint_path:
+                self.save(checkpoint_path)
+            return self
+
         best_val = float("inf")
         best_params = self.params
         patience = max(5, self.n_epoch // 6)
@@ -322,6 +412,37 @@ class MLPModelInternal:
         self.params = best_params
         if checkpoint_path:
             self.save(checkpoint_path)
+        return self
+
+    def _fit_scan(self, tr_batches, va_batches, verbose=False):
+        """All epochs as ONE compiled program: lax.scan over epochs,
+        inner scan over the stacked fixed-shape batches. Early stopping
+        reproduces the host loop's patience semantics on device (a
+        `stopped` flag freezes params/best once bad >= patience —
+        identical selection, the post-stop epochs are just dead
+        compute). This is the pretraining-scale path: at millions of
+        per-store rows the host loop pays one dispatch per batch per
+        epoch (~1-6 ms each over the tunneled chip), the scan pays
+        one. The compiled program is cached module-level by hyperparam
+        config (batches are ARGUMENTS, not traced constants), so
+        repeated fits at the same geometry skip compilation."""
+        patience = max(5, self.n_epoch // 6)
+        has_val = bool(va_batches)
+
+        TR = tuple(np.stack([getattr(b, f) for b in tr_batches])
+                   for f in SegmentBatch._fields)
+        VA = tuple(np.stack([getattr(b, f) for b in va_batches])
+                   for f in SegmentBatch._fields) if has_val else None
+
+        run = _scan_fit_program(self.loss_type, self._add_sigmoid,
+                                self.batch_size, patience, self.n_epoch,
+                                self.lr, self.grad_clip, has_val)
+        best_params, vals = run(self.params, TR, VA)
+        self.params = jax.device_get(best_params)
+        if verbose:
+            vals = np.asarray(jax.device_get(vals))
+            for e in range(0, len(vals), 10):
+                print(f"epoch {e}: val {vals[e]:.4f}")
         return self
 
     def predict_on_features(self, features_list) -> np.ndarray:
