@@ -659,6 +659,32 @@ def test_sketch_vae_policy_spec():
     assert model._embed_total == 10
 
 
+def test_segment_sum_rows_matmul_matches_scatter():
+    """The accelerator path's one-hot-matmul segment sum must equal the
+    scatter path (padding id == n_seg dropped; grads are plain-matmul
+    transposes and agree too)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vae_extent_search_tpu.models.segment import segment_sum_rows
+
+    rng = np.random.default_rng(11)
+    R, H, n_seg = 700, 48, 96
+    h = jnp.asarray(rng.standard_normal((R, H)).astype(np.float32))
+    ids = jnp.asarray(np.sort(rng.integers(0, n_seg + 1, R)).astype(np.int32))
+    a = segment_sum_rows(h, ids, n_seg, via="scatter")
+    b = segment_sum_rows(h, ids, n_seg, via="matmul")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
+    ga = jax.grad(lambda x: segment_sum_rows(
+        x, ids, n_seg, via="scatter").sum())(h)
+    gb = jax.grad(lambda x: segment_sum_rows(
+        x, ids, n_seg, via="matmul").sum())(h)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_mlp_scan_fit_matches_host_loop():
     """The pretraining-scale scan fit (one compiled program for all
     epochs, models/segment.py _fit_scan) must reproduce the host

@@ -42,12 +42,33 @@ def init_segment_mlp_params(key, in_dim: int, hidden_dim: int = 256,
     }
 
 
+def segment_sum_rows(h: jnp.ndarray, segment_ids: jnp.ndarray,
+                     n_seg: int, via: Optional[str] = None) -> jnp.ndarray:
+    """Sum rows of h [R, H] into n_seg buckets (id == n_seg drops).
+
+    On accelerators this is a one-hot matmul: XLA lowers
+    jax.ops.segment_sum to a scatter-add that underperforms badly on
+    TPU at training shapes (the same pathology models/boost_tpu.py hit
+    with histogram scatters in round 2). The [n_seg, R] one-hot
+    contraction runs on the MXU and differentiates as a plain matmul.
+    CPU keeps the scatter (fast there; the one-hot would be n_seg x R
+    extra work). ``via`` forces a path ("scatter"/"matmul") for tests."""
+    if via is None:
+        via = "scatter" if jax.default_backend() == "cpu" else "matmul"
+    if via == "scatter":
+        return jax.ops.segment_sum(h, segment_ids,
+                                   num_segments=n_seg + 1)[:n_seg]
+    oh = (segment_ids[None, :]
+          == jnp.arange(n_seg, dtype=segment_ids.dtype)[:, None])
+    return oh.astype(h.dtype) @ h
+
+
 def segment_mlp_forward(params: Dict, features: jnp.ndarray,
                         segment_ids: jnp.ndarray, n_seg: int,
                         add_sigmoid: bool = False) -> jnp.ndarray:
     """features [R, in_dim], segment_ids [R] (id == n_seg for padding)."""
     h = mlp_apply(params["segment_encoder"], features, final_activation=True)
-    seg = jax.ops.segment_sum(h, segment_ids, num_segments=n_seg + 1)[:n_seg]
+    seg = segment_sum_rows(h, segment_ids, n_seg)
     out = seg
     out = mlp_apply(params["l0"], out, final_activation=True) + out
     out = mlp_apply(params["l1"], out, final_activation=True) + out
