@@ -74,19 +74,27 @@ def main():
     ident = lambda x, spec: x
     s_single = run("single-device", ident)
 
-    # chaos-floor control: the greedy selection cascade (k-center picks
-    # feed later picks; top-k over 262k near-tied f32 variances) is
-    # chaotically sensitive — a 1-ulp score change can flip a boundary
-    # candidate and cascade. Quantify that floor by re-running
-    # single-device with params perturbed by ~1 ulp: the sharded run's
-    # divergence (different matmul reduction order across shards) must
-    # be judged against THIS floor, not against bitwise equality.
+    # Controls. (a) params +1ulp: pure reduction-order/numerics floor —
+    # measured 64/64, so ulp noise flips nothing. (b) MC-seed floor:
+    # the sharded path folds the MC-dropout key per shard
+    # (select_sharded.py docstring "Determinism note"), so its dropout
+    # draws are a DIFFERENT — equally valid — Monte Carlo sample than
+    # the single-device run's. The honest equivalence bar is therefore
+    # how much the selection varies across MC seeds on ONE device; the
+    # sharded divergence must be within that resampling floor. (The
+    # small-N bit-identity test with INJECTED mask bits,
+    # tests/test_pipeline.py, already pins every non-stochastic stage.)
     eps_params = jax.tree_util.tree_map(
         lambda p: p * (1.0 + 1.2e-7), params)
     saved = params
     params = eps_params
     s_eps = run("single-device +1ulp", ident)
     params = saved
+
+    saved_key = key
+    key = jax.random.fold_in(key, 999)
+    s_seed = run("single-device reseeded", ident)
+    key = saved_key
 
     mesh = make_mesh(8, data=8, model=1)
     s_shard = run("8-device mesh",
@@ -99,15 +107,17 @@ def main():
               f"(jaccard {inter / max(len(a | b), 1):.3f})")
         return inter / max(len(a), 1)
 
-    o_floor = overlap(s_single, s_eps, "chaos floor (single vs +1ulp)")
+    o_ulp = overlap(s_single, s_eps, "numerics floor (single vs +1ulp)")
+    o_seed = overlap(s_single, s_seed, "MC-seed floor (single vs reseed)")
     o_shard = overlap(s_single, s_shard, "sharded vs single overlap")
 
-    if o_shard + 0.1 < o_floor:
+    if o_shard + 0.1 < min(o_seed, o_ulp):
         print("WARNING: sharded overlap below the single-device "
-              "perturbation floor — investigate a sharding bug")
+              "MC-resampling floor — investigate a sharding bug")
         sys.exit(1)
-    print("OK: sharded divergence is within the numerical chaos floor "
-          "of the greedy selection cascade")
+    print("OK: sharded divergence is within the MC-dropout resampling "
+          "floor (the sharded path draws an independent, equally valid "
+          "MC sample per shard by design)")
 
 
 if __name__ == "__main__":
