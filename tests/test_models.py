@@ -716,3 +716,39 @@ def test_mlp_scan_fit_matches_host_loop():
                              fit_mode="scan").fit_base(feats, y)
     assert np.corrcoef(host2.predict_on_features(feats),
                        scan2.predict_on_features(feats))[0, 1] > 0.999
+
+
+def test_mlp_scan_fit_bf16_storage():
+    """bf16 feature STORAGE on the scan path (HBM-bounded pretraining
+    corpora; forward upcasts to f32) ranks like the f32-stored fit, and
+    the stacked loader output is byte-identical to stacking the per-
+    batch list (models/segment.py make_segment_batches stacked=True)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from vae_extent_search_tpu.models.segment import (
+        MLPModelInternal, SegmentBatch, make_segment_batches)
+
+    rng = np.random.default_rng(11)
+    feats = [rng.random((int(rng.integers(2, 8)), 10)).astype(np.float32)
+             for _ in range(300)]
+    y = np.asarray([f.sum() * 0.05 for f in feats], np.float32)
+
+    # stacked == jnp.stack(list) bytes (f32)
+    lst = make_segment_batches(feats, y, 64)
+    stk = make_segment_batches(feats, y, 64, stacked=True)
+    assert isinstance(stk, SegmentBatch)
+    for f in SegmentBatch._fields:
+        a = jnp.stack([getattr(b, f) for b in lst])
+        np.testing.assert_array_equal(np.asarray(a),
+                                      np.asarray(getattr(stk, f)))
+
+    f32m = MLPModelInternal(in_dim=10, hidden_dim=48, n_epoch=40,
+                            fit_mode="scan").fit_base(feats, y)
+    bf = MLPModelInternal(in_dim=10, hidden_dim=48, n_epoch=40,
+                          fit_mode="scan")
+    bf.scan_feature_dtype = "bfloat16"
+    bf.fit_base(feats, y)
+    p32 = f32m.predict_on_features(feats)
+    p16 = bf.predict_on_features(feats)
+    assert np.corrcoef(p32, p16)[0, 1] > 0.99

@@ -162,32 +162,43 @@ def _grow_tree_device(hist_input, binned_T, n_edges, grad, hess, *,
             from ..ops.hist_pallas import hist_pallas_packed
             interp = hist_engine == "pallas_interpret"
             if hist_meta:
-                d_small, d_big, sw = hist_meta
-                (packed_big, packed_small, ids_small, ids_big,
-                 ne_small, ne_big) = hist_input
+                tier_plan, d_big = hist_meta
+                parts = hist_input
+                packed_big, ids_big, ne_big = parts[0], parts[1], parts[2]
                 nb_pad = -(-nb // 128) * 128
-                fpd = nb_pad // sw
-                n_dots = -(-d_small // fpd)
-                gs, hs = hist_pallas_packed(
-                    packed_small, node, grad, hess, d=n_dots, m=m,
-                    nb=nb_pad, fg=1, sw=sw, interpret=interp)
-                # [n_dots, m, nb_pad] -> per-feature windows
-                gs = jnp.moveaxis(gs.reshape(n_dots, m, fpd, sw), 2, 1
-                                  ).reshape(n_dots * fpd, m, sw)[:d_small]
-                hs = jnp.moveaxis(hs.reshape(n_dots, m, fpd, sw), 2, 1
-                                  ).reshape(n_dots * fpd, m, sw)[:d_small]
-                if axis_name:
-                    gs, hs = _allsum(gs), _allsum(hs)
-                Gn = gs[0].sum(axis=-1)
-                Hn = hs[0].sum(axis=-1)
-                tiers.append(_tier_best(gs, hs, Gn, Hn, ne_small,
-                                        ids_small, sw))
+                off = 3
+                Gn = Hn = None
+                for (sw, d_t) in tier_plan:
+                    packed_t, ids_t, ne_t = parts[off:off + 3]
+                    off += 3
+                    fpd = nb_pad // sw
+                    n_dots = -(-d_t // fpd)
+                    gs, hs = hist_pallas_packed(
+                        packed_t, node, grad, hess, d=n_dots, m=m,
+                        nb=nb_pad, fg=1, sw=sw, interpret=interp)
+                    # [n_dots, m, nb_pad] -> per-feature windows
+                    gs = jnp.moveaxis(
+                        gs.reshape(n_dots, m, fpd, sw), 2, 1
+                    ).reshape(n_dots * fpd, m, sw)[:d_t]
+                    hs = jnp.moveaxis(
+                        hs.reshape(n_dots, m, fpd, sw), 2, 1
+                    ).reshape(n_dots * fpd, m, sw)[:d_t]
+                    if axis_name:
+                        gs, hs = _allsum(gs), _allsum(hs)
+                    if Gn is None:
+                        Gn = gs[0].sum(axis=-1)
+                        Hn = hs[0].sum(axis=-1)
+                    tiers.append(_tier_best(gs, hs, Gn, Hn, ne_t,
+                                            ids_t, sw))
                 if d_big:
                     gb, hb = hist_pallas_packed(
                         packed_big, node, grad, hess, d=d_big, m=m,
                         nb=nb, interpret=interp)
                     if axis_name:
                         gb, hb = _allsum(gb), _allsum(hb)
+                    if Gn is None:
+                        Gn = gb[0].sum(axis=-1)
+                        Hn = hb[0].sum(axis=-1)
                     tiers.append(_tier_best(gb, hb, Gn, Hn, ne_big,
                                             ids_big, nb))
             else:
@@ -456,27 +467,35 @@ def train(params: dict, dtrain: DMatrix, num_boost_round: int = 300,
         hist_meta: tuple = ()
         if hist_engine.startswith("pallas"):
             from ..ops.hist_pallas import (pack_bins_host,
-                                           pack_bins_host_expanded,
-                                           plan_tiers)
+                                           pack_bins_host_compact,
+                                           plan_tiers_multi)
             nb_pad = -(-nb // 128) * 128
-            idx_small, idx_big, _ = plan_tiers(
-                np.asarray([len(e) for e in thresholds]), sw=2)
-            # two kernel launches only pay off when enough columns
-            # are (near-)binary — real per-store corpora have ~98/164
-            # (VES_BOOST_TIER=0 disables, for A/B timing)
-            if (len(idx_small) >= 16
-                    and os.environ.get("VES_BOOST_TIER") != "0"):
-                ne = np.asarray([len(e) for e in thresholds], np.int32)
-                packed_small = pack_bins_host_expanded(
-                    dtrain._binned[idx_small], sw=2, nb=nb_pad)
+            ne = np.asarray([len(e) for e in thresholds], np.int32)
+            # windowed tiers only pay off when enough columns are
+            # low/mid-cardinality — real per-store corpora have ~98/164
+            # binary + ~18 under 64 bins. VES_BOOST_TIER: "0" disables
+            # (flat full-width), "2" = binary tier only (round-2
+            # behavior), default = multi-tier {2, 16, 64}; all for A/B
+            # timing marginals.
+            tier_env = os.environ.get("VES_BOOST_TIER", "")
+            sws = (2,) if tier_env == "2" else (2, 16, 64)
+            tier_plan, idx_big = ([], np.arange(len(ne))) \
+                if tier_env == "0" else plan_tiers_multi(ne, sws=sws)
+            if sum(len(i) for _, i in tier_plan) >= 16:
                 packed_big = (pack_bins_host(dtrain._binned[idx_big])
                               if len(idx_big)
                               else np.zeros((1, 1, 1), np.uint8))  # d_big=0
-                host_input = (
-                    packed_big, packed_small,
-                    idx_small.astype(np.int32), idx_big.astype(np.int32),
-                    ne[idx_small], ne[idx_big])
-                hist_meta = (len(idx_small), len(idx_big), 2)
+                parts = [packed_big, idx_big.astype(np.int32),
+                         ne[idx_big]]
+                for sw, idx in tier_plan:
+                    parts += [
+                        pack_bins_host_compact(dtrain._binned[idx],
+                                               sw=sw, nb=nb_pad),
+                        idx.astype(np.int32), ne[idx]]
+                host_input = tuple(parts)
+                hist_meta = (tuple((sw, len(idx))
+                                   for sw, idx in tier_plan),
+                             len(idx_big))
             else:
                 host_input = pack_bins_host(dtrain._binned)
         else:
@@ -700,7 +719,8 @@ def _make_sharded_chunk_runner(dtrain, mesh, data_axis, hist_engine,
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..ops.hist_pallas import (_DEF_BLK, pack_bins_host,
-                                   pack_bins_host_expanded, plan_tiers)
+                                   pack_bins_host_compact,
+                                   plan_tiers_multi)
 
     n = len(dtrain)
     nsh = mesh.shape[data_axis]
@@ -717,13 +737,12 @@ def _make_sharded_chunk_runner(dtrain, mesh, data_axis, hist_engine,
     if hist_engine.startswith("pallas"):
         nb = max(2, int(ne.max()) + 1)
         nb_pad = -(-nb // 128) * 128
-        idx_small, idx_big, _ = plan_tiers(ne, sw=2)
-        if (len(idx_small) >= 16
-                and os.environ.get("VES_BOOST_TIER") != "0"):
+        tier_env = os.environ.get("VES_BOOST_TIER", "")
+        sws = (2,) if tier_env == "2" else (2, 16, 64)
+        tier_plan, idx_big = ([], np.arange(len(ne))) \
+            if tier_env == "0" else plan_tiers_multi(ne, sws=sws)
+        if sum(len(i) for _, i in tier_plan) >= 16:
             # same tiering as single-device, packed shard-row-wise
-            p_small = shard(pack_bins_host_expanded(
-                binned_dn[idx_small], sw=2, nb=nb_pad),
-                P(None, data_axis, None))
             if len(idx_big):
                 p_big = shard(pack_bins_host(binned_dn[idx_big]),
                               P(None, data_axis, None))
@@ -731,14 +750,21 @@ def _make_sharded_chunk_runner(dtrain, mesh, data_axis, hist_engine,
             else:
                 p_big = jnp.zeros((1, 1, 1), jnp.uint8)  # unused: d_big=0
                 big_spec = P()
-            hist_in = (p_big, p_small,
-                       jnp.asarray(idx_small.astype(np.int32)),
-                       jnp.asarray(idx_big.astype(np.int32)),
-                       jnp.asarray(ne[idx_small]),
-                       jnp.asarray(ne[idx_big]))
-            hist_spec = (big_spec, P(None, data_axis, None),
-                         P(), P(), P(), P())
-            hist_meta = (len(idx_small), len(idx_big), 2)
+            hist_in = [p_big, jnp.asarray(idx_big.astype(np.int32)),
+                       jnp.asarray(ne[idx_big])]
+            hist_spec = [big_spec, P(), P()]
+            for sw, idx in tier_plan:
+                hist_in += [
+                    shard(pack_bins_host_compact(binned_dn[idx], sw=sw,
+                                                 nb=nb_pad),
+                          P(None, data_axis, None)),
+                    jnp.asarray(idx.astype(np.int32)),
+                    jnp.asarray(ne[idx])]
+                hist_spec += [P(None, data_axis, None), P(), P()]
+            hist_in = tuple(hist_in)
+            hist_spec = tuple(hist_spec)
+            hist_meta = (tuple((sw, len(idx)) for sw, idx in tier_plan),
+                         len(idx_big))
         else:
             hist_in = shard(pack_bins_host(binned_dn),
                             P(None, data_axis, None))

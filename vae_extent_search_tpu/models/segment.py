@@ -178,10 +178,21 @@ class SegmentBatch(NamedTuple):
 
 
 def make_segment_batches(features_list, labels, batch_size: int = 512,
-                         fea_norm_vec=None, shuffle_rng=None):
+                         fea_norm_vec=None, shuffle_rng=None,
+                         stacked: bool = False, feature_dtype=np.float32):
     """Flatten ragged [n_i, D] feature arrays into fixed-shape batches
     (SegmentDataLoader semantics, mlp_model.py:26-144). Rows are padded to
-    the max rows-per-batch bucket; per-column max normalization optional."""
+    the max rows-per-batch bucket; per-column max normalization optional.
+
+    ``stacked``: return ONE SegmentBatch of [n_batches, ...] device
+    arrays instead of a per-batch list. The batch axes are built on the
+    host and uploaded in one transfer each — at pretraining scale the
+    per-batch list costs a second device-side jnp.stack that transiently
+    doubles HBM (and the corpus is multiple GB). Byte-identical to
+    jnp.stack over the list form. ``feature_dtype`` (stacked path only)
+    stores features in bf16 to halve HBM + upload when the f32 corpus
+    would not fit on one chip; the forward upcasts to f32 before the
+    matmul (mixed precision, same accumulation dtype as f32 storage)."""
     n = len(features_list)
     order = np.arange(n)
     if shuffle_rng is not None:
@@ -227,6 +238,13 @@ def make_segment_batches(features_list, labels, batch_size: int = 512,
     seg_ids = seg_ids.reshape(n_batches, max_rows)
     labs = labs.reshape(n_batches, bs)
     valid = valid.reshape(n_batches, bs)
+    if stacked:
+        if np.dtype(feature_dtype) != np.float32:
+            import ml_dtypes  # ships with jax
+
+            feats = feats.astype(ml_dtypes.bfloat16)
+        return SegmentBatch(jnp.asarray(feats), jnp.asarray(seg_ids),
+                            jnp.asarray(labs), jnp.asarray(valid))
     return [
         SegmentBatch(jnp.asarray(feats[b]), jnp.asarray(seg_ids[b]),
                      jnp.asarray(labs[b]), jnp.asarray(valid[b]))
@@ -264,11 +282,14 @@ def _scan_fit_program(loss_type: str, add_sigmoid: bool, bs: int,
     loss_fn = LOSS_FNS[loss_type]
 
     def batch_loss(params, feats, segs, labs, valid):
-        preds = segment_mlp_forward(params, feats, segs, bs, add_sigmoid)
+        # bf16-stored corpora upcast per batch slice (storage-only bf16)
+        preds = segment_mlp_forward(params, feats.astype(jnp.float32),
+                                    segs, bs, add_sigmoid)
         return loss_fn(preds, labs, valid)
 
     def val_rmse(params, feats, segs, labs, valid):
-        preds = segment_mlp_forward(params, feats, segs, bs, add_sigmoid)
+        preds = segment_mlp_forward(params, feats.astype(jnp.float32),
+                                    segs, bs, add_sigmoid)
         return rmse_loss(preds, labs, valid)
 
     def frozen_where(stop, old, new):
@@ -395,23 +416,51 @@ class MLPModelInternal:
         opt_state = optimizer.init(self.params)
 
         labels = np.asarray(labels, np.float32)
-        tr_batches = make_segment_batches(
-            [features_list[i] for i in tr], labels[tr], self.batch_size,
-            self.fea_norm_vec, shuffle_rng=None,
-        )
-        va_batches = make_segment_batches(
-            [features_list[i] for i in va], labels[va], self.batch_size,
-            self.fea_norm_vec,
-        ) if va else []
-
+        total_rows = sum(len(f) for f in features_list)
         mode = getattr(self, "fit_mode", "auto")  # old-pickle safe
         if mode == "auto":
             import jax as _jax
 
-            total_rows = sum(len(f) for f in features_list)
             mode = ("scan" if total_rows >= _SCAN_FIT_MIN_ROWS
                     and _jax.default_backend() != "cpu" else "host")
-        if mode == "scan" and tr_batches:
+
+        if mode == "scan":
+            # single-upload stacked batches; past ~8M rows the f32
+            # corpus (rows x in_dim x 4B + padding) crowds a 16 GB chip,
+            # so store features bf16 on device (forward upcasts to f32)
+            fdt = getattr(self, "scan_feature_dtype", "auto")
+            if fdt == "auto":
+                fdt = ("bfloat16"
+                       if total_rows * self.in_dim * 4 > 6e9 else
+                       "float32")
+            if fdt == "bfloat16":
+                import ml_dtypes
+
+                fdt = ml_dtypes.bfloat16
+            else:
+                fdt = np.float32
+            tr_batches = make_segment_batches(
+                [features_list[i] for i in tr], labels[tr],
+                self.batch_size, self.fea_norm_vec, stacked=True,
+                feature_dtype=fdt,
+            )
+            va_batches = make_segment_batches(
+                [features_list[i] for i in va], labels[va],
+                self.batch_size, self.fea_norm_vec, stacked=True,
+                feature_dtype=fdt,
+            ) if va else []
+        else:
+            tr_batches = make_segment_batches(
+                [features_list[i] for i in tr], labels[tr],
+                self.batch_size, self.fea_norm_vec, shuffle_rng=None,
+            )
+            va_batches = make_segment_batches(
+                [features_list[i] for i in va], labels[va],
+                self.batch_size, self.fea_norm_vec,
+            ) if va else []
+
+        if mode == "scan" and (isinstance(tr_batches, SegmentBatch)
+                               or tr_batches):
             self._fit_scan(tr_batches, va_batches, verbose)
             if checkpoint_path:
                 self.save(checkpoint_path)
@@ -465,15 +514,22 @@ class MLPModelInternal:
         config (batches are ARGUMENTS, not traced constants), so
         repeated fits at the same geometry skip compilation."""
         patience = max(5, self.n_epoch // 6)
-        has_val = bool(va_batches)
+        has_val = (isinstance(va_batches, SegmentBatch)
+                   or bool(va_batches))
 
-        # jnp.stack, NOT np.stack: the loader's batches are already
-        # device-resident; a host stack would device_get ~the corpus
-        # bytes and re-upload them over the (tunneled) link every fit
-        TR = tuple(jnp.stack([getattr(b, f) for b in tr_batches])
-                   for f in SegmentBatch._fields)
-        VA = tuple(jnp.stack([getattr(b, f) for b in va_batches])
-                   for f in SegmentBatch._fields) if has_val else None
+        if isinstance(tr_batches, SegmentBatch):
+            # stacked loader output: already [n_batches, ...] device
+            # arrays, uploaded once — no device-side stack transient
+            TR = tuple(tr_batches)
+            VA = tuple(va_batches) if has_val else None
+        else:
+            # jnp.stack, NOT np.stack: the loader's batches are already
+            # device-resident; a host stack would device_get ~the corpus
+            # bytes and re-upload them over the (tunneled) link per fit
+            TR = tuple(jnp.stack([getattr(b, f) for b in tr_batches])
+                       for f in SegmentBatch._fields)
+            VA = tuple(jnp.stack([getattr(b, f) for b in va_batches])
+                       for f in SegmentBatch._fields) if has_val else None
 
         run = _scan_fit_program(self.loss_type, self._add_sigmoid,
                                 self.batch_size, patience, self.n_epoch,

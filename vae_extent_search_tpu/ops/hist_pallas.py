@@ -86,6 +86,28 @@ def plan_tiers(n_edges: np.ndarray, sw: int = 2):
     return small, big, inv
 
 
+def plan_tiers_multi(n_edges: np.ndarray, sws=(2, 16, 64),
+                     min_features=(16, 4, 4)):
+    """Assign each feature to the narrowest window tier whose width
+    holds its bin count; tiers with fewer than ``min_features`` members
+    fold into the next tier / full-width remainder (each tier costs an
+    extra kernel launch per level). Real per-store corpora: ~98/164
+    columns fit sw=2 and ~18 more fit sw<=64 (tools/bin_cardinality.py).
+
+    Returns ``([(sw, idx), ...], idx_big)`` with idx arrays in ascending
+    original order (keeps the global first-maximum tie-break)."""
+    n_edges = np.asarray(n_edges)
+    nbins = n_edges + 1
+    taken = np.zeros(len(n_edges), bool)
+    tiers = []
+    for sw, mf in zip(sws, min_features):
+        idx = np.where((~taken) & (nbins <= sw))[0]
+        if len(idx) >= mf:
+            tiers.append((int(sw), idx))
+            taken[idx] = True
+    return tiers, np.where(~taken)[0]
+
+
 def pack_bins_host_expanded(binned_dn: np.ndarray, sw: int, nb: int,
                             fg: int = 1, blk: int = _DEF_BLK):
     """Lane-expanded pack for a low-cardinality tier: feature j of a
@@ -112,8 +134,32 @@ def pack_bins_host_expanded(binned_dn: np.ndarray, sw: int, nb: int,
     return out
 
 
+def pack_bins_host_compact(binned_dn: np.ndarray, sw: int, nb: int,
+                           fg: int = 1, blk: int = _DEF_BLK):
+    """Compact pack for a low/mid-cardinality tier: nb//sw features per
+    dot at ONE byte per row per feature — the kernel replicates each
+    feature's bin column over its sw-lane window in VMEM (the expanded
+    pack stores the replication in HBM: sw bytes/row/feature, which is
+    untenable for sw >= 16 at pretraining row counts).
+
+    [d_t, n] uint8 -> [ceil(G/fg), n_pad, fg*fpd] uint8 where
+    fpd = nb // sw and G = ceil(d_t / fpd). Padding slots hold ``sw``
+    (never equal to iota % sw in [0, sw)), keeping their windows dark."""
+    d_t, n = binned_dn.shape
+    fpd = nb // sw
+    G = max(1, -(-d_t // fpd))
+    g_pad = -(-G // fg) * fg
+    n_pad = -(-n // blk) * blk
+    out = np.full((g_pad // fg, n_pad, fg * fpd), sw, np.uint8)
+    for j in range(d_t):
+        dot, slot = divmod(j, fpd)
+        chunk, f = divmod(dot, fg)
+        out[chunk, :n, f * fpd + slot] = binned_dn[j]
+    return out
+
+
 def _body(bins_ref, node_ref, g_ref, h_ref, out_ref, *, m: int, nb: int,
-          fg: int, sw: int):
+          fg: int, sw: int, compact: bool):
     from jax.experimental import pallas as pl
 
     f32 = jnp.float32
@@ -124,12 +170,23 @@ def _body(bins_ref, node_ref, g_ref, h_ref, out_ref, *, m: int, nb: int,
     Bt = jnp.concatenate(
         [nodeoh_t * g_ref[...], nodeoh_t * h_ref[...]], axis=0)  # [2m, blk]
     iota_b = jax.lax.broadcasted_iota(jnp.int32, (1, nb), 1)
-    bins = bins_ref[0]                         # [blk, fg] or [blk, fg*nb]
+    bins = bins_ref[0]                         # [blk, fg(*nb|*fpd)]
+    blk = bins.shape[0]
+    fpd = nb // sw
     for f in range(fg):
         if sw == nb:
             # one feature per dot: full-width one-hot of its bin column
             A = (bins[:, f][:, None].astype(jnp.int32)
                  == iota_b).astype(f32)                    # [blk, nb]
+        elif compact:
+            # nb//sw features per dot, COMPACT pack (1 B/row/feature in
+            # HBM): replicate each feature's bin column over its
+            # sw-lane window inside VMEM, then the same modular-iota
+            # compare as the expanded mode lights every window at once
+            cols = bins[:, f * fpd:(f + 1) * fpd].astype(jnp.int32)
+            rep = jnp.broadcast_to(cols[:, :, None], (blk, fpd, sw)
+                                   ).reshape(blk, nb)
+            A = (rep == iota_b % sw).astype(f32)           # [blk, nb]
         else:
             # nb//sw features per dot: bins arrive lane-EXPANDED (each
             # feature's bin value replicated over its sw-lane window),
@@ -157,11 +214,13 @@ def hist_pallas_packed(binned3, node, grad, hess, *, d: int, m: int,
                        nb: int, blk: int = _DEF_BLK, fg: int = _DEF_FG,
                        sw: int = 0, interpret: bool = False):
     """-> (ghist, hhist), each [d, m, nb] f32 (plain mode) or
-    [d_dots, m, nb_pad] (expanded mode, caller reshapes windows).
+    [d_dots, m, nb_pad] (windowed modes, caller reshapes windows).
 
     binned3: [ceil(d/fg), n_pad, fg] uint8 from ``pack_bins_host``
-    (plain, sw=0), or [ceil(G/fg), n_pad, fg*nb_pad] from
-    ``pack_bins_host_expanded`` (sw>0: nb//sw features per dot);
+    (plain, sw=0), [ceil(G/fg), n_pad, fg*nb_pad] from
+    ``pack_bins_host_expanded``, or [ceil(G/fg), n_pad, fg*(nb_pad//sw)]
+    from ``pack_bins_host_compact`` (sw>0: nb//sw features per dot; the
+    pack flavor is inferred from the last-dim size);
     node: [n] int32 in [0, m); grad/hess: [n] f32 (padded internally to
     n_pad with inert zeros)."""
     from jax.experimental import pallas as pl
@@ -169,7 +228,8 @@ def hist_pallas_packed(binned3, node, grad, hess, *, d: int, m: int,
     n_groups, n_pad, last = binned3.shape
     nb_pad = -(-nb // 128) * 128       # full MXU lanes; extra bins stay 0
     expanded = sw > 0
-    if expanded:
+    compact = expanded and last == fg * (nb_pad // sw)
+    if expanded and not compact:
         assert last == fg * nb_pad, (last, fg, nb_pad)
     n = node.shape[0]
     if n_pad != n:
@@ -179,7 +239,8 @@ def hist_pallas_packed(binned3, node, grad, hess, *, d: int, m: int,
     grid = (n_groups, n_pad // blk)
     out = pl.pallas_call(
         functools.partial(_body, m=m, nb=nb_pad, fg=fg,
-                          sw=sw if expanded else nb_pad),
+                          sw=sw if expanded else nb_pad,
+                          compact=compact),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, blk, last), lambda fgi, rb: (fgi, rb, 0)),
