@@ -181,12 +181,23 @@ def _body(bins_ref, node_ref, g_ref, h_ref, out_ref, *, m: int, nb: int,
         elif compact:
             # nb//sw features per dot, COMPACT pack (1 B/row/feature in
             # HBM): replicate each feature's bin column over its
-            # sw-lane window inside VMEM, then the same modular-iota
-            # compare as the expanded mode lights every window at once
-            cols = bins[:, f * fpd:(f + 1) * fpd].astype(jnp.int32)
-            rep = jnp.broadcast_to(cols[:, :, None], (blk, fpd, sw)
-                                   ).reshape(blk, nb)
-            A = (rep == iota_b % sw).astype(f32)           # [blk, nb]
+            # sw-lane window inside VMEM via an MXU dot with a constant
+            # [fpd, nb] window expander (Mosaic rejects the equivalent
+            # minor-dims broadcast+reshape), then the same modular-iota
+            # compare as the expanded mode lights every window at once.
+            # The expander dot adds blk*fpd*nb MACs — bounded by the
+            # main dot at 2m >= fpd and irrelevant anyway: the kernel
+            # is VPU-bound on one-hot generation (docs/NEXT.md).
+            # Mosaic has no uint8 -> f32 cast; hop through int32
+            cols = (bins[:, f * fpd:(f + 1) * fpd]
+                    .astype(jnp.int32).astype(f32))
+            expander = (jax.lax.broadcasted_iota(
+                jnp.int32, (fpd, nb), 0)
+                == iota_b // sw).astype(f32)               # [fpd, nb]
+            rep = jax.lax.dot_general(
+                cols, expander, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32)                # [blk, nb]
+            A = (rep == (iota_b % sw).astype(f32)).astype(f32)
         else:
             # nb//sw features per dot: bins arrive lane-EXPANDED (each
             # feature's bin value replicated over its sw-lane window),
