@@ -35,19 +35,34 @@ from vae_extent_search_tpu.search.sketch import make_states
 def sweep_task(task: SearchTask, work_dir: str, n_states: int,
                measure_size: int, seeds, max_phases: int,
                vae_epochs: int, reg_epochs: int, noise: float,
-               mesh=None):
+               mesh=None, pool_owner: bool = True):
     log = os.path.join(
         work_dir,
         clean_name((task.workload_key, task.target.split()[0])) + ".json",
     )
-    if not os.path.exists(log):
-        states = make_states(task, n_states, seed=2023)
-        measurer = ProgramMeasurer(
-            EmptyBuilder(), AnalyticRunner(noise=noise),
-            callbacks=[RecordToFile(log)],
-        )
-        for s in range(0, len(states), 256):
-            measurer.measure(task, states[s:s + 256])
+    done = log + ".done"
+    if pool_owner:
+        if not os.path.exists(log):
+            states = make_states(task, n_states, seed=2023)
+            measurer = ProgramMeasurer(
+                EmptyBuilder(), AnalyticRunner(noise=noise),
+                callbacks=[RecordToFile(log)],
+            )
+            for s in range(0, len(states), 256):
+                measurer.measure(task, states[s:s + 256])
+        # global-mesh mode: every process device_puts the SAME pool
+        # onto the global mesh, so exactly one process may generate it
+        # (concurrent appends to one log interleave, and a reader can
+        # see a half-written file); the sentinel marks completion
+        with open(done, "w"):
+            pass
+    else:
+        for _ in range(1200):
+            if os.path.exists(done):
+                break
+            time.sleep(0.5)
+        else:
+            raise TimeoutError(f"pool owner never finished {log}")
 
     # featurize through the native pipeline (python fallback automatic)
     from vae_extent_search_tpu.records.fast_parser import (
@@ -224,6 +239,7 @@ def main():
             task, args.work_dir, args.n_states, args.measure_size,
             seeds_to_run, args.max_phases, args.vae_epochs,
             args.reg_epochs, args.noise, mesh=mesh,
+            pool_owner=is_writer,
         )
         # shape bucketing (bucket_shapes=True) lets tasks share compiled
         # programs; still drop the executable cache periodically so the

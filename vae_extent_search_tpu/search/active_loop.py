@@ -78,6 +78,22 @@ def _prepare_pool(features: np.ndarray, labels: np.ndarray,
     return X, y_all, N, pad
 
 
+def _host(a):
+    """Fetch a device array to host numpy, tolerating multi-process
+    global sharding: a row-sharded global array spans non-addressable
+    devices, so it is reshard-gathered to fully-replicated first (a
+    cross-host collective outside jit); addressable or replicated
+    arrays fetch directly. Single-process runs hit the fast path."""
+    import jax as _jax
+
+    if isinstance(a, _jax.Array) and not a.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(
+            multihost_utils.process_allgather(a, tiled=True))
+    return np.asarray(a)
+
+
 def _train_pool_vae(X, N: int, k_vae, train_seed: int, latent_dim: int,
                     hidden_dim: int, vae_lr: float, vae_beta: float,
                     vae_epochs: int, bucket_shapes: bool, verbose: bool,
@@ -357,34 +373,35 @@ def run_active_search(
         # validation R2 on the remaining (revealed only for diagnostics,
         # like the reference's val_reg_r2 column)
         all_pred, *_ = pred_forward(params, X, use_mean=True)
-        rem_np = np.asarray(remaining)
+        all_pred_np = _host(all_pred)
+        rem_np = _host(remaining)
         r2 = metric_r_squared(
-            np.asarray(all_pred)[rem_np], np.asarray(y_all)[rem_np]
+            all_pred_np[rem_np], _host(y_all)[rem_np]
         )
         result.reg_r2_history.append(r2)
         # reference's per-phase Recall@k over the FULL pool (:1480);
         # the last phase's value lands in the CSV top-k column
         result.final_recall_topk = recall_at_k(
-            np.asarray(all_pred)[:N], labels, k=stop_top_k)
+            all_pred_np[:N], labels, k=stop_top_k)
         # rank the model gives the true optimum over the full pool
         # (1 = argmax; forensic for the top-1 column — on pools with a
         # noise-tied plateau even a perfect predictor ranks the
         # recorded optimum ~uniformly within the plateau)
-        pred_np = np.asarray(all_pred)[:N]
+        pred_np = all_pred_np[:N]
         true_best = int(np.argmax(labels))
         result.final_optimum_rank = int(
             np.sum(pred_np > pred_np[true_best])) + 1
 
         # ---- select next batch on device ----
         k_sel, sub = jax.random.split(k_sel)
-        gate = int(np.sum(np.asarray(used))) < sel_cfg.uncertainty_topk
+        gate = int(np.sum(_host(used))) < sel_cfg.uncertainty_topk
         sel_idx, sel_valid, remaining, aux = select_programs(
             params, X, used, remaining, sub, sel_cfg,
             gate_uncertainty_to_remaining=gate,
             center_idx=jnp.asarray(center_buf),
             center_valid=center_pos < min(center_n, sel_cfg.max_centers),
         )
-        sel = np.asarray(sel_idx)[np.asarray(sel_valid)]
+        sel = _host(sel_idx)[_host(sel_valid)]
         used = used.at[jnp.asarray(sel)].set(True)
         selected_order.extend(sel.tolist())
         # ring buffer: when capacity binds, the oldest centers are
@@ -397,7 +414,7 @@ def run_active_search(
 
         if verbose:
             print(f"phase {phase}: +{len(sel)} measured "
-                  f"(total {int(np.sum(np.asarray(used)))}), val R2 {r2:.3f}")
+                  f"(total {int(np.sum(_host(used)))}), val R2 {r2:.3f}")
 
         result.top1_hits.append(int(bool(true_top_set & set(sel.tolist()))))
         if true_top_set & set(sel.tolist()):
@@ -406,7 +423,7 @@ def run_active_search(
             break
         result.phase = phase
 
-    result.train_size = int(np.sum(np.asarray(used)))
+    result.train_size = int(np.sum(_host(used)))
     result.used_time = time.time() - t0
     result.selected_order = selected_order
     return result
