@@ -28,7 +28,11 @@ from vae_extent_search_tpu.models import boost, boost_tpu  # noqa: E402
 
 
 def make_mix_corpus(n_rows: int, seed: int = 0, n_binary: int = 98,
-                    n_small: int = 5, n_mid: int = 13, n_cont: int = 48):
+                    n_small: int = 6, n_mid: int = 8, n_mid2: int = 12,
+                    n_cont: int = 40):
+    # census-faithful mix (tools/bin_cardinality.py on the TenSet-scale
+    # corpus): 98 binary, ~6 at <=16 bins, a handful at 17-64, ~12 at
+    # 65-128, rest effectively continuous
     rng = np.random.default_rng(seed)
     cols = []
     for _ in range(n_binary):
@@ -38,6 +42,8 @@ def make_mix_corpus(n_rows: int, seed: int = 0, n_binary: int = 98,
         cols.append(rng.integers(0, 12, n_rows).astype(np.float32))
     for _ in range(n_mid):
         cols.append(rng.integers(0, 50, n_rows).astype(np.float32))
+    for _ in range(n_mid2):
+        cols.append(rng.integers(0, 100, n_rows).astype(np.float32))
     for _ in range(n_cont):
         cols.append(rng.random(n_rows, dtype=np.float32))
     rows = np.stack(cols, axis=1)
@@ -71,7 +77,8 @@ def main():
     params = {"max_depth": args.depth, "eta": 0.03, "gamma": 0.003,
               "min_child_weight": 2}
 
-    arms = [("flat", "0"), ("binary", "2"), ("multi", "")]
+    arms = [("flat", "0"), ("binary", "2"),
+            ("multi64", "2,16,64"), ("multi128", "")]
     dms, preds = {}, {}
     for tag, _ in arms:
         dms[tag] = boost.DMatrix(rows, label=labels[pack_ids],
@@ -107,7 +114,7 @@ def main():
         per = min(times[tag]) / args.rounds
         print(f"{tag}: best {per * 1e3:.0f} ms/round "
               f"({base / per:.2f}x vs flat)")
-    for tag in ("binary", "multi"):
+    for tag in ("binary", "multi64", "multi128"):
         c = np.corrcoef(preds["flat"], preds[tag])[0, 1]
         err = np.abs(preds["flat"] - preds[tag]).max()
         print(f"parity flat vs {tag}: corr {c:.6f} max|d| {err:.2e}")

@@ -91,6 +91,27 @@ def _level_histograms(binned, node, grad, hess, m: int, nb: int):
     return ghist, hhist
 
 
+def _plan_tiers_env(ne: np.ndarray):
+    """Tier plan for the histogram kernel, honoring VES_BOOST_TIER:
+    "0" = flat full-width (A/B control), "2" = binary tier only (the
+    round-2 configuration), a comma list like "2,16,64" = explicit
+    window widths, unset = the default ladder. min_features=4 per tier
+    (each tier is one extra kernel launch per level)."""
+    import os
+
+    from ..ops.hist_pallas import plan_tiers_multi
+
+    env = os.environ.get("VES_BOOST_TIER", "")
+    if env == "0":
+        return [], np.arange(len(ne))
+    if env:
+        sws = tuple(int(x) for x in env.split(","))
+    else:
+        sws = (2, 16, 64, 128)
+    mf = (16,) + (4,) * (len(sws) - 1)
+    return plan_tiers_multi(ne, sws=sws, min_features=mf)
+
+
 def _grow_tree_device(hist_input, binned_T, n_edges, grad, hess, *,
                       max_depth: int, nb: int, eta: float,
                       reg_lambda: float, gamma: float,
@@ -477,10 +498,7 @@ def train(params: dict, dtrain: DMatrix, num_boost_round: int = 300,
             # (flat full-width), "2" = binary tier only (round-2
             # behavior), default = multi-tier {2, 16, 64}; all for A/B
             # timing marginals.
-            tier_env = os.environ.get("VES_BOOST_TIER", "")
-            sws = (2,) if tier_env == "2" else (2, 16, 64)
-            tier_plan, idx_big = ([], np.arange(len(ne))) \
-                if tier_env == "0" else plan_tiers_multi(ne, sws=sws)
+            tier_plan, idx_big = _plan_tiers_env(ne)
             if sum(len(i) for _, i in tier_plan) >= 16:
                 packed_big = (pack_bins_host(dtrain._binned[idx_big])
                               if len(idx_big)
@@ -742,10 +760,7 @@ def _make_sharded_chunk_runner(dtrain, mesh, data_axis, hist_engine,
     if hist_engine.startswith("pallas"):
         nb = max(2, int(ne.max()) + 1)
         nb_pad = -(-nb // 128) * 128
-        tier_env = os.environ.get("VES_BOOST_TIER", "")
-        sws = (2,) if tier_env == "2" else (2, 16, 64)
-        tier_plan, idx_big = ([], np.arange(len(ne))) \
-            if tier_env == "0" else plan_tiers_multi(ne, sws=sws)
+        tier_plan, idx_big = _plan_tiers_env(ne)
         if sum(len(i) for _, i in tier_plan) >= 16:
             # same tiering as single-device, packed shard-row-wise
             if len(idx_big):
