@@ -1,10 +1,11 @@
 """A/B the device-GBDT histogram tiering on a realistic-mix corpus.
 
 Arms: VES_BOOST_TIER=0 (flat full-width), "2" (binary tier only, the
-round-2 configuration), and multi-tier {2,16,64} (default). The corpus
-mimics the measured per-store cardinality census
+round-2 configuration), "2,16,64", and the default {2,16,64,128}
+ladder. The corpus mimics the measured per-store cardinality census
 (tools/bin_cardinality.py on the generated TenSet-scale corpus):
-~98/164 binary columns, ~5 at <=16 bins, ~13 at <=64, rest continuous.
+~98/164 binary columns, ~6 at <=16 bins, a few at 17-64, ~12 at
+65-128, rest continuous.
 
 Timing rules (docs/ROUND_NOTES.md): arms interleave inside one loop,
 warm with the SAME round count (the scan path compiles per chunk
