@@ -147,3 +147,47 @@ def test_two_process_collective_compute(tmp_path):
     for key in ("train_params", "selection", "gbdt_trees", "gbdt_pred"):
         assert reps[0][key] == reps[1][key], (key, reps)
     assert reps[0]["train_loss"] == reps[1]["train_loss"]
+
+
+def test_global_mesh_sweep_cli(tmp_path):
+    """full_sweep --global-mesh on a real two-process cluster: both
+    processes enter ONE global mesh and run the same collective search
+    per task; process 0 owns pool generation (sentinel protocol) and
+    the CSV. Regression for the pool-generation race and the
+    non-addressable host fetches (search/active_loop.py::_host)."""
+    import csv
+
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["VES_COORDINATOR"] = f"127.0.0.1:{port}"
+    env["VES_NUM_PROCESSES"] = "2"
+
+    procs = []
+    for pid in range(2):
+        e = dict(env, VES_PROCESS_ID=str(pid))
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "scripts",
+                                          "full_sweep.py"),
+             "--networks", "mobilenet_v2", "--max-tasks", "1",
+             "--n-states", "200", "--measure-size", "12",
+             "--seeds", "2000", "--max-phases", "6",
+             "--vae-epochs", "20", "--reg-epochs", "40",
+             "--global-mesh",
+             "--work-dir", str(tmp_path / "work"),
+             "--out-csv", str(tmp_path / f"out_p{pid}.csv")],
+            env=e, stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    # only process 0 writes its CSV; it has one row for the one task
+    assert not (tmp_path / "out_p1.csv").exists()
+    rows = list(csv.DictReader(open(tmp_path / "out_p0.csv")))
+    assert len(rows) == 1 and rows[0]["seed"] == "2000"
+    # the pool sentinel exists next to the generated pool
+    done = [f for f in os.listdir(tmp_path / "work")
+            if f.endswith(".done")]
+    assert len(done) == 1
