@@ -477,8 +477,11 @@ def train(params: dict, dtrain: DMatrix, num_boost_round: int = 300,
         cache = getattr(dtrain, "_ves_pack_cache", None)
         if cache is None:
             cache = dtrain._ves_pack_cache = {}
-        if hist_engine in cache:
-            host_input, hist_meta = cache[hist_engine]
+        # key on the tier env too: re-training one DMatrix under a
+        # different VES_BOOST_TIER must not silently reuse the old plan
+        cache_key = (hist_engine, os.environ.get("VES_BOOST_TIER", ""))
+        if cache_key in cache:
+            host_input, hist_meta = cache[cache_key]
             binned_T = jnp.asarray(dtrain._binned)
             if isinstance(host_input, tuple):
                 return binned_T, tuple(jnp.asarray(a) for a in
@@ -523,7 +526,7 @@ def train(params: dict, dtrain: DMatrix, num_boost_round: int = 300,
                 host_input = pack_bins_host(dtrain._binned)
         else:
             host_input = np.ascontiguousarray(dtrain._binned.T)  # [n, d]
-        cache[hist_engine] = (host_input, hist_meta)
+        cache[cache_key] = (host_input, hist_meta)
         if isinstance(host_input, tuple):
             return binned_T, tuple(jnp.asarray(a) for a in
                                    host_input), hist_meta
