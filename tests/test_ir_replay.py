@@ -242,3 +242,28 @@ def test_sparse_dense_replay_and_featurize():
         [rec.inp], [rec.res]
     )[0]
     assert np.isfinite(feats2[0]).all()
+
+
+def test_iter_records_recovers_kill_corrupted_log(tmp_path):
+    """A process killed mid-append leaves a truncated line and the next
+    append continues ON it — record logs are the universal checkpoint
+    (SURVEY §5), so the reader must recover every INTACT record from
+    glued/truncated lines instead of raising (records/serde.py
+    iter_records raw_decode resync)."""
+    from vae_extent_search_tpu.records.serde import (load_records,
+                                                     record_to_json)
+
+    corpus = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "resnet_18-B1-llvm.json")
+    src = load_records(corpus, max_lines=6)
+    lines = [record_to_json(r) for r in src]
+    corrupt = (lines[0] + "\n"
+               + lines[1] + lines[2] + "\n"        # two glued, no newline
+               + lines[3][:100] + lines[4] + "\n"  # truncated head + whole
+               + lines[5][:50])                    # trailing truncation
+    p = tmp_path / "corrupt.json"
+    p.write_text(corrupt)
+    recs = load_records(str(p))
+    assert len(recs) == 4  # every intact record, nothing else
+    good = {record_to_json(r) for r in (src[0], src[1], src[2], src[4])}
+    assert {record_to_json(r) for r in recs} == good

@@ -89,7 +89,10 @@ def record_to_json(rec: MeasureRecord) -> str:
 
 
 def record_from_json(line: str) -> MeasureRecord:
-    obj = json.loads(line)
+    return _record_from_obj(json.loads(line))
+
+
+def _record_from_obj(obj) -> MeasureRecord:
     task_rec, state_rec = obj["i"]
     task = SearchTask.from_record(task_rec)
     step_records = state_rec[1]
@@ -105,8 +108,16 @@ def record_from_json(line: str) -> MeasureRecord:
 def iter_records(path: str, max_lines: Optional[int] = None,
                  skip_lines: int = 0) -> Iterator[MeasureRecord]:
     """Stream records from an NDJSON log (reference
-    measure_record.py:94-131 RecordReader.read_lines)."""
+    measure_record.py:94-131 RecordReader.read_lines).
+
+    Tolerates kill-corrupted append logs: a process killed mid-write
+    leaves a truncated line, and the next append continues ON that
+    line — so a "line" can hold a partial record glued to complete
+    ones. Such lines are split with raw_decode; undecodable fragments
+    (the truncated head) are dropped, matching the append-only-log
+    recovery model (every intact record survives)."""
     n = 0
+    dec = json.JSONDecoder()
     with open(path) as f:
         for i, line in enumerate(f):
             line = line.strip()
@@ -114,10 +125,30 @@ def iter_records(path: str, max_lines: Optional[int] = None,
                 continue
             if i < skip_lines:
                 continue
-            yield record_from_json(line)
-            n += 1
-            if max_lines is not None and n >= max_lines:
-                break
+            try:
+                recs = [record_from_json(line)]
+            except (json.JSONDecodeError, KeyError, ValueError):
+                recs = []
+                pos = 0
+                while pos < len(line):
+                    nxt = line.find('{"i"', pos + 1)
+                    try:
+                        obj, end = dec.raw_decode(line, pos)
+                        recs.append(_record_from_obj(obj))
+                        pos = end
+                        while pos < len(line) and line[pos] in " \t":
+                            pos += 1
+                    except (json.JSONDecodeError, KeyError, ValueError):
+                        # truncated fragment: resync at the next
+                        # record opener, or give up on this line
+                        if nxt == -1:
+                            break
+                        pos = nxt
+            for rec in recs:
+                yield rec
+                n += 1
+                if max_lines is not None and n >= max_lines:
+                    return
 
 
 def load_records(path: str, max_lines=None, skip_lines=0) -> List[MeasureRecord]:
