@@ -267,3 +267,10 @@ def test_iter_records_recovers_kill_corrupted_log(tmp_path):
     assert len(recs) == 4  # every intact record, nothing else
     good = {record_to_json(r) for r in (src[0], src[1], src[2], src[4])}
     assert {record_to_json(r) for r in recs} == good
+    # the native parser recovers the same set (load_raw pre-repairs
+    # glued lines into a temp copy before the strict C++ line parser)
+    from vae_extent_search_tpu.records.fast_parser import (
+        load_records_fast,
+    )
+    nrecs = load_records_fast(str(p))
+    assert len(nrecs) == 4

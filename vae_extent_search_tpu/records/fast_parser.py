@@ -175,9 +175,55 @@ class RawRecords:
         return out
 
 
+def _repair_glued_lines(path: str) -> str:
+    """Kill-corrupted append logs can hold several records per line (a
+    truncated write with the next append glued on). The native parser
+    is one-record-per-line, so repair such files into a temp copy:
+    newline before every mid-line record opener. The opener byte string
+    '{"i": ' cannot occur inside a record (it would be escaped there),
+    so the split is exact; truncated fragments end up on their own
+    lines, which the strict parser skips — every intact record
+    survives, matching serde.iter_records' recovery. Returns ``path``
+    unchanged for healthy files (one memchr-style scan)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    opener = b'{"i": '
+    pos = data.find(opener, 1)
+    dirty = False
+    while pos != -1:
+        if data[pos - 1:pos] != b"\n":
+            dirty = True
+            break
+        pos = data.find(opener, pos + 1)
+    if not dirty:
+        return path
+    import tempfile
+
+    out = []
+    start = 0
+    pos = data.find(opener, 1)
+    while pos != -1:
+        if data[pos - 1:pos] != b"\n":
+            out.append(data[start:pos])
+            out.append(b"\n")
+            start = pos
+        pos = data.find(opener, pos + 1)
+    out.append(data[start:])
+    tmp = tempfile.NamedTemporaryFile(
+        suffix=".json", prefix="ves_repair_", delete=False)
+    tmp.write(b"".join(out))
+    tmp.close()
+    return tmp.name
+
+
 def load_raw(path: str, max_lines: int = -1) -> RawRecords:
     lib = _load_lib()
-    handle = lib.ves_parse_file(path.encode(), max_lines)
+    repaired = _repair_glued_lines(path)
+    try:
+        handle = lib.ves_parse_file(repaired.encode(), max_lines)
+    finally:
+        if repaired != path:
+            os.unlink(repaired)
     if not handle:
         raise IOError(f"native parse failed for {path}")
     try:
