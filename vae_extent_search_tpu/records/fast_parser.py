@@ -611,11 +611,26 @@ def perstore_dataset_native(path: str, max_lines: int = -1,
             np.asarray(min_costs, np.float32))
 
 
-def _encode_steps(step_records, strings, string_index, out):
+def _encode_steps(step_records, strings, string_index, out,
+                  frag_cache=None):
     """Encode step records into the native token stream (the same format
     record_parser.cpp emits: [kind, n_tokens, args...]; lists as -(len+1)
-    markers; strings as -1000000-id; None as -1)."""
+    markers; strings as -1000000-id; None as -1).
+
+    ``frag_cache``: optional dict for per-record token fragments, keyed
+    by id(rec) with the record pinned in the value (GA children share
+    all but the mutated step record with their parent by REFERENCE, so
+    a persistent cache + persistent string pool turns re-encoding of a
+    generation batch into list extends). Callers that pass it must keep
+    ``strings``/``string_index`` alive alongside — fragments embed
+    string-pool ids."""
     for rec in step_records:
+        if frag_cache is not None:
+            hit = frag_cache.get(id(rec))
+            if hit is not None and hit[0] is rec:
+                out.extend(hit[1])
+                continue
+            frag_start = len(out)
         kind = _STEP_KINDS.index(rec[0])
         toks = []
         for arg in rec[1:]:
@@ -640,6 +655,8 @@ def _encode_steps(step_records, strings, string_index, out):
         out.append(kind)
         out.append(len(toks))
         out.extend(toks)
+        if frag_cache is not None:
+            frag_cache[id(rec)] = (rec, out[frag_start:])
 
 
 def featurize_perstore_states_native(task, states, n_threads: int = 1,
@@ -772,12 +789,18 @@ class _TaskDescCache:
 
 
 def featurize_perstore_records_native(task, record_lists,
-                                      n_threads: int = 1):
+                                      n_threads: int = 1,
+                                      encode_ctx=None):
     """Per-store features + structural dedup keys for step-record lists
     (the native evolutionary-search generation batch). Returns
     (features list, keys uint64 [n], statuses int32 [n]); entries with
     status != 0 have features None and key 0 — the caller decides whether
-    to python-fallback (rfactor) or discard (invalid child)."""
+    to python-fallback (rfactor) or discard (invalid child).
+
+    ``encode_ctx``: optional ``make_encode_ctx()`` value shared across
+    calls of one GA run — children reuse their parent's step-record
+    objects, so per-record token fragments cache across generations
+    (~25% of the generation batch cost is re-encoding otherwise)."""
     lib = _load_ps(_load_fx(_load_lib()))
     n = len(record_lists)
     feats = [None] * n
@@ -789,11 +812,13 @@ def featurize_perstore_records_native(task, record_lists,
     toks: List[int] = []
     begin = np.zeros(n, np.int64)
     end = np.zeros(n, np.int64)
-    strings: List[str] = []
-    string_index = {}
+    if encode_ctx is None:
+        strings, string_index, frag_cache = [], {}, None
+    else:
+        strings, string_index, frag_cache = encode_ctx
     for i, recs in enumerate(record_lists):
         begin[i] = len(toks)
-        _encode_steps(recs, strings, string_index, toks)
+        _encode_steps(recs, strings, string_index, toks, frag_cache)
         end[i] = len(toks)
     tok_arr = np.asarray(toks if toks else [0], np.int32)
     pool, offs = _string_pool_arrays(strings)
@@ -811,3 +836,10 @@ def featurize_perstore_records_native(task, record_lists,
         elif ps_status[i] == 0:
             statuses[i] = 2  # replayed but produced no stores
     return feats, keys, statuses
+
+
+def make_encode_ctx():
+    """Shared encoding context for featurize_perstore_records_native:
+    (string pool, string index, per-record fragment cache). One per GA
+    run — the string pool must stay alive as long as fragments do."""
+    return ([], {}, {})

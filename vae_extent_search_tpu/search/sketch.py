@@ -1339,9 +1339,11 @@ class SketchPolicy:
         try:
             from ..records.fast_parser import (
                 featurize_perstore_records_native,
+                make_encode_ctx,
             )
         except Exception:
             return None
+        encode_ctx = make_encode_ctx()
 
         cur_recs = [[st_.to_record() for st_ in s.transform_steps]
                     for s in init_population]
@@ -1354,7 +1356,7 @@ class SketchPolicy:
         def featurize(recs_list):
             try:
                 feats, keys, status = featurize_perstore_records_native(
-                    self.task, recs_list
+                    self.task, recs_list, encode_ctx=encode_ctx
                 )
             except Exception:
                 return None
