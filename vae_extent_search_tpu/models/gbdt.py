@@ -336,13 +336,22 @@ class LGBModelInternal(GBDTModelInternal):
     importable; otherwise the in-repo booster's lossguide grower
     (models/boost.py _grow_tree_leafwise)."""
 
-    def __init__(self, **kw):
+    def __init__(self, params: Optional[dict] = None, **kw):
+        # `params` mirrors the reference's tunable-params constructor
+        # (lgbm_model.py LGBModelInternal(params=...), the surface the
+        # bayesian HPO script drives): lightgbm-named keys override the
+        # tuned defaults below
+        self._params_override = dict(params or {})
+        if "learning_rate" in self._params_override:
+            kw["learning_rate"] = self._params_override.pop(
+                "learning_rate")
+        self._params_override.pop("boosting_type", None)  # always gbdt
         kw.setdefault("backend", "lgb")
         kw.setdefault("learning_rate", 0.1632095)
         super().__init__(**kw)
 
     def _native_params(self) -> dict:
-        return {
+        p = {
             "grow_policy": "lossguide",
             "num_leaves": 72,
             "eta": self.learning_rate,
@@ -352,6 +361,10 @@ class LGBModelInternal(GBDTModelInternal):
             "min_child_weight": 4,  # min_sum_hessian_in_leaf
             "seed": self.seed,
         }
+        rename = {"min_sum_hessian_in_leaf": "min_child_weight"}
+        for k, v in self._params_override.items():
+            p[rename.get(k, k)] = v
+        return p
 
 
 class RandomModelInternal:
