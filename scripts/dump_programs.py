@@ -14,15 +14,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from scripts.common import TO_MEASURE_PROGRAM_FOLDER, clean_name
 from vae_extent_search_tpu.records import SearchTask, make_record, save_records
-from vae_extent_search_tpu.search.sketch import make_states
+from vae_extent_search_tpu.search.sketch import make_state_records, make_states
 
 
 def dump_task(task: SearchTask, out_file: str, n_states: int,
               seed: int = 2023):
-    states = make_states(task, n_states, seed=seed)
+    # record-level pool generation: steps go straight from the native GA
+    # into the log without materializing Python States (the pool stage
+    # dominates the TenSet-scale pipeline wall-clock)
+    recs_list = make_state_records(task, n_states, seed=seed)
+    if recs_list is None:
+        recs_list = [[s.to_record() for s in st.transform_steps]
+                     for st in make_states(task, n_states, seed=seed)]
     records = [
-        make_record(task, st.transform_steps, costs=[0.0], timestamp=0)
-        for st in states
+        make_record(task, recs, costs=[0.0], timestamp=0)
+        for recs in recs_list
     ]
     os.makedirs(os.path.dirname(out_file) or ".", exist_ok=True)
     if os.path.exists(out_file):

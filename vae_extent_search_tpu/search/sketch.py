@@ -1322,6 +1322,29 @@ class SketchPolicy:
                                     out_size: int) -> Optional[List[State]]:
         """Native-batched GA; returns None when unavailable (no native lib,
         rfactor sketches, or a cost model without feature-level predict)."""
+        cur_recs = [[st_.to_record() for st_ in s.transform_steps]
+                    for s in init_population]
+        res = self._evolutionary_search_native_recs(cur_recs, out_size)
+        if res is None:
+            return None
+        out = []
+        for recs in res[0]:
+            try:
+                out.append(self.task.compute_dag.apply_steps(recs))
+            except Exception:
+                continue
+        return out
+
+    def _evolutionary_search_native_recs(
+            self, cur_recs: List[list], out_size: int
+    ) -> Optional[Tuple[List[list], List[int]]]:
+        """Record-level native GA: candidates live as serialized
+        transform-step records end to end (replay + dedup keys +
+        features all native); Python State objects are never built
+        except for the 5% compute-location mutations. Returns
+        (step-record lists, native dedup keys) sorted by score
+        descending, or None when the native path is unavailable —
+        the pool-generation hot path (dump_programs at TenSet scale)."""
         score_fn = getattr(self.cost_model, "predict_on_feature_list", None)
         if score_fn is None:
             return None
@@ -1345,8 +1368,6 @@ class SketchPolicy:
             return None
         encode_ctx = make_encode_ctx()
 
-        cur_recs = [[st_.to_record() for st_ in s.transform_steps]
-                    for s in init_population]
         population = self.params["evolutionary_search_population"]
         iters = self.params["evolutionary_search_num_iters"]
         mut_prob = self.params["evolutionary_search_mutation_prob"]
@@ -1368,7 +1389,7 @@ class SketchPolicy:
                     kkeys.append(int(keys[i]))
             return keep, kfeats, kkeys
 
-        heap: List[Tuple[float, int, list]] = []  # (score, tiebreak, recs)
+        heap: List[tuple] = []  # (score, tiebreak, key, recs)
         in_heap = set()
         counter = 0
 
@@ -1378,11 +1399,11 @@ class SketchPolicy:
                 if key in in_heap:
                     continue
                 if len(heap) < out_size:
-                    heapq.heappush(heap, (float(sc), counter, recs))
+                    heapq.heappush(heap, (float(sc), counter, key, recs))
                     in_heap.add(key)
                     counter += 1
                 elif sc > heap[0][0]:
-                    heapq.heappushpop(heap, (float(sc), counter, recs))
+                    heapq.heappushpop(heap, (float(sc), counter, key, recs))
                     in_heap.add(key)
                     counter += 1
 
@@ -1445,13 +1466,7 @@ class SketchPolicy:
             push(cur, keys, scores)
 
         best = sorted(heap, key=lambda t: -t[0])
-        out = []
-        for _, _, recs in best:
-            try:
-                out.append(self.task.compute_dag.apply_steps(recs))
-            except Exception:
-                continue
-        return out
+        return [t[3] for t in best], [t[2] for t in best]
 
     def _measured_key(self, st: State) -> str:
         """Canonical dedup key: the bound state's printed form (candidate
@@ -1528,11 +1543,8 @@ class SketchPolicy:
         return inputs
 
 
-def make_states(task: SearchTask, size: int, evo_population: int = 512,
-                min_population: int = 50, seed: int = 2023) -> List[State]:
-    """Candidate-pool generation (reference vae_experiments/tuning.py:9-62
-    make_states: sample + evolutionary until `size` unique states)."""
-    policy = SketchPolicy(
+def _make_pool_policy(task, evo_population, min_population, seed):
+    return SketchPolicy(
         task,
         RandomCostModel(seed),
         params={
@@ -1542,6 +1554,60 @@ def make_states(task: SearchTask, size: int, evo_population: int = 512,
         },
         seed=seed,
     )
+
+
+def make_state_records(task: SearchTask, size: int,
+                       evo_population: int = 512,
+                       min_population: int = 50,
+                       seed: int = 2023) -> Optional[List[list]]:
+    """Record-level candidate-pool generation: the make_states loop with
+    candidates kept as serialized step records and deduped by the native
+    featurizer's keys — no Python State is ever materialized (the
+    dominant cost of the pool pipeline at TenSet scale was exactly that
+    State round-trip). Returns None when the native GA path is
+    unavailable (callers fall back to make_states)."""
+    policy = _make_pool_policy(task, evo_population, min_population, seed)
+    init = policy.sample_initial_population(min_population)
+    if not init:
+        return None
+    cur_recs = [[st_.to_record() for st_ in s.transform_steps]
+                for s in init]
+    res = policy._evolutionary_search_native_recs(cur_recs, size)
+    if res is None:
+        return None
+    seen: Dict[int, list] = {}
+    for r, k in zip(*res):
+        seen.setdefault(k, r)
+    rounds = 1
+    while len(seen) < size and rounds < 50:
+        rounds += 1
+        pool = list(seen.values())[-min(len(seen), evo_population):]
+        res = policy._evolutionary_search_native_recs(pool, size)
+        if res is None or not res[0]:
+            break
+        for r, k in zip(*res):
+            seen.setdefault(k, r)
+    return list(seen.values())[:size]
+
+
+def make_states(task: SearchTask, size: int, evo_population: int = 512,
+                min_population: int = 50, seed: int = 2023) -> List[State]:
+    """Candidate-pool generation (reference vae_experiments/tuning.py:9-62
+    make_states: sample + evolutionary until `size` unique states).
+
+    Runs the record-level native loop and materializes States once at
+    the end; falls back to the State-level GA without the native lib."""
+    recs_list = make_state_records(task, size, evo_population,
+                                   min_population, seed)
+    if recs_list is not None:
+        out = []
+        for recs in recs_list:
+            try:
+                out.append(task.compute_dag.apply_steps(recs))
+            except Exception:
+                continue
+        return out
+    policy = _make_pool_policy(task, evo_population, min_population, seed)
     states = policy.sample_initial_population(min_population)
     seen = {s.to_str(): s for s in states}
     rounds = 0
