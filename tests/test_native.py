@@ -304,7 +304,7 @@ def test_native_survives_corrupt_streams():
             begin.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             end.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             1, pool, offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-            0, 64, 1)
+            0, 64, 1, 0)
         lib.ves_ps_free(h)
 
 

@@ -81,6 +81,29 @@ def test_evolutionary_search_improves_scores(matmul_task):
     assert evo_best >= init_best
 
 
+def test_pool_generation_feature_free_identical(matmul_task):
+    """The keys-only native GA mode (feature emission skipped under a
+    feature-free cost model) must produce the bit-identical candidate
+    pool as the full-features mode — same trajectory, same dedup, same
+    validity filtering."""
+    from vae_extent_search_tpu.search import sketch
+
+    assert sketch.RandomCostModel.feature_free is True
+    fast = sketch.make_state_records(matmul_task, 40, evo_population=48,
+                                     min_population=16, seed=11)
+    old = sketch.RandomCostModel.feature_free
+    try:
+        sketch.RandomCostModel.feature_free = False
+        full = sketch.make_state_records(matmul_task, 40,
+                                         evo_population=48,
+                                         min_population=16, seed=11)
+    finally:
+        sketch.RandomCostModel.feature_free = old
+    assert fast is not None and full is not None
+    assert len(fast) == len(full) > 0
+    assert fast == full
+
+
 def test_measure_and_features_roundtrip(tmp_path, matmul_task):
     states = make_states(matmul_task, 24, evo_population=32,
                          min_population=12, seed=5)

@@ -423,6 +423,7 @@ def _load_ps(lib):
         ctypes.c_int,                    # is_gpu
         ctypes.c_int,                    # cache line size
         ctypes.c_int,                    # n threads
+        ctypes.c_int,                    # mode: 0 full, 1 keys+validity
     ]
     lib.ves_ps_features.restype = ctypes.POINTER(ctypes.c_float)
     lib.ves_ps_features.argtypes = [ctypes.c_void_p]
@@ -450,12 +451,14 @@ def _string_pool_arrays(strings):
 
 
 def _perstore_call(lib, task, tok_arr, begin, end, pool, offs,
-                   n_threads):
+                   n_threads, mode: int = 0):
     """One native per-store batch call for a single task's records.
 
     Returns (rows [total,164], ps_offs [n+1], ps_status [n], keys [n]) or
     None when the task's descriptors cannot be built (caller falls back
-    to python for the whole group)."""
+    to python for the whole group). ``mode=1`` skips store building +
+    feature emission: keys + bound-inference validity only (rows come
+    back empty) — the GA pool path under a feature-free cost model."""
     from ..features.per_store import FEATURE_VEC_LEN
 
     try:
@@ -481,6 +484,7 @@ def _perstore_call(lib, task, tok_arr, begin, end, pool, offs,
         int(task.is_gpu),
         int(task.hardware_params.cache_line_bytes),
         n_threads,
+        mode,
     )
     try:
         total = lib.ves_ps_num_rows(h)
@@ -790,7 +794,8 @@ class _TaskDescCache:
 
 def featurize_perstore_records_native(task, record_lists,
                                       n_threads: int = 1,
-                                      encode_ctx=None):
+                                      encode_ctx=None,
+                                      with_features: bool = True):
     """Per-store features + structural dedup keys for step-record lists
     (the native evolutionary-search generation batch). Returns
     (features list, keys uint64 [n], statuses int32 [n]); entries with
@@ -800,7 +805,12 @@ def featurize_perstore_records_native(task, record_lists,
     ``encode_ctx``: optional ``make_encode_ctx()`` value shared across
     calls of one GA run — children reuse their parent's step-record
     objects, so per-record token fragments cache across generations
-    (~25% of the generation batch cost is re-encoding otherwise)."""
+    (~25% of the generation batch cost is re-encoding otherwise).
+
+    ``with_features=False`` skips store building + feature emission in
+    the native pass (keys + replay/bound validity only, features all
+    None) — pool generation under a feature-free cost model, where
+    emit+stores are ~half the native per-record cost."""
     lib = _load_ps(_load_fx(_load_lib()))
     n = len(record_lists)
     feats = [None] * n
@@ -824,13 +834,15 @@ def featurize_perstore_records_native(task, record_lists,
     pool, offs = _string_pool_arrays(strings)
 
     res = _perstore_call(lib, task, tok_arr, begin, end, pool, offs,
-                         n_threads)
+                         n_threads, mode=0 if with_features else 1)
     if res is None:
         return feats, keys, statuses
     rows, ps_offs, ps_status, ps_keys = res
     for i in range(n):
         statuses[i] = ps_status[i]
         keys[i] = ps_keys[i]
+        if not with_features:
+            continue
         if ps_status[i] == 0 and ps_offs[i + 1] > ps_offs[i]:
             feats[i] = rows[ps_offs[i]:ps_offs[i + 1]]
         elif ps_status[i] == 0:

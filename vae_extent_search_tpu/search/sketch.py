@@ -1149,6 +1149,10 @@ class PythonCostModel:
 
 
 class RandomCostModel(PythonCostModel):
+    # scores never read the feature rows — the native GA may skip
+    # feature emission entirely (keys + validity only)
+    feature_free = True
+
     def __init__(self, seed: int = 0):
         self.rng = np.random.default_rng(seed)
 
@@ -1373,11 +1377,17 @@ class SketchPolicy:
         mut_prob = self.params["evolutionary_search_mutation_prob"]
         max_inner = self.params["max_innermost_split_factor"]
         is_gpu = self.task.is_gpu
+        # feature-free models (RandomCostModel pool generation) let the
+        # native pass skip store building + feature emission — about
+        # half the per-candidate native cost
+        with_features = not getattr(self.cost_model, "feature_free",
+                                    False)
 
         def featurize(recs_list):
             try:
                 feats, keys, status = featurize_perstore_records_native(
-                    self.task, recs_list, encode_ctx=encode_ctx
+                    self.task, recs_list, encode_ctx=encode_ctx,
+                    with_features=with_features,
                 )
             except Exception:
                 return None
