@@ -140,6 +140,7 @@ struct Stage {
   std::vector<std::pair<int, long>> roots;  // (uid, extent)
   std::vector<int8_t> root_is_reduce;
   long auto_unroll = 0;
+  long storage_offset = 0;  // StorageAlign offset (printed as a pragma line)
   bool is_shared = false;  // shared-scope cache stage
   int8_t scope = -1;  // storage rank: -1 infer, 0 global, 1 shared, 3 local
 };
@@ -156,9 +157,11 @@ struct Step {
   int src_step_id = 0, n_split = 0, level = 0;
   int target_stage_id = 0, target_iter_id = 0;
   long pragma_value = -1;  // auto_unroll value; -1 = other pragma
+  long sa_offset = 0;      // StorageAlign offset
   bool pragma_skip = false;
   bool scope_is_shared = false;
   int8_t scope = -1;  // cache scope rank: 0 global, 1 shared, 3 local
+  std::string scope_str;  // cache scope name (for name tracking/printing)
 };
 
 enum StepKind {
@@ -177,7 +180,26 @@ struct State {
   int uid = 0;
   bool failed = false;
 
+  // opt-in name tracking (byte-exact PrintState parity, ir/state.py):
+  // only the analytic-measure path pays the string work
+  bool track_names = false;
+  std::vector<std::string> iter_name;  // by uid
+  std::vector<std::string> op_name;    // by op index
+  // per op: spatial dim names then reduce dim names (ir ComputeOp
+  // axes/reduce_axes order — matches iter creation order)
+  std::vector<std::vector<std::string>> op_dim_names;
+
   int fresh() { return uid++; }
+
+  void set_iname(int u, std::string s) {
+    if (!track_names) return;
+    if (static_cast<int>(iter_name.size()) <= u) iter_name.resize(u + 64);
+    iter_name[u] = std::move(s);
+  }
+  const std::string& iname(int u) const {
+    static const std::string kEmpty;
+    return u < static_cast<int>(iter_name.size()) ? iter_name[u] : kEmpty;
+  }
 };
 
 inline long ceil_div(long a, long b) { return (a + b - 1) / b; }
@@ -205,12 +227,21 @@ inline void init_state(State& st, const TaskDesc& td) {
       s.iters.push_back({u, td.ops[i].dims[d], 0, ANN_NONE});
       s.roots.emplace_back(u, td.ops[i].dims[d]);
       s.root_is_reduce.push_back(0);
+      if (st.track_names && i < st.op_dim_names.size() &&
+          d < st.op_dim_names[i].size()) {
+        st.set_iname(u, st.op_dim_names[i][d]);
+      }
     }
     for (size_t d = 0; d < td.ops[i].reduce.size(); ++d) {
       int u = st.fresh();
       s.iters.push_back({u, td.ops[i].reduce[d], 1, ANN_NONE});
       s.roots.emplace_back(u, td.ops[i].reduce[d]);
       s.root_is_reduce.push_back(1);
+      size_t nd = td.ops[i].dims.size();
+      if (st.track_names && i < st.op_dim_names.size() &&
+          nd + d < st.op_dim_names[i].size()) {
+        st.set_iname(u, st.op_dim_names[i][nd + d]);
+      }
     }
   }
 }
@@ -249,9 +280,20 @@ inline void apply_split_common(State& st, int stage_id, int iter_id,
       tosplit = -1;
       if (l < 0) st.failed = st.failed;  // non-concrete handled by caller
     }
+    if (st.track_names) {  // ir/steps.py _apply_split_common names
+      size_t sfx = inner_to_outer ? lengths.size() - i : i;
+      st.set_iname(res.uid,
+                   st.iname(it.uid) + "." + std::to_string(sfx));
+    }
     outs.push_back(res);
   }
   Iter last{st.fresh(), tosplit, it.kind, ANN_NONE};
+  if (st.track_names) {
+    st.set_iname(last.uid, st.iname(it.uid) + "." +
+                               std::to_string(inner_to_outer
+                                                  ? 0
+                                                  : lengths.size()));
+  }
   if (inner_to_outer) {
     outs.push_back(last);
     std::reverse(outs.begin(), outs.end());
@@ -340,6 +382,14 @@ inline void apply_cache_read(State& st, const Step& step) {
   cache.reads.push_back(rd);
   int new_op = static_cast<int>(st.ops.size());
   st.ops.push_back(cache);
+  if (st.track_names) {  // dag._apply_cache_read: "<src>.<scope>", ax0..
+    st.op_name.push_back(st.op_name[src_op] + "." + step.scope_str);
+    std::vector<std::string> dn;
+    for (size_t d = 0; d < cache.dims.size(); ++d) {
+      dn.push_back("ax" + std::to_string(d));
+    }
+    st.op_dim_names.push_back(std::move(dn));
+  }
 
   // retarget readers (pre-insertion stage ids)
   for (int rid : step.ids) {
@@ -359,6 +409,7 @@ inline void apply_cache_read(State& st, const Step& step) {
     s.iters.push_back({u, cache.dims[d], 0, ANN_NONE});
     s.roots.emplace_back(u, cache.dims[d]);
     s.root_is_reduce.push_back(0);
+    if (st.track_names) st.set_iname(u, st.op_dim_names[new_op][d]);
   }
   s.is_shared = step.scope_is_shared;
   s.scope = step.scope;
@@ -384,6 +435,22 @@ inline void apply_cache_write(State& st, const Step& step) {
   OpDesc cache = orig;
   int cache_op = static_cast<int>(st.ops.size());
   st.ops.push_back(cache);
+  if (st.track_names) {
+    // dag._apply_cache_write: cache op "<src>.<scope>", spatial dims
+    // "<name>.c", reduce dims keep the original names
+    st.op_name.push_back(st.op_name[orig_op] + "." + step.scope_str);
+    std::vector<std::string> dn;
+    const std::vector<std::string>& on = st.op_dim_names[orig_op];
+    for (size_t d = 0; d < orig.dims.size(); ++d) {
+      dn.push_back((d < on.size() ? on[d] : "ax" + std::to_string(d)) +
+                   ".c");
+    }
+    for (size_t d = 0; d < orig.reduce.size(); ++d) {
+      size_t k = orig.dims.size() + d;
+      dn.push_back(k < on.size() ? on[k] : "k" + std::to_string(d));
+    }
+    st.op_dim_names.push_back(std::move(dn));
+  }
 
   // original becomes identity copy reading the cache op
   OpDesc copy;
@@ -399,6 +466,16 @@ inline void apply_cache_write(State& st, const Step& step) {
   copy.reads.push_back(rd);
   int copy_op = static_cast<int>(st.ops.size());
   st.ops.push_back(copy);
+  if (st.track_names) {
+    // the copy keeps the original name + spatial dim names
+    // (_clone_spatial_axes with empty suffix)
+    st.op_name.push_back(st.op_name[orig_op]);
+    std::vector<std::string> dn(
+        st.op_dim_names[orig_op].begin(),
+        st.op_dim_names[orig_op].begin() +
+            std::min(orig.dims.size(), st.op_dim_names[orig_op].size()));
+    st.op_dim_names.push_back(std::move(dn));
+  }
 
   // fresh cache stage inserted at tgt_stage; target stage reset to copy op
   Stage cs;
@@ -408,12 +485,17 @@ inline void apply_cache_write(State& st, const Step& step) {
     cs.iters.push_back({u, st.ops[cache_op].dims[d], 0, ANN_NONE});
     cs.roots.emplace_back(u, st.ops[cache_op].dims[d]);
     cs.root_is_reduce.push_back(0);
+    if (st.track_names) st.set_iname(u, st.op_dim_names[cache_op][d]);
   }
   for (size_t d = 0; d < st.ops[cache_op].reduce.size(); ++d) {
     int u = st.fresh();
     cs.iters.push_back({u, st.ops[cache_op].reduce[d], 1, ANN_NONE});
     cs.roots.emplace_back(u, st.ops[cache_op].reduce[d]);
     cs.root_is_reduce.push_back(1);
+    if (st.track_names) {
+      st.set_iname(
+          u, st.op_dim_names[cache_op][st.ops[cache_op].dims.size() + d]);
+    }
   }
 
   cs.scope = step.scope;
@@ -425,6 +507,7 @@ inline void apply_cache_write(State& st, const Step& step) {
     ns.iters.push_back({u, copy.dims[d], 0, ANN_NONE});
     ns.roots.emplace_back(u, copy.dims[d]);
     ns.root_is_reduce.push_back(0);
+    if (st.track_names) st.set_iname(u, st.op_dim_names[copy_op][d]);
   }
   st.stages[tgt_stage] = ns;
   st.stages.insert(st.stages.begin() + tgt_stage, cs);
@@ -442,6 +525,11 @@ inline void apply_cache_write(State& st, const Step& step) {
   st.ops[orig_op] = copy;
   // and the copy stage points at orig_op (not copy_op) for consistency
   st.stages[tgt_stage + 1].op = orig_op;
+  if (st.track_names) {
+    // mirror the ops-table swap: orig_op's slot now holds the copy —
+    // its dim names become the copy's (spatial only), its name stays
+    st.op_dim_names[orig_op] = st.op_dim_names[copy_op];
+  }
 }
 
 // rfactor: src -> src.rf (partial reduction; the factored split part
@@ -489,6 +577,19 @@ inline bool apply_rfactor(State& st, const Step& step) {
   rf.reduce = {other_extent};
   int rf_idx = static_cast<int>(st.ops.size());
   st.ops.push_back(rf);
+  if (st.track_names) {
+    // dag._apply_rfactor: "<src>.rf" with "k.rf" inserted at fpos and a
+    // single "k.other" reduce axis
+    st.op_name.push_back(st.op_name[src_op] + ".rf");
+    std::vector<std::string> dn(
+        st.op_dim_names[src_op].begin(),
+        st.op_dim_names[src_op].begin() +
+            std::min(static_cast<size_t>(n_spatial),
+                     st.op_dim_names[src_op].size()));
+    dn.insert(dn.begin() + fpos, "k.rf");
+    dn.push_back("k.other");
+    st.op_dim_names.push_back(std::move(dn));
+  }
 
   // the original op becomes a reduction of rf over the factored axis;
   // consumers keep reading src_op (its table slot is rewritten in place)
@@ -510,6 +611,17 @@ inline bool apply_rfactor(State& st, const Step& step) {
   }
   red.reads.push_back(rd);
   st.ops[src_op] = red;
+  if (st.track_names) {
+    // the original becomes a reduction of rf: spatial names kept
+    // (_clone_spatial_axes), one "k.v" reduce axis
+    std::vector<std::string> dn(
+        st.op_dim_names[src_op].begin(),
+        st.op_dim_names[src_op].begin() +
+            std::min(static_cast<size_t>(n_spatial),
+                     st.op_dim_names[src_op].size()));
+    dn.push_back("k.v");
+    st.op_dim_names[src_op] = std::move(dn);
+  }
 
   // fresh stages (python re-creates both from the new ops)
   auto make_stage = [&](int op_idx) {
@@ -521,12 +633,16 @@ inline bool apply_rfactor(State& st, const Step& step) {
       s2.iters.push_back({u, od.dims[d], 0, ANN_NONE});
       s2.roots.emplace_back(u, od.dims[d]);
       s2.root_is_reduce.push_back(0);
+      if (st.track_names) st.set_iname(u, st.op_dim_names[op_idx][d]);
     }
     for (size_t d = 0; d < od.reduce.size(); ++d) {
       int u = st.fresh();
       s2.iters.push_back({u, od.reduce[d], 1, ANN_NONE});
       s2.roots.emplace_back(u, od.reduce[d]);
       s2.root_is_reduce.push_back(1);
+      if (st.track_names) {
+        st.set_iname(u, st.op_dim_names[op_idx][od.dims.size() + d]);
+      }
     }
     return s2;
   };
@@ -585,6 +701,11 @@ inline bool apply_step(State& st, const Step& step) {
       }
       Iter fused{st.fresh(), defined ? ext : -1, static_cast<int8_t>(kind),
                  ANN_NONE};
+      if (st.track_names) {  // FuseStep: concat names with trailing "@"
+        std::string nm;
+        for (int u : uids) nm += st.iname(u) + "@";
+        st.set_iname(fused.uid, std::move(nm));
+      }
       if (uids.size() >= 2) {
         int cur = uids[0];
         for (size_t j = 1; j < uids.size(); ++j) {
@@ -663,7 +784,10 @@ inline bool apply_step(State& st, const Step& step) {
       return true;
     }
     case S_SA:
-      return true;  // storage align: no effect on extents
+      // storage align: no effect on extents; the offset prints as a
+      // "storage_offset:" pragma line (ir/steps.py StorageAlignStep)
+      st.stages[step.stage_id].storage_offset = step.sa_offset;
+      return true;
     case S_CA: {
       if (step.target_stage_id < 0 ||
           step.target_stage_id >= static_cast<int>(st.stages.size())) {
@@ -1354,6 +1478,7 @@ inline bool decode_steps(const int32_t* toks, int64_t begin, int64_t end,
       case S_SA:  // [stage, iter, factor, offset]
         if (!need(1)) return false;
         s.stage_id = args[0];
+        if (args.size() >= 4) s.sa_offset = args[3];
         break;
       case S_CA:  // [stage, target_stage, target_iter]
         if (!need(3)) return false;
@@ -1375,6 +1500,7 @@ inline bool decode_steps(const int32_t* toks, int64_t begin, int64_t end,
           s.scope = s.scope_is_shared
                         ? 1
                         : (strcmp(sc, "local") == 0 ? 3 : 0);
+          s.scope_str = sc;
         }
         break;
       }
@@ -1386,6 +1512,7 @@ inline bool decode_steps(const int32_t* toks, int64_t begin, int64_t end,
           s.scope = strcmp(sc, "shared") == 0
                         ? 1
                         : (strcmp(sc, "local") == 0 ? 3 : 0);
+          s.scope_str = sc;
         }
         break;
       case S_RF:
@@ -1875,6 +2002,86 @@ inline InferResult infer_bounds(
   }
 
   out.ok = !fail;
+  return out;
+}
+
+// ---------------------------------------------------------------------
+// Byte-exact state printing (mirror of ir/state.py State.to_str, itself
+// format-parity with reference loop_state.cc:354-440 PrintState).
+// Requires a track_names replay and a completed infer_bounds pass (iter
+// extents written back; attachment lists from the InferResult).
+// ---------------------------------------------------------------------
+
+inline const char* const kAnnStr[] = {
+    "for",        "unroll",      "vectorize",  "parallel",
+    "vthread",    "blockIdx.x",  "threadIdx.x", "blockIdx.y",
+    "threadIdx.y", "blockIdx.z", "threadIdx.z", "tensorize"};
+
+inline void print_stage_text(const State& st, const InferResult& inf,
+                             int sid, int base_indent, std::string& out) {
+  const Stage& s = st.stages[sid];
+  const std::string& opname = st.op_name[s.op];
+  if (s.auto_unroll != 0) {
+    out.append(base_indent, ' ');
+    out += opname;
+    out += " auto_unroll: ";
+    out += std::to_string(s.auto_unroll);
+    out += "\n";
+  }
+  if (s.storage_offset != 0) {
+    out.append(base_indent, ' ');
+    out += opname;
+    out += " storage_offset: ";
+    out += std::to_string(s.storage_offset);
+    out += "\n";
+  }
+  int indent = 0;
+  for (size_t i = 0; i < s.iters.size(); ++i) {
+    const Iter& it = s.iters[i];
+    const bool trivial = it.extent == 1;  // delete_trivial_loop
+    if (!trivial) {
+      out.append(base_indent + indent, ' ');
+      out += kAnnStr[it.annotation];
+      out += ' ';
+      out += st.iname(it.uid);
+      if (it.extent >= 0) {
+        out += " (0,";
+        out += std::to_string(it.extent);
+        out += ")";
+      } else {
+        out += " (None)";
+      }
+      out += "\n";
+      indent += 2;
+    }
+    for (const auto& pa : inf.attached[sid]) {
+      if (pa.first == static_cast<int>(i)) {
+        print_stage_text(st, inf, pa.second, base_indent + indent, out);
+      }
+    }
+  }
+  out.append(base_indent + indent, ' ');
+  out += opname;
+  out += " = ...\n";
+}
+
+inline std::string print_state_text(const State& st,
+                                    const InferResult& inf) {
+  std::string out = "Placeholder: ";
+  bool first = true;
+  for (const Stage& s : st.stages) {
+    if (st.ops[s.op].kind != 0) continue;
+    if (!first) out += ", ";
+    out += st.op_name[s.op];
+    first = false;
+  }
+  out += "\n";
+  for (size_t i = 0; i < st.stages.size(); ++i) {
+    if (st.ops[st.stages[i].op].kind == 0) continue;
+    if (st.stages[i].compute_at == AT_ROOT) {
+      print_stage_text(st, inf, static_cast<int>(i), 0, out);
+    }
+  }
   return out;
 }
 

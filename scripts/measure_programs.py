@@ -37,6 +37,37 @@ def remeasure_file(in_file: str, out_file: str, runner, batch: int = 64):
     os.makedirs(os.path.dirname(out_file) or ".", exist_ok=True)
     if os.path.exists(out_file):
         os.remove(out_file)
+
+    # fast path: runners that measure straight from step records (the
+    # analytic simulator's native replay+infer+print batch) skip the
+    # python State recovery entirely — same costs, ~10x throughput
+    fast = getattr(runner, "run_record_lists", None)
+    if fast is not None:
+        results = fast(task, [r.inp.step_records for r in records])
+        if results is not None:
+            from vae_extent_search_tpu.records import (
+                make_record,
+                save_records,
+            )
+
+            error_ct = 0
+            for res in results:
+                if res.error_no == 0:
+                    error_ct = 0
+                else:
+                    error_ct += 1
+                    if error_ct >= 150:  # ProgramMeasurer abort parity
+                        raise RuntimeError(
+                            "too many continuous measurement errors"
+                        )
+            out = [
+                make_record(task, rec.inp.step_records, res.costs,
+                            res.error_no, res.all_cost, res.timestamp)
+                for rec, res in zip(records, results)
+            ]
+            save_records(out_file, out, mode="a")
+            return len(out)
+
     measurer = ProgramMeasurer(
         EmptyBuilder(), runner, callbacks=[RecordToFile(out_file)]
     )

@@ -335,3 +335,112 @@ def test_native_workload_families_golden(wk, args, target):
     B = get_per_store_features_from_states(states, task, use_native=False)
     for i, (a, b) in enumerate(zip(A, B)):
         assert a.shape == b.shape and np.allclose(a, b, atol=1e-4), i
+
+
+# ---------------------------------------------------------------------------
+# Native analytic-measure batch (replay + infer + byte-exact print + summary)
+# ---------------------------------------------------------------------------
+
+
+CORPORA = [
+    "conv2d.json",
+    "matmul.json",
+    "resnet-18-NHWC-B1-cuda.json",
+    "resnet-50-NHWC-B1-llvm.json",
+]
+
+
+@pytest.mark.parametrize("log", CORPORA)
+def test_native_print_state_byte_exact(log):
+    """The native name-tracking printer reproduces State.to_str BYTE
+    FOR BYTE on the reference corpora (CPU + GPU: splits, fuses, cache
+    read/write, thread binds, storage align, rfactor) — it is the
+    AnalyticRunner's noise-key input, so anything weaker changes
+    simulated costs."""
+    from tests.conftest import CI_LOGS
+    from vae_extent_search_tpu.records import load_records
+    from vae_extent_search_tpu.records.fast_parser import (
+        analytic_batch_native,
+    )
+
+    recs = load_records(os.path.join(CI_LOGS, log))
+    by_task = {}
+    for r in recs:
+        by_task.setdefault(
+            (r.inp.task.workload_key, str(r.inp.task.target)), []
+        ).append(r)
+    checked = 0
+    for rs in by_task.values():
+        task = rs[0].inp.task
+        rl = [r.inp.step_records for r in rs]
+        batch = analytic_batch_native(task, rl)
+        assert batch is not None
+        statuses, texts, srows, irows = batch
+        for i in range(len(rs)):
+            if statuses[i] != 0:
+                continue
+            st = task.compute_dag.infer_bound(
+                task.compute_dag.apply_steps(rl[i]))
+            assert st.to_str().encode() == texts[i], (log, i)
+            checked += 1
+    assert checked > 0
+
+
+def test_native_analytic_sparse_falls_back():
+    """Symbolic (data-dependent) extents print PrimExpr text the native
+    printer does not attempt — the whole task must report unavailable,
+    never a wrong byte stream."""
+    from tests.conftest import CI_LOGS
+    from vae_extent_search_tpu.records import load_records
+    from vae_extent_search_tpu.records.fast_parser import (
+        analytic_batch_native,
+    )
+
+    recs = load_records(os.path.join(CI_LOGS, "sparse_dense.json"))
+    task = recs[0].inp.task
+    assert analytic_batch_native(
+        task, [r.inp.step_records for r in recs]) is None
+
+
+def test_remeasure_fast_path_identical(tmp_path):
+    """remeasure_file through AnalyticRunner.run_record_lists (native
+    batch) writes records with bit-identical costs and steps to the
+    python State path — same noise keys (byte-exact print), same cost
+    expressions in the same order."""
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from scripts.measure_programs import remeasure_file
+    from vae_extent_search_tpu.records import (
+        load_records,
+        make_record,
+        save_records,
+    )
+    from vae_extent_search_tpu.search.sketch import make_state_records
+
+    task = SearchTask(
+        make_workload_key("conv2d_layer",
+                          (1, 14, 14, 32, 32, 3, 3, [1, 1], [1, 1])),
+        "llvm -mcpu=skylake-avx512")
+    recs = make_state_records(task, 40, evo_population=48,
+                              min_population=16, seed=9)
+    pool = str(tmp_path / "pool.json")
+    save_records(pool, [make_record(task, r, costs=[0.0], timestamp=0)
+                        for r in recs], mode="w")
+
+    fast_out = str(tmp_path / "fast.json")
+    slow_out = str(tmp_path / "slow.json")
+    r_fast = AnalyticRunner(noise=0.1, seed=5)
+    assert remeasure_file(pool, fast_out, r_fast) == len(recs)
+    r_slow = AnalyticRunner(noise=0.1, seed=5)
+    r_slow.run_record_lists = None  # force the python State path
+    assert remeasure_file(pool, slow_out, r_slow) == len(recs)
+
+    A = load_records(fast_out)
+    B = load_records(slow_out)
+    assert len(A) == len(B) == len(recs)
+    for a, b in zip(A, B):
+        assert a.res.costs == b.res.costs
+        assert a.res.error_no == b.res.error_no
+        assert a.inp.step_records == b.inp.step_records

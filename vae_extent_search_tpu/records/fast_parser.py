@@ -855,3 +855,156 @@ def make_encode_ctx():
     (string pool, string index, per-record fragment cache). One per GA
     run — the string pool must stay alive as long as fragments do."""
     return ([], {}, {})
+
+
+_AN_NAMES_CACHE: dict = {}
+
+
+def _analytic_names(task):
+    """(names pool bytes, offsets, counts int32 [n_ops*2]) for the
+    native name-tracking replay, or None when the task has symbolic
+    (data-dependent) extents — those print PrimExpr text the native
+    printer does not reproduce (sparse workloads; python path)."""
+    key = (task.workload_key, str(task.target))
+    hit = _AN_NAMES_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from .workload import workload_key_to_dag
+
+    dag = workload_key_to_dag(task.workload_key)
+    names: List[str] = []
+    counts: List[int] = []
+    for op in dag.ops:
+        names.append(op.name)
+        axes = getattr(op, "axes", ()) or ()
+        red = getattr(op, "reduce_axes", ()) or ()
+        for d in list(axes) + list(red):
+            if not isinstance(d.extent, (int, np.integer)):
+                _AN_NAMES_CACHE[key] = None
+                return None
+            names.append(d.name)
+        counts.extend([len(axes), len(red)])
+    pool, offs = _string_pool_arrays(names)
+    out = (pool, offs, np.asarray(counts, np.int32), len(dag.ops))
+    _AN_NAMES_CACHE[key] = out
+    return out
+
+
+def _load_an(lib):
+    if getattr(lib, "_an_ready", False):
+        return lib
+    lib.ves_analytic_batch.restype = ctypes.c_void_p
+    lib.ves_analytic_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),  # task desc (affine; may be null)
+        ctypes.POINTER(ctypes.c_int32),  # expr desc
+        ctypes.POINTER(ctypes.c_int32),  # step tokens
+        ctypes.POINTER(ctypes.c_int64),  # rec begin
+        ctypes.POINTER(ctypes.c_int64),  # rec end
+        ctypes.c_int64,                  # n recs
+        ctypes.POINTER(ctypes.c_char),   # string pool
+        ctypes.POINTER(ctypes.c_int64),  # string offsets
+        ctypes.POINTER(ctypes.c_char),   # names pool
+        ctypes.POINTER(ctypes.c_int64),  # names offsets
+        ctypes.POINTER(ctypes.c_int32),  # names counts (n_sp, n_rd per op)
+        ctypes.c_int64,                  # n ops
+        ctypes.c_int,                    # n threads
+    ]
+    for name, ctype in [
+        ("ves_an_status", ctypes.c_int32),
+        ("ves_an_text", ctypes.c_char),
+        ("ves_an_text_offs", ctypes.c_int64),
+        ("ves_an_stage_offs", ctypes.c_int64),
+        ("ves_an_stage_rows", ctypes.c_int64),
+        ("ves_an_iter_offs", ctypes.c_int64),
+        ("ves_an_iter_rows", ctypes.c_int64),
+    ]:
+        getattr(lib, name).restype = ctypes.POINTER(ctype)
+        getattr(lib, name).argtypes = [ctypes.c_void_p]
+    lib.ves_an_free.argtypes = [ctypes.c_void_p]
+    lib._an_ready = True
+    return lib
+
+
+def analytic_batch_native(task, record_lists, n_threads: int = 1):
+    """Native batch for the analytic measurer: replay + bound inference
+    with name tracking, returning per record the BYTE-EXACT printed
+    state (State.to_str parity — the AnalyticRunner noise key) and a
+    compact schedule summary (stage rows [S,3]: compute_at/-1
+    placeholder/2 inlined, auto_unroll, n_iters; iter rows [I,2]:
+    extent, annotation).
+
+    Returns (statuses int32 [n], texts List[bytes], stage_rows
+    List[int64 [S,3]], iter_rows List[int64 [I,2]]) or None when the
+    native path is unavailable for this task (no lib, no descriptors,
+    symbolic extents). Entries with status != 0 need the python path."""
+    try:
+        lib = _load_an(_load_ps(_load_fx(_load_lib())))
+    except Exception:
+        return None
+    nm = _analytic_names(task)
+    if nm is None:
+        return None
+    try:
+        desc, edesc = _TaskDescCache.get(task)
+    except Exception:
+        return None
+    names_pool, names_offs, names_counts, n_ops = nm
+
+    n = len(record_lists)
+    if n == 0:
+        return (np.zeros(0, np.int32), [], [], [])
+    toks: List[int] = []
+    begin = np.zeros(n, np.int64)
+    end = np.zeros(n, np.int64)
+    strings, string_index = [], {}
+    for i, recs in enumerate(record_lists):
+        begin[i] = len(toks)
+        _encode_steps(recs, strings, string_index, toks)
+        end[i] = len(toks)
+    tok_arr = np.asarray(toks if toks else [0], np.int32)
+    pool, offs = _string_pool_arrays(strings)
+
+    desc_ptr = (desc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+                if desc is not None else None)
+    h = lib.ves_analytic_batch(
+        desc_ptr,
+        edesc.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        tok_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        begin.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        end.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n,
+        pool,
+        offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        names_pool,
+        names_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        names_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_ops,
+        n_threads,
+    )
+    try:
+        statuses = np.ctypeslib.as_array(lib.ves_an_status(h),
+                                         (max(n, 1),))[:n].copy()
+        t_offs = np.ctypeslib.as_array(lib.ves_an_text_offs(h),
+                                       (n + 1,)).copy()
+        total_text = int(t_offs[-1])
+        blob = (ctypes.string_at(lib.ves_an_text(h), total_text)
+                if total_text else b"")
+        s_offs = np.ctypeslib.as_array(lib.ves_an_stage_offs(h),
+                                       (n + 1,)).copy()
+        i_offs = np.ctypeslib.as_array(lib.ves_an_iter_offs(h),
+                                       (n + 1,)).copy()
+        n_st = int(s_offs[-1])
+        n_it = int(i_offs[-1])
+        st_rows = (np.ctypeslib.as_array(lib.ves_an_stage_rows(h),
+                                         (max(n_st, 1) * 3,))
+                   [:n_st * 3].reshape(-1, 3).copy())
+        it_rows = (np.ctypeslib.as_array(lib.ves_an_iter_rows(h),
+                                         (max(n_it, 1) * 2,))
+                   [:n_it * 2].reshape(-1, 2).copy())
+    finally:
+        lib.ves_an_free(h)
+
+    texts = [blob[t_offs[i]:t_offs[i + 1]] for i in range(n)]
+    stage_rows = [st_rows[s_offs[i]:s_offs[i + 1]] for i in range(n)]
+    iter_rows = [it_rows[i_offs[i]:i_offs[i + 1]] for i in range(n)]
+    return statuses, texts, stage_rows, iter_rows

@@ -172,6 +172,84 @@ class AnalyticRunner(Runner):
                                          0.0, now))
         return out
 
+    def _cost_from_summary(self, flops: float, text: bytes,
+                           stage_rows, iter_rows) -> float:
+        """_cost over the native schedule summary (same expressions in
+        the same order, so results are bit-identical to the State path);
+        the noise key hashes the native byte-exact printed state."""
+        par = 1.0
+        vec = 1.0
+        tile_vol = 1.0
+        unroll_pen = 1.0
+        ii = 0
+        for ca, au, ni in stage_rows:
+            its = iter_rows[ii:ii + ni]
+            ii += ni
+            if ca == -1 or ca == 2:  # placeholder or inlined
+                continue
+            for ext, ann in its:
+                ext = int(ext) if ext >= 0 else 1
+                if ann == 3:  # parallel
+                    par = max(par, min(ext, self.num_cores))
+                if ann == 2:  # vectorize
+                    eff = min(ext, self.vector_width) / self.vector_width
+                    if ext > self.vector_width * 4:
+                        eff *= self.vector_width * 4 / ext
+                    vec = max(vec * 0.0 + (0.25 + 0.75 * eff), 0.05)
+            if ca != 0:  # not at root: inner tile volume
+                v = 1.0
+                for ext, _ in its:
+                    v *= int(ext) if ext >= 0 else 1
+                tile_vol = max(tile_vol, v)
+            if au > 512:
+                unroll_pen *= 1.1
+        locality = 1.0
+        if tile_vol > self.l1_elems:
+            locality = 1.0 + math.log2(tile_vol / self.l1_elems)
+        t = flops / (self.peak * par * vec) * locality * unroll_pen
+        if self.noise:
+            import zlib
+
+            h = zlib.crc32(text + f"|{self.seed}".encode()) % 10000 / 10000.0
+            t *= 1.0 + self.noise * (h - 0.5)
+        return max(t, 1e-9)
+
+    def run_record_lists(self, task, record_lists):
+        """Batch measurement straight from serialized step records: the
+        native replay+infer emits the byte-exact printed state (noise
+        key) plus a schedule summary, so no python State is ever built —
+        ~10x the per-record cost of the State path at measure_programs
+        scale. Records the native side cannot replay fall back to the
+        python path individually. Returns None when the native engine
+        is unavailable for this task (caller uses the State path)."""
+        try:
+            from ..records.fast_parser import analytic_batch_native
+        except Exception:
+            return None
+        batch = analytic_batch_native(task, record_lists)
+        if batch is None:
+            return None
+        statuses, texts, stage_rows, iter_rows = batch
+        now = time.time()
+        flops = task.compute_dag.flop_ct
+        out = []
+        for i, recs in enumerate(record_lists):
+            if statuses[i] == 0:
+                out.append(MeasureResult(
+                    [self._cost_from_summary(flops, texts[i],
+                                             stage_rows[i], iter_rows[i])],
+                    ERROR_NO_ERROR, 0.001, now))
+                continue
+            try:  # python fallback (rfactor-free native miss, bad record)
+                st = task.compute_dag.apply_steps(recs)
+                st = task.compute_dag.infer_bound(st)
+                out.append(MeasureResult([self._cost(task, st)],
+                                         ERROR_NO_ERROR, 0.001, now))
+            except Exception:
+                out.append(MeasureResult([MAX_FLOAT], ERROR_RUNTIME_DEVICE,
+                                         0.0, now))
+        return out
+
 
 class CommandRunner(Runner):
     """External measurement adapter: the concrete bridge to real hardware

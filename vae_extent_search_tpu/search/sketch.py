@@ -1613,7 +1613,11 @@ def make_states(task: SearchTask, size: int, evo_population: int = 512,
         out = []
         for recs in recs_list:
             try:
-                out.append(task.compute_dag.apply_steps(recs))
+                # bound inference so compute-at extents match what a
+                # record round-trip (recover_state) sees — consumers
+                # (AnalyticRunner, extent featurization) read extents
+                out.append(task.compute_dag.infer_bound(
+                    task.compute_dag.apply_steps(recs)))
             except Exception:
                 continue
         return out
