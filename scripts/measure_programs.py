@@ -40,7 +40,8 @@ def remeasure_file(in_file: str, out_file: str, runner, batch: int = 64):
 
     # fast path: runners that measure straight from step records (the
     # analytic simulator's native replay+infer+print batch) skip the
-    # python State recovery entirely — same costs, ~10x throughput
+    # python State recovery entirely — bit-identical costs, measured
+    # ~5x end-to-end (7.5x on the measure step; see docs/ROUND_NOTES.md)
     fast = getattr(runner, "run_record_lists", None)
     if fast is not None:
         results = fast(task, [r.inp.step_records for r in records])

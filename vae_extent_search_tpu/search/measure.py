@@ -218,8 +218,9 @@ class AnalyticRunner(Runner):
         """Batch measurement straight from serialized step records: the
         native replay+infer emits the byte-exact printed state (noise
         key) plus a schedule summary, so no python State is ever built —
-        ~10x the per-record cost of the State path at measure_programs
-        scale. Records the native side cannot replay fall back to the
+        measured ~7.5x the State path on the measure step (~5x on the
+        full remeasure CLI incl. record I/O; costs bit-identical).
+        Records the native side cannot replay fall back to the
         python path individually. Returns None when the native engine
         is unavailable for this task (caller uses the State path)."""
         try:
