@@ -678,6 +678,10 @@ inline bool apply_step(State& st, const Step& step) {
           step.iter_id >= static_cast<int>(s.iters.size())) {
         return false;
       }
+      // 12 annotation kinds (kAnnStr); reject out-of-range values so
+      // downstream table lookups (printer) can never read OOB — the
+      // python path raises on such records and the caller falls back
+      if (step.level < 0 || step.level > 11) return false;
       s.iters[step.iter_id].annotation =
           static_cast<int8_t>(step.level);  // reuse .level = annotation
       return true;

@@ -57,12 +57,15 @@ def sweep_task(task: SearchTask, work_dir: str, n_states: int,
         with open(done, "w"):
             pass
     else:
-        for _ in range(1200):
-            if os.path.exists(done):
-                break
+        # generation + analytic measurement of a large pool can run
+        # many minutes; a non-owner dying early strands the owner at
+        # the next cross-host collective, so wait long (overridable)
+        wait_s = float(os.environ.get("VES_POOL_WAIT_S", "7200"))
+        deadline = time.time() + wait_s
+        while not os.path.exists(done):
+            if time.time() > deadline:
+                raise TimeoutError(f"pool owner never finished {log}")
             time.sleep(0.5)
-        else:
-            raise TimeoutError(f"pool owner never finished {log}")
 
     # featurize through the native pipeline (python fallback automatic)
     from vae_extent_search_tpu.records.fast_parser import (

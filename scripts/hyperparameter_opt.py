@@ -173,7 +173,7 @@ class GPUCB:
 
     def __init__(self, bounds: dict, rng, kappa: float = 2.576,
                  alpha: float = 1e-6, length_scale: float = 0.35,
-                 n_acq: int = 2048):
+                 n_acq: int = 2048, init_points: int = 2):
         self.keys = list(bounds)
         self.lo = np.array([bounds[k][0] for k in self.keys], float)
         self.hi = np.array([bounds[k][1] for k in self.keys], float)
@@ -185,6 +185,10 @@ class GPUCB:
         self.X: list = []   # normalized points
         self.y: list = []
         self.queue: list = []
+        # bayes_opt semantics: init_points uniform-random exploration
+        # trials before any GP-guided acquisition (probes don't count)
+        self.init_points = max(init_points, 2)
+        self._n_random = 0
 
     def _norm(self, params: dict) -> np.ndarray:
         x = np.array([params[k] for k in self.keys], float)
@@ -211,7 +215,8 @@ class GPUCB:
     def ask(self) -> dict:
         if self.queue:
             return self.queue.pop(0)
-        if len(self.X) < 2:
+        if self._n_random < self.init_points or len(self.X) < 2:
+            self._n_random += 1
             x = np.array([self.rng.random() for _ in self.keys])
             return self._denorm(x)
         X = np.asarray(self.X)
@@ -268,7 +273,7 @@ def tune_lgbm_bayesian(args):
     feats, labels, _ = train_set.flatten()
 
     rng = random.Random(args.seed)
-    opt = GPUCB(LGBM_BOUNDS, rng)
+    opt = GPUCB(LGBM_BOUNDS, rng, init_points=args.init_points)
     opt.probe(LGBM_PROBE)
 
     def score(point: dict) -> float:

@@ -51,22 +51,29 @@ def remeasure_file(in_file: str, out_file: str, runner, batch: int = 64):
                 save_records,
             )
 
+            # abort parity with ProgramMeasurer's max_continuous_error,
+            # INCLUDING its persistence semantics: RecordToFile keeps
+            # everything written before the abort, so save up to the
+            # abort point before raising
             error_ct = 0
-            for res in results:
+            cut = len(results)
+            for i, res in enumerate(results):
                 if res.error_no == 0:
                     error_ct = 0
                 else:
                     error_ct += 1
-                    if error_ct >= 150:  # ProgramMeasurer abort parity
-                        raise RuntimeError(
-                            "too many continuous measurement errors"
-                        )
+                    if error_ct >= 150:
+                        cut = i + 1
+                        break
             out = [
                 make_record(task, rec.inp.step_records, res.costs,
                             res.error_no, res.all_cost, res.timestamp)
-                for rec, res in zip(records, results)
+                for rec, res in zip(records[:cut], results[:cut])
             ]
             save_records(out_file, out, mode="a")
+            if cut < len(results):
+                raise RuntimeError(
+                    "too many continuous measurement errors")
             return len(out)
 
     measurer = ProgramMeasurer(

@@ -14,6 +14,7 @@ from vae_extent_search_tpu.records import (
 from vae_extent_search_tpu.search.measure import (
     AnalyticRunner,
     EmptyBuilder,
+    MeasureResult,
     ProgramMeasurer,
     RecordToFile,
 )
@@ -479,3 +480,84 @@ def test_perstore_features_from_records(small_log):
     f2, l2, k2 = perstore_features_from_records(records, use_native=False)
     assert k2 == kept
     np.testing.assert_allclose(f2, feats, rtol=1e-5, atol=1e-5)
+
+
+def test_gp_ucb_init_points_random_phase():
+    """bayes_opt semantics: init_points uniform-random exploration
+    trials run BEFORE any GP-guided acquisition (probes don't count
+    toward the random budget)."""
+    import random
+
+    from scripts.hyperparameter_opt import GPUCB
+
+    bounds = {"a": (0.0, 1.0), "b": (0.0, 10.0)}
+    opt = GPUCB(bounds, random.Random(0), init_points=5)
+    opt.probe({"a": 0.5, "b": 5.0})
+    for i in range(9):
+        pt = opt.ask()
+        opt.tell(pt, -(pt["a"] - 0.3) ** 2)
+        if i == 0:
+            assert pt == {"a": 0.5, "b": 5.0}  # the probe first
+    # 1 probe + 5 randoms served; asks 7+ were GP-guided
+    assert opt._n_random == 5
+
+
+def test_lgbm_params_reach_real_library_backend():
+    """LGBModelInternal must hand its tuned defaults AND HPO overrides
+    to the real-lightgbm backend too (_fit_lgb passes _lgb_params);
+    dropping them silently made the bayesian tuner optimize noise."""
+    from vae_extent_search_tpu.models.gbdt import LGBModelInternal
+
+    m = LGBModelInternal(params={"num_leaves": 31,
+                                 "min_sum_hessian_in_leaf": 9,
+                                 "learning_rate": 0.07,
+                                 "max_depth": 4})
+    p = m._lgb_params()
+    assert p["num_leaves"] == 31
+    assert p["min_sum_hessian_in_leaf"] == 9
+    assert p["feature_fraction"] == 0.84375  # tuned default survives
+    # explicit LGBMRegressor kwargs must not duplicate
+    assert "learning_rate" not in p and "max_depth" not in p
+    assert m.learning_rate == 0.07
+    # the in-repo grower sees the same overrides (renamed), and an
+    # explicit max_depth caps lossguide growth there too
+    np_ = m._native_params()
+    assert np_["num_leaves"] == 31 and np_["min_child_weight"] == 9
+    assert np_["max_depth"] == 4
+    assert "max_depth" not in LGBModelInternal()._native_params()
+
+
+def test_remeasure_abort_persists_prefix(tmp_path):
+    """ProgramMeasurer abort parity INCLUDING persistence: when the
+    continuous-error threshold trips, records measured before the
+    abort are already saved (RecordToFile semantics), not discarded."""
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from scripts.measure_programs import remeasure_file
+    from vae_extent_search_tpu.records import load_records, save_records
+
+    corpus = os.path.join(repo, "resnet_18-B1-llvm.json")
+    src = load_records(corpus, max_lines=8)
+    task = src[0].inp.task
+    base = [r for r in src if r.inp.task.workload_key == task.workload_key]
+    pool = (base * 40)[:170]
+    pool_path = str(tmp_path / "pool.json")
+    save_records(pool_path, pool, mode="w")
+
+    class ErrorRunner:
+        def run_record_lists(self, task, record_lists):
+            now = 0.0
+            return [MeasureResult([1e10], 2, 0.0, now)
+                    for _ in record_lists]
+
+        def run(self, task, states):  # pragma: no cover
+            raise AssertionError("fast path must be taken")
+
+    out = str(tmp_path / "out.json")
+    with pytest.raises(RuntimeError, match="continuous"):
+        remeasure_file(pool_path, out, ErrorRunner())
+    kept = load_records(out)
+    assert len(kept) == 150  # everything up to the abort point
+    assert all(r.res.error_no == 2 for r in kept)

@@ -274,3 +274,52 @@ def test_iter_records_recovers_kill_corrupted_log(tmp_path):
     )
     nrecs = load_records_fast(str(p))
     assert len(nrecs) == 4
+
+
+def test_iter_records_tolerates_foreign_json_lines(tmp_path):
+    """Syntactically valid JSON that is not a record shape (null, a
+    number, a short/None "i" list — foreign writers, boundary-exact
+    truncations) must be dropped by the recovery scan, not crash the
+    whole read (TypeError/IndexError escaped the resync catch)."""
+    from vae_extent_search_tpu.records.serde import (load_records,
+                                                     record_to_json)
+
+    corpus = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "resnet_18-B1-llvm.json")
+    src = load_records(corpus, max_lines=2)
+    p = tmp_path / "foreign.json"
+    p.write_text("null\n"
+                 "123\n"
+                 + record_to_json(src[0]) + "\n"
+                 + '{"i": [null, []]}\n'
+                 + '{"i": "zzz", "r": 1}\n'
+                 + record_to_json(src[1]) + "\n")
+    recs = load_records(str(p))
+    assert [record_to_json(r) for r in recs] == [record_to_json(s)
+                                                 for s in src]
+
+
+def test_repair_glued_scan_chunked(tmp_path, monkeypatch):
+    """The glued-line detection scan is chunked (multi-GB healthy logs
+    must not be slurped into RSS); openers straddling a chunk boundary
+    are still detected via the overlap tail."""
+    from vae_extent_search_tpu.records import fast_parser
+    from vae_extent_search_tpu.records.serde import (load_records,
+                                                     record_to_json)
+
+    corpus = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "resnet_18-B1-llvm.json")
+    src = load_records(corpus, max_lines=3)
+    lines = [record_to_json(r) for r in src]
+    p = tmp_path / "glued.json"
+    p.write_text(lines[0] + "\n" + lines[1] + lines[2] + "\n")
+    monkeypatch.setattr(fast_parser, "_REPAIR_SCAN_CHUNK", 7)
+    out = fast_parser._repair_glued_lines(str(p))
+    assert out != str(p)  # detected as dirty through tiny chunks
+    recs = load_records(out)
+    os.unlink(out)
+    assert len(recs) == 3
+    # healthy file: chunked scan returns the path itself
+    h = tmp_path / "healthy.json"
+    h.write_text("\n".join(lines) + "\n")
+    assert fast_parser._repair_glued_lines(str(h)) == str(h)

@@ -444,3 +444,23 @@ def test_remeasure_fast_path_identical(tmp_path):
         assert a.res.costs == b.res.costs
         assert a.res.error_no == b.res.error_no
         assert a.inp.step_records == b.inp.step_records
+
+
+def test_native_rejects_out_of_range_annotation():
+    """An AN step with an annotation outside the 12-entry enum must
+    fail native replay (status != 0 -> python fallback) rather than
+    index the printer's kAnnStr table out of bounds."""
+    from vae_extent_search_tpu.records.fast_parser import (
+        analytic_batch_native,
+    )
+
+    task = SearchTask(
+        make_workload_key("matmul_auto_scheduler_test", (64, 64, 64)),
+        "llvm -mcpu=skylake-avx512")
+    good = [["SP", 2, 0, 64, [8], 1], ["AN", 2, 0, 3]]
+    bad = [["SP", 2, 0, 64, [8], 1], ["AN", 2, 0, 99]]
+    batch = analytic_batch_native(task, [good, bad])
+    assert batch is not None
+    statuses = batch[0]
+    assert statuses[0] == 0
+    assert statuses[1] != 0

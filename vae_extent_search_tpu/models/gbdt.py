@@ -178,14 +178,22 @@ class GBDTModelInternal:
     def _fit_lgb(self, features_list, labels):
         """LightGBM over per-program summed features (reference
         cost_model/lgbm_model.py LGBModelInternal; same aggregation
-        trade-off as the sklearn fallback)."""
+        trade-off as the sklearn fallback). Tuned/HPO params flow
+        through _lgb_params so the bayesian tuning surface drives the
+        real library too, not just the in-repo grower."""
         X = self._drop_constant_cols(self._aggregate(features_list), True)
         self.model = lgb.LGBMRegressor(
             max_depth=self.max_depth, learning_rate=self.learning_rate,
             n_estimators=self.n_estimators, random_state=self.seed,
+            **self._lgb_params(),
         )
         self.model.fit(X, labels,
                        sample_weight=getattr(self, "_row_weights", None))
+
+    def _lgb_params(self) -> dict:
+        """Extra native-named lightgbm params (LGBMRegressor passes
+        unknown kwargs through to the booster). Base model: none."""
+        return {}
 
     def _fit_xgb(self, features_list, labels):
         rows = np.concatenate(features_list)
@@ -342,9 +350,10 @@ class LGBModelInternal(GBDTModelInternal):
         # bayesian HPO script drives): lightgbm-named keys override the
         # tuned defaults below
         self._params_override = dict(params or {})
-        if "learning_rate" in self._params_override:
-            kw["learning_rate"] = self._params_override.pop(
-                "learning_rate")
+        self._explicit_depth = "max_depth" in self._params_override
+        for k in ("learning_rate", "max_depth", "n_estimators"):
+            if k in self._params_override:
+                kw[k] = self._params_override.pop(k)
         self._params_override.pop("boosting_type", None)  # always gbdt
         kw.setdefault("backend", "lgb")
         kw.setdefault("learning_rate", 0.1632095)
@@ -361,9 +370,30 @@ class LGBModelInternal(GBDTModelInternal):
             "min_child_weight": 4,  # min_sum_hessian_in_leaf
             "seed": self.seed,
         }
+        if getattr(self, "_explicit_depth", False):  # old pickles: absent
+            # absent key = unlimited depth (lightgbm's default); only an
+            # explicit user override caps the lossguide grower
+            p["max_depth"] = self.max_depth
         rename = {"min_sum_hessian_in_leaf": "min_child_weight"}
         for k, v in self._params_override.items():
             p[rename.get(k, k)] = v
+        return p
+
+    def _lgb_params(self) -> dict:
+        """The same tuned defaults + overrides in lightgbm's own naming
+        for the real-library backend (lgbm_model.py:250-258)."""
+        p = {
+            "num_leaves": 72,
+            "feature_fraction": 0.84375,
+            "bagging_fraction": 0.89435,
+            "bagging_freq": 4,
+            "min_sum_hessian_in_leaf": 4,
+        }
+        p.update(self._params_override)
+        # already passed explicitly to LGBMRegressor
+        for k in ("max_depth", "learning_rate", "n_estimators",
+                  "random_state", "seed"):
+            p.pop(k, None)
         return p
 
 

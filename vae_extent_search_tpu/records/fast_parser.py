@@ -175,6 +175,11 @@ class RawRecords:
         return out
 
 
+# detection-scan read size for _repair_glued_lines (patchable in tests
+# to exercise chunk-boundary overlap handling)
+_REPAIR_SCAN_CHUNK = 16 << 20
+
+
 def _repair_glued_lines(path: str) -> str:
     """Kill-corrupted append logs can hold several records per line (a
     truncated write with the next append glued on). The native parser
@@ -184,19 +189,29 @@ def _repair_glued_lines(path: str) -> str:
     so the split is exact; truncated fragments end up on their own
     lines, which the strict parser skips — every intact record
     survives, matching serde.iter_records' recovery. Returns ``path``
-    unchanged for healthy files (one memchr-style scan)."""
-    with open(path, "rb") as f:
-        data = f.read()
+    unchanged for healthy files after a CHUNKED detection scan (multi-GB
+    corpora must not be slurped into RSS on the common healthy path)."""
     opener = b'{"i": '
-    pos = data.find(opener, 1)
     dirty = False
-    while pos != -1:
-        if data[pos - 1:pos] != b"\n":
-            dirty = True
-            break
-        pos = data.find(opener, pos + 1)
+    chunk_size = _REPAIR_SCAN_CHUNK
+    with open(path, "rb") as f:
+        prev_tail = b"\n"
+        while not dirty:
+            chunk = f.read(chunk_size)
+            if not chunk:
+                break
+            buf = prev_tail + chunk  # overlap catches split openers
+            pos = buf.find(opener, 1)
+            while pos != -1:
+                if buf[pos - 1:pos] != b"\n":
+                    dirty = True
+                    break
+                pos = buf.find(opener, pos + 1)
+            prev_tail = buf[-(len(opener)):]
     if not dirty:
         return path
+    with open(path, "rb") as f:
+        data = f.read()
     import tempfile
 
     out = []

@@ -125,9 +125,13 @@ def iter_records(path: str, max_lines: Optional[int] = None,
                 continue
             if i < skip_lines:
                 continue
+            # TypeError/IndexError: valid JSON that is not a record
+            # shape (null, a number, short "i" list) — same recovery
+            # as undecodable text: drop the fragment, keep scanning
             try:
                 recs = [record_from_json(line)]
-            except (json.JSONDecodeError, KeyError, ValueError):
+            except (json.JSONDecodeError, KeyError, ValueError,
+                    TypeError, IndexError):
                 recs = []
                 pos = 0
                 while pos < len(line):
@@ -138,7 +142,8 @@ def iter_records(path: str, max_lines: Optional[int] = None,
                         pos = end
                         while pos < len(line) and line[pos] in " \t":
                             pos += 1
-                    except (json.JSONDecodeError, KeyError, ValueError):
+                    except (json.JSONDecodeError, KeyError, ValueError,
+                            TypeError, IndexError):
                         # truncated fragment: resync at the next
                         # record opener, or give up on this line
                         if nxt == -1:
