@@ -601,3 +601,27 @@ def test_sharded_selection_xla_fallback_two_axis_mesh():
     assert len(set(sel.tolist())) == len(sel) > 0
     assert not np.asarray(used)[sel].any()
     assert int(np.asarray(new_rem).sum()) == N - 32 - len(sel)
+
+
+def test_gpu_cache_read_attach_outermost_reduce_tile():
+    """Shared cooperative-fetch caches attach at the LAST reduce
+    iterator of the OUTERMOST reduce tile (reference
+    GetLastReduceIteratorInOutermostReduceTile, utils.h:503; the
+    conv2d.json cuda golden attaches at iter 14 = leading-space-levels
+    (3) * n_axes (4) + n_reduce (3) - 1 for structure "SSSRRSRS") —
+    NOT after all 5 space levels, which lands in an inner reduce tile
+    and reloads the tile every inner iteration."""
+    from vae_extent_search_tpu.search.sketch import generate_sketches
+
+    task = SearchTask(
+        make_workload_key(
+            "conv2d_layer", (1, 56, 56, 64, 64, 3, 3, [1, 1], [1, 1])
+        ),
+        "cuda",
+    )
+    cas = []
+    for s in generate_sketches(task, seed=0):
+        cas.extend(r for st in s.transform_steps
+                   for r in [st.to_record()] if r[0] == "CA")
+    shared_attach = sorted({r[3] for r in cas if r[3] > 11})
+    assert shared_attach == [14], cas

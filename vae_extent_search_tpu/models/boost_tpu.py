@@ -740,13 +740,10 @@ def _make_sharded_chunk_runner(dtrain, mesh, data_axis, hist_engine,
     and sharded over ``data_axis``; padding rows carry weight 0 and
     valid=False so they are inert in histograms, pack sums, and row
     counts. Every shard emits identical trees (histograms psum)."""
-    import os
-
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..ops.hist_pallas import (_DEF_BLK, pack_bins_host,
-                                   pack_bins_host_compact,
-                                   plan_tiers_multi)
+                                   pack_bins_host_compact)
 
     n = len(dtrain)
     nsh = mesh.shape[data_axis]
@@ -802,8 +799,7 @@ def _make_sharded_chunk_runner(dtrain, mesh, data_axis, hist_engine,
     args = (
         hist_in,
         shard(binned_dn, P(None, data_axis)),
-        jnp.asarray(np.asarray(
-            [len(e) for e in dtrain._thresholds], np.int32)),
+        jnp.asarray(ne),
         shard(np.pad(pack_ids_np.astype(np.int32), (0, pad),
                      constant_values=last), P(data_axis)),
         shard(np.pad(dtrain.get_label().astype(np.float32), (0, pad)),

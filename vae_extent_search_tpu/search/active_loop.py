@@ -296,6 +296,9 @@ def run_active_search(
         result.phase = 0
         result.train_size = int(used_mask.sum())
         result.used_time = time.time() - t0
+        # the init picks consumed measurement budget: record them like
+        # every later phase does (callers replay/persist this order)
+        result.selected_order = selected_order
         return result
 
     used = jnp.asarray(used_mask)
@@ -388,7 +391,6 @@ def run_active_search(
         # noise-tied plateau even a perfect predictor ranks the
         # recorded optimum ~uniformly within the plateau)
         pred_np = all_pred_np[:N]
-        true_best = int(np.argmax(labels))
         result.final_optimum_rank = int(
             np.sum(pred_np > pred_np[true_best])) + 1
 

@@ -464,9 +464,17 @@ def _generate_main_sketch(task: SearchTask, use_rfactor: bool = False,
             _fuse_into_consumer(st, stage_id, fusible[0], split_ids, n_split)
         if is_gpu:
             # AddCacheRead: shared caches for the tiled stage's inputs,
-            # attached at the last iterator of the first reduce level
+            # attached at the LAST reduce iterator of the OUTERMOST
+            # reduce tile (reference GetLastReduceIteratorInOutermost-
+            # ReduceTile, utils.h:503: the first reduction iterator
+            # whose fused name covers every reduce axis — which sits
+            # after the LEADING space levels, not after all of them;
+            # golden: conv2d.json cuda records attach at iter 14 =
+            # 3*n_axes + n_reduce - 1 for structure "SSSRRSRS")
             n_reduce_axes = len(op.reduce_axes)
-            attach_pos = n_space_levels * n_axes + n_reduce_axes - 1
+            leading_s = structure.index("R") if "R" in structure \
+                else n_space_levels
+            attach_pos = leading_s * n_axes + n_reduce_axes - 1
             for tensor in op.input_tensors():
                 # find the producer stage id in the current state
                 src_sid = None
@@ -892,60 +900,18 @@ def mutate_compute_location(state: State, task: SearchTask,
 
 def mutate_tile_size(state: State, rng: random.Random,
                      max_innermost: int = 64) -> Optional[State]:
-    """Move a random factor between two positions of a random SplitStep."""
-    split_ids = [
-        i
-        for i, s in enumerate(state.transform_steps)
-        if isinstance(s, SplitStep)
-        and s.extent
-        and all(l is not None for l in s.lengths)
-        and (s.lengths[-1] if s.lengths else 1) <= max_innermost
-    ]
-    if not split_ids:
-        return None
-    for _ in range(4 * len(split_ids)):
-        step_id = rng.choice(split_ids)
-        ps = state.transform_steps[step_id]
-        extent = ps.extent
-        if extent and extent > 1:
-            break
-    else:
-        return None
+    """Move a random factor between two positions of a random SplitStep.
 
-    lengths = [1] + list(ps.lengths)
-    prod = 1
-    for l in ps.lengths:
-        prod *= l
-    lengths[0] = extent // prod if prod else extent
-
-    perm = list(range(len(lengths)))
-    rng.shuffle(perm)
-    for i, src_idx in enumerate(perm):
-        length = lengths[src_idx]
-        if length <= 1:
-            continue
-        dst_idx = perm[(i + 1) % len(perm)]
-        factors = [d for d in range(2, length + 1) if length % d == 0]
-        if dst_idx == len(lengths) - 1:
-            factors = [
-                f for f in factors if f * lengths[dst_idx] <= max_innermost
-            ]
-        if not factors:
-            continue
-        divide = rng.choice(factors)
-        new_lengths = list(lengths)
-        new_lengths[src_idx] = lengths[src_idx] // divide
-        new_lengths[dst_idx] = lengths[dst_idx] * divide
-        recs = [s.to_record() for s in state.transform_steps]
-        recs[step_id] = SplitStep(
-            ps.stage_id, ps.iter_id, ps.extent, new_lengths[1:],
-            ps.inner_to_outer,
-        ).to_record()
-        try:
-            return state.dag.apply_steps(recs)
-        except Exception:
-            return None
-    return None
+    One implementation for both GA paths: the record-level mutator
+    (same RNG stream) does the work; this wrapper just materializes."""
+    out = _mutate_tile_size_recs(
+        [s.to_record() for s in state.transform_steps], rng, max_innermost)
+    if out is None:
+        return None
+    try:
+        return state.dag.apply_steps(out)
+    except Exception:
+        return None
 
 
 def mutate_parallel(state: State, task: SearchTask,
@@ -954,61 +920,24 @@ def mutate_parallel(state: State, task: SearchTask,
     (MutateParallel, sketch_policy_rules.cc:1118): find a trailing
     FuseStep whose fused iterator is parallel-annotated and change the
     number of fused outer iterators."""
-    from ..ir.steps import AnnotationStep, FuseStep
-
-    steps = state.transform_steps
-    for i in range(len(steps) - 1, 0, -1):
-        st_i = steps[i]
-        if not (isinstance(st_i, AnnotationStep) and st_i.annotation == 3):
-            continue
-        prev = steps[i - 1]
-        if not (isinstance(prev, FuseStep)
-                and prev.stage_id == st_i.stage_id
-                and st_i.iter_id == prev.fused_ids[0]):
-            continue
-        n_old = len(prev.fused_ids)
-        choices = [n for n in (1, 2, 3, 4) if n != n_old]
-        n_new = rng.choice(choices)
-        recs = [s.to_record() for s in steps]
-        base = prev.fused_ids[0]
-        if n_new == 1:
-            # drop the fuse, annotate the bare iterator
-            recs[i - 1:i + 1] = [
-                AnnotationStep(st_i.stage_id, base, 3).to_record()
-            ]
-        else:
-            recs[i - 1] = FuseStep(
-                prev.stage_id, list(range(base, base + n_new))
-            ).to_record()
-        try:
-            return state.dag.apply_steps(recs)
-        except Exception:
-            return None
-    return None
+    out = _mutate_parallel_recs(
+        [s.to_record() for s in state.transform_steps], rng)
+    if out is None:
+        return None
+    try:
+        return state.dag.apply_steps(out)
+    except Exception:
+        return None
 
 
 def mutate_auto_unroll(state: State, task: SearchTask,
                        rng: random.Random) -> Optional[State]:
-    pragma_ids = [
-        i
-        for i, s in enumerate(state.transform_steps)
-        if isinstance(s, PragmaStep)
-        and s.pragma_type.startswith("auto_unroll_max_step")
-    ]
-    if not pragma_ids:
+    out = _mutate_auto_unroll_recs(
+        [s.to_record() for s in state.transform_steps], task.is_gpu, rng)
+    if out is None:
         return None
-    cands = (
-        AUTO_UNROLL_CANDIDATES_GPU if task.is_gpu else AUTO_UNROLL_CANDIDATES_CPU
-    )
-    step_id = rng.choice(pragma_ids)
-    ps = state.transform_steps[step_id]
-    recs = [s.to_record() for s in state.transform_steps]
-    recs[step_id] = PragmaStep(
-        ps.stage_id, ps.iter_id,
-        f"auto_unroll_max_step${rng.choice(cands)}",
-    ).to_record()
     try:
-        return state.dag.apply_steps(recs)
+        return state.dag.apply_steps(out)
     except Exception:
         return None
 
