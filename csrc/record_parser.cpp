@@ -100,6 +100,18 @@ struct Parser {
     p = e;
     return true;
   }
+  // number OR JSON null (undefined split lengths serialize as null;
+  // token convention maps None <-> -1, matching _encode_steps)
+  bool parse_double_or_null(double* out) {
+    skip_ws();
+    if (end - p >= 4 && p[0] == 'n' && p[1] == 'u' && p[2] == 'l' &&
+        p[3] == 'l') {
+      p += 4;
+      *out = -1.0;
+      return true;
+    }
+    return parse_double(out);
+  }
   // skip any JSON value
   bool skip_value() {
     skip_ws();
@@ -210,7 +222,7 @@ bool parse_step(Parser* ps, ParseResult* res,
       if (!ps->peek(']')) {
         do {
           double d;
-          if (!ps->parse_double(&d)) return false;
+          if (!ps->parse_double_or_null(&d)) return false;
           res->step_tokens.push_back(static_cast<int32_t>(d));
           ++n;
         } while (ps->expect(','));
@@ -224,7 +236,7 @@ bool parse_step(Parser* ps, ParseResult* res,
       res->step_tokens.push_back(-1000000 - sid);
     } else {
       double d;
-      if (!ps->parse_double(&d)) return false;
+      if (!ps->parse_double_or_null(&d)) return false;
       res->step_tokens.push_back(static_cast<int32_t>(d));
     }
   }
@@ -332,9 +344,13 @@ void* ves_parse_file(const char* path, int64_t max_lines) {
   int fd = open(path, O_RDONLY);
   if (fd < 0) return nullptr;
   struct stat st;
-  if (fstat(fd, &st) != 0 || st.st_size == 0) {
+  if (fstat(fd, &st) != 0) {
     close(fd);
     return nullptr;
+  }
+  if (st.st_size == 0) {  // empty log = zero records (serde parity)
+    close(fd);
+    return new ParseResult();
   }
   const char* data = static_cast<const char*>(
       mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, fd, 0));

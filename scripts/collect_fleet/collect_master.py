@@ -64,7 +64,10 @@ def launch_ssh(host: str, repo_dir: str, cmd: list):
     print(full)
     ret = os.system(full)
     if ret != 0:
-        raise SystemExit(ret)
+        # os.system returns a wait STATUS (exit code << 8); passing it
+        # to SystemExit would truncate mod 256 and could read as success
+        raise SystemExit(f"ssh launch failed on {host} "
+                         f"(status {ret >> 8 or ret})")
 
 
 def main():
@@ -97,6 +100,13 @@ def main():
     else:
         import glob
         end = len(glob.glob(os.path.join(args.in_folder, "*.json")))
+        if end == 0:
+            # the corpus may live only on the workers (--in-folder help:
+            # "pre-synced on every worker") — a silent end=0 would launch
+            # a whole fleet of no-op shards
+            raise SystemExit(
+                f"no task files under {args.in_folder!r} on this master; "
+                "pass --n-tasks when the corpus lives on the workers")
     n_workers = len(args.workers)
     print(f"tasks: {end}, workers: {n_workers}, "
           f"tasks/worker <= {-(-end // max(n_workers, 1))}")

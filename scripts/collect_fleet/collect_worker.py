@@ -32,22 +32,9 @@ def run_shard(in_folder: str, out_folder: str, start: int, end,
     In-process equivalent of the reference's
     ``python3 measure_programs.py --start-idx ... --step-idx ...``."""
     from scripts.measure_programs import remeasure_file
-    from vae_extent_search_tpu.search.measure import AnalyticRunner
+    from vae_extent_search_tpu.search.measure import runner_from_spec
 
-    if runner == "analytic":
-        r = AnalyticRunner(noise=noise, seed=seed)
-    elif runner.startswith("command:"):
-        from vae_extent_search_tpu.search.measure import CommandRunner
-        r = CommandRunner(runner.split(":", 1)[1])
-    elif runner.startswith("service:"):
-        from vae_extent_search_tpu.search.measure_service import (
-            ServiceRunner,
-        )
-        key, addr = runner.split(":", 1)[1].split("@")
-        host, port = addr.rsplit(":", 1)
-        r = ServiceRunner(key, host, int(port))
-    else:
-        raise SystemExit(f"unknown --runner {runner}")
+    r = runner_from_spec(runner, noise=noise, seed=seed)
 
     files = sorted(glob.glob(os.path.join(in_folder, "*.json")))
     end = len(files) if end is None else end

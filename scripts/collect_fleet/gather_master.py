@@ -24,16 +24,23 @@ sys.path.insert(0, REPO)
 
 
 def fetch_zips(spec: str, stage_dir: str) -> list:
-    os.makedirs(stage_dir, exist_ok=True)
     if spec.startswith("ssh:"):
         parts = spec.split(":", 2)
         host = parts[1]
         repo_dir = parts[2] if len(parts) > 2 else "vae-extent-search-tpu"
+        # per-host staging: the shared dir would re-glob zips from
+        # earlier sources (double merge) and stale zips from previous
+        # gather runs (cross-experiment contamination)
+        host_dir = os.path.join(stage_dir, host.replace("@", "_"))
+        os.makedirs(host_dir, exist_ok=True)
+        for old in glob.glob(os.path.join(host_dir,
+                                          "dataset_part_*.zip")):
+            os.remove(old)
         cmd = (f"scp -o StrictHostKeyChecking=no "
-               f"{host}:{repo_dir}/dataset_part_*.zip {stage_dir}/")
+               f"{host}:{repo_dir}/dataset_part_*.zip {host_dir}/")
         print(cmd)
         subprocess.run(cmd, shell=True, check=True)
-        return sorted(glob.glob(os.path.join(stage_dir,
+        return sorted(glob.glob(os.path.join(host_dir,
                                              "dataset_part_*.zip")))
     if spec == "local" or spec.startswith("local:"):
         workdir = spec.split(":", 1)[1] if ":" in spec else "."

@@ -42,7 +42,12 @@ def sweep_task(task: SearchTask, work_dir: str, n_states: int,
     )
     done = log + ".done"
     if pool_owner:
-        if not os.path.exists(log):
+        # gate on the COMPLETION sentinel, not the log: a run killed
+        # mid-generation leaves a partial log and no sentinel — it must
+        # be regenerated, not silently reused
+        if not os.path.exists(done):
+            if os.path.exists(log):
+                os.remove(log)
             states = make_states(task, n_states, seed=2023)
             measurer = ProgramMeasurer(
                 EmptyBuilder(), AnalyticRunner(noise=noise),
@@ -276,6 +281,17 @@ def main():
             skipped.append({"workload_key": task.workload_key,
                             "target": task.target, **(skip or {})})
             if not is_writer:
+                continue
+            # resumed runs revisit skipped tasks (they write no CSV
+            # rows); don't append a duplicate sidecar entry each time
+            already = False
+            if os.path.exists(skipped_path):
+                with open(skipped_path, newline="") as f:
+                    already = any(
+                        r.get("workload_key") == task.workload_key
+                        and r.get("target") == task.target
+                        for r in csv.DictReader(f))
+            if already:
                 continue
             with open(skipped_path, "a", newline="") as f:
                 w = csv.DictWriter(

@@ -21,10 +21,8 @@ from scripts.common import (
 )
 from vae_extent_search_tpu.records import load_records
 from vae_extent_search_tpu.search.measure import (
-    AnalyticRunner,
     EmptyBuilder,
     ProgramMeasurer,
-    RecordReplayRunner,
     RecordToFile,
 )
 
@@ -115,24 +113,10 @@ def main():
                    help="skip files whose output already exists non-empty")
     args = p.parse_args()
 
-    if args.runner == "analytic":
-        runner = AnalyticRunner(noise=args.noise, seed=args.seed)
-    elif args.runner.startswith("command:"):
-        from vae_extent_search_tpu.search.measure import CommandRunner
+    from vae_extent_search_tpu.search.measure import runner_from_spec
 
-        runner = CommandRunner(args.runner.split(":", 1)[1])
-    elif args.runner.startswith("service:"):
-        from vae_extent_search_tpu.search.measure_service import (
-            ServiceRunner,
-        )
-
-        key, addr = args.runner.split(":", 1)[1].split("@")
-        host, port = addr.rsplit(":", 1)
-        runner = ServiceRunner(key, host, int(port))
-    elif args.runner == "replay":
-        runner = RecordReplayRunner(load_records(args.replay_log))
-    else:
-        raise SystemExit(f"unknown --runner {args.runner}")
+    runner = runner_from_spec(args.runner, noise=args.noise,
+                              seed=args.seed, replay_log=args.replay_log)
 
     if args.in_file:
         files = [args.in_file]

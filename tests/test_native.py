@@ -464,3 +464,45 @@ def test_native_rejects_out_of_range_annotation():
     statuses = batch[0]
     assert statuses[0] == 0
     assert statuses[1] != 0
+
+
+def test_native_parser_null_split_lengths(tmp_path):
+    """Records whose SP lengths contain JSON null (undefined split
+    lengths — sketch-stage records serialize them; the reference's
+    Array<Optional<Integer>> does too) must parse natively with full
+    serde parity, not be silently dropped (which also NULL-crashed
+    RawRecords when every record dropped)."""
+    from vae_extent_search_tpu.records import (
+        load_records,
+        make_record,
+        save_records,
+    )
+    from vae_extent_search_tpu.records.fast_parser import (
+        load_records_fast,
+    )
+    from vae_extent_search_tpu.search.sketch import generate_sketches
+
+    task = SearchTask(
+        make_workload_key("conv2d_layer",
+                          (1, 14, 14, 32, 32, 3, 3, [1, 1], [1, 1])),
+        "llvm -mcpu=skylake-avx512")
+    rec = None
+    for s in generate_sketches(task, seed=0):
+        recs = [st.to_record() for st in s.transform_steps]
+        if any(r[0] == "SP" and any(l is None for l in r[4])
+               for r in recs):
+            rec = recs
+            break
+    assert rec is not None
+    p = str(tmp_path / "nullrec.json")
+    save_records(p, [make_record(task, rec, costs=[0.1], timestamp=0)],
+                 mode="w")
+    assert "null" in open(p).read()
+    py = load_records(p)
+    nat = load_records_fast(p)
+    assert len(nat) == len(py) == 1
+    assert nat[0].inp.step_records == py[0].inp.step_records
+    # empty log: zero records, no NULL-pointer crash
+    e = str(tmp_path / "empty.json")
+    open(e, "w").close()
+    assert load_records_fast(e) == []

@@ -108,39 +108,37 @@ class RawRecords:
         nt = lib.ves_num_step_tokens(handle)
         ns = lib.ves_num_strings(handle)
         ntask = lib.ves_num_tasks(handle)
-        self.step_tokens = np.ctypeslib.as_array(
-            lib.ves_step_tokens(handle), (max(nt, 1),)
-        )[:nt].copy()
-        self.step_begin = np.ctypeslib.as_array(
-            lib.ves_rec_step_begin(handle), (max(n, 1),))[:n].copy()
-        self.step_end = np.ctypeslib.as_array(
-            lib.ves_rec_step_end(handle), (max(n, 1),))[:n].copy()
-        self.task_id = np.ctypeslib.as_array(
-            lib.ves_rec_task_id(handle), (max(n, 1),))[:n].copy()
-        self.mean_cost = np.ctypeslib.as_array(
-            lib.ves_rec_mean_cost(handle), (max(n, 1),))[:n].copy()
-        self.first_cost = np.ctypeslib.as_array(
-            lib.ves_rec_first_cost(handle), (max(n, 1),))[:n].copy()
-        self.error_no = np.ctypeslib.as_array(
-            lib.ves_rec_error_no(handle), (max(n, 1),))[:n].copy()
-        pool = ctypes.string_at(
-            lib.ves_string_pool(handle), lib.ves_string_pool_size(handle)
-        )
-        offs = np.ctypeslib.as_array(
-            lib.ves_string_offsets(handle), (max(ns, 1),))[:ns].copy()
+
+        def arr(ptr, count, dtype):
+            # an empty std::vector's data() may be NULL — as_array on a
+            # NULL pointer raises even for a zero-length view
+            if count == 0 or not ptr:
+                return np.zeros(0, dtype)
+            return np.ctypeslib.as_array(ptr, (count,)).copy()
+
+        self.step_tokens = arr(lib.ves_step_tokens(handle), nt, np.int32)
+        self.step_begin = arr(lib.ves_rec_step_begin(handle), n, np.int64)
+        self.step_end = arr(lib.ves_rec_step_end(handle), n, np.int64)
+        self.task_id = arr(lib.ves_rec_task_id(handle), n, np.int32)
+        self.mean_cost = arr(lib.ves_rec_mean_cost(handle), n, np.float64)
+        self.first_cost = arr(lib.ves_rec_first_cost(handle), n,
+                              np.float64)
+        self.error_no = arr(lib.ves_rec_error_no(handle), n, np.int32)
+        psize = lib.ves_string_pool_size(handle)
+        pool = (ctypes.string_at(lib.ves_string_pool(handle), psize)
+                if psize else b"")
+        offs = arr(lib.ves_string_offsets(handle), ns, np.int64)
         self.strings = []
         for i in range(ns):
             end = offs[i + 1] - 1 if i + 1 < ns else len(pool) - 1
             self.strings.append(pool[offs[i]:end].decode())
         self.task_workload = [
             self.strings[i]
-            for i in np.ctypeslib.as_array(
-                lib.ves_task_wkl_str(handle), (max(ntask, 1),))[:ntask]
+            for i in arr(lib.ves_task_wkl_str(handle), ntask, np.int32)
         ]
         self.task_target = [
             self.strings[i]
-            for i in np.ctypeslib.as_array(
-                lib.ves_task_target_str(handle), (max(ntask, 1),))[:ntask]
+            for i in arr(lib.ves_task_target_str(handle), ntask, np.int32)
         ]
 
     def __len__(self):
@@ -165,7 +163,10 @@ class RawRecords:
                     j += 1
                 elif v < 0:  # list marker -(len+1)
                     ln = -v - 1
-                    args.append([int(x) for x in toks[j + 1:j + 1 + ln]])
+                    # -1 inside a list = JSON null (undefined split
+                    # length); legitimate step-list values are all >= 0
+                    args.append([None if x == -1 else int(x)
+                                 for x in toks[j + 1:j + 1 + ln]])
                     j += 1 + ln
                 else:
                     args.append(v)
@@ -522,7 +523,7 @@ def _perstore_call(lib, task, tok_arr, begin, end, pool, offs,
 
 def featurize_perstore_native(path: str, n_threads: int = 1,
                               python_fallback: bool = True,
-                              max_lines: int = -1):
+                              max_lines: int = -1, raw=None):
     """Batch per-store (164-dim) featurization through the native pipeline.
 
     Returns (features: list of [n_stores_i, 164] float32 arrays, statuses
@@ -530,13 +531,17 @@ def featurize_perstore_native(path: str, n_threads: int = 1,
     Records are grouped by task (a log may hold many tasks); tasks whose
     DAG has non-affine accesses are shipped via the full-expression
     descriptor, so winograd et al. still run natively.
+
+    ``raw`` lets a caller that already parsed the file (RawRecords of
+    the same path/max_lines) skip the second mmap+parse pass.
     """
     from ..features.per_store import get_per_store_features_from_state
     from .serde import MeasureInput
     from .task import SearchTask
 
     lib = _load_ps(_load_fx(_load_lib()))
-    raw = load_raw(path, max_lines)
+    if raw is None:
+        raw = load_raw(path, max_lines)
     n = len(raw)
     feats = [None] * n
     statuses = np.full(max(n, 1), 1, np.int32)[:n]
@@ -592,10 +597,10 @@ def perstore_dataset_native(path: str, max_lines: int = -1,
     (reference feature.cc:1457-1535)."""
     from ..features.per_store import FEATURE_VEC_LEN
 
+    raw = load_raw(path, max_lines)  # parsed once, shared with featurize
     feats, statuses = featurize_perstore_native(
         path, n_threads=n_threads, python_fallback=True,
-        max_lines=max_lines)
-    raw = load_raw(path, max_lines)
+        max_lines=max_lines, raw=raw)
     n = len(raw)
     task_keys = {}
     task_ids = np.zeros(n, np.int32)

@@ -365,3 +365,34 @@ class ProgramMeasurer:
         for cb in self.callbacks:
             cb.callback(task, states, out)
         return out
+
+
+def runner_from_spec(spec: str, noise: float = 0.0, seed: int = 0,
+                     replay_log: Optional[str] = None) -> Runner:
+    """One parser for the CLI --runner spec, shared by
+    scripts/measure_programs.py and the fleet worker (the two copies
+    had already drifted: the fleet lacked 'replay'):
+
+    - ``analytic``                      — the analytic simulator
+    - ``replay``                        — costs replayed from
+                                          ``replay_log``
+    - ``command:<cmd>``                 — external timer, invoked as
+                                          ``<cmd> in.json out.json``
+    - ``service:<key>@<host>:<port>``   — measure through the
+                                          tracker/server service
+    """
+    if spec == "analytic":
+        return AnalyticRunner(noise=noise, seed=seed)
+    if spec == "replay":
+        if not replay_log:
+            raise SystemExit("--runner replay needs --replay-log")
+        from ..records.serde import load_records
+        return RecordReplayRunner(load_records(replay_log))
+    if spec.startswith("command:"):
+        return CommandRunner(spec.split(":", 1)[1])
+    if spec.startswith("service:"):
+        from .measure_service import ServiceRunner
+        key, addr = spec.split(":", 1)[1].split("@")
+        host, port = addr.rsplit(":", 1)
+        return ServiceRunner(key, host, int(port))
+    raise SystemExit(f"unknown --runner {spec!r}")

@@ -53,9 +53,18 @@ def _send_json(sock: socket.socket, obj) -> None:
 
 
 def _recv_json(sock: socket.socket, timeout: Optional[float] = None):
-    sock.settimeout(timeout)
+    # the timeout bounds the WHOLE response, not each recv — a peer
+    # trickling bytes must not stall a runner past the deadline
+    deadline = None if timeout is None else time.monotonic() + timeout
     buf = b""
     while not buf.endswith(b"\n"):
+        if deadline is not None:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                raise socket.timeout("response deadline exceeded")
+            sock.settimeout(remaining)
+        else:
+            sock.settimeout(None)
         chunk = sock.recv(1 << 20)
         if not chunk:
             break
@@ -220,13 +229,20 @@ class ServiceRunner(Runner):
             addr = self._request_server()
             if addr is None:
                 break
-            try:
-                conn = socket.create_connection(addr,
-                                                timeout=self.timeout)
-            except OSError:
-                # server unreachable: evict and try the next one — a
+            conn = None
+            for attempt in (0, 1):
+                try:
+                    conn = socket.create_connection(addr,
+                                                    timeout=self.timeout)
+                    break
+                except OSError:
+                    if attempt == 0:
+                        time.sleep(0.2)  # transient blip ≠ dead server
+            if conn is None:
+                # unreachable twice: evict and try the next one — a
                 # SLOW batch must not kill a healthy server, so only
-                # connect failures evict
+                # connect failures evict (servers register once; a
+                # single local blip must not drain fleet capacity)
                 self._evict(addr)
                 continue
             try:
