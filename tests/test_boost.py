@@ -433,6 +433,85 @@ def test_hist_pallas_kernel_values():
     assert np.abs(np.asarray(hh) - ref_h).max() < 1e-4
 
 
+def test_hist_pallas_kron_bit_identical():
+    """The kron (hi/lo) decomposition of the full-width one-hot sums
+    exactly the same products as the flat dot (masks and one-hots are
+    exact 0/1 values) — only the dot's internal accumulation blocking
+    may differ per backend, so equality is asserted to float-rounding
+    tolerance here and at tree level in the engine-parity test."""
+    import jax.numpy as jnp
+
+    from vae_extent_search_tpu.ops.hist_pallas import (
+        hist_pallas_packed, kron_plan, pack_bins_host,
+        pack_bins_lane_major)
+
+    rng = np.random.default_rng(5)
+    n, d, nb, blk, fg = 700, 6, 256, 256, 4
+    binned = rng.integers(0, nb, (d, n)).astype(np.uint8)
+    g = rng.standard_normal(n).astype(np.float32)
+    h = rng.random(n).astype(np.float32)
+    packed = jnp.asarray(pack_bins_host(binned, fg=fg, blk=blk))
+    lm = jnp.asarray(pack_bins_lane_major(binned, fg=fg, blk=blk))
+    for m in (1, 2, 4, 8):
+        node = jnp.asarray(rng.integers(0, m, n).astype(np.int32))
+        flat = hist_pallas_packed(packed, node, jnp.asarray(g),
+                                  jnp.asarray(h), d=d, m=m, nb=nb,
+                                  blk=blk, fg=fg, interpret=True)
+        for hc in (2, 4, 8, 16):
+            kr = hist_pallas_packed(packed, node, jnp.asarray(g),
+                                    jnp.asarray(h), d=d, m=m, nb=nb,
+                                    blk=blk, fg=fg, interpret=True,
+                                    kron_hc=hc, bins_lm=lm)
+            for a, b in zip(flat, kr):
+                a, b = np.asarray(a), np.asarray(b)
+                assert np.allclose(a, b, rtol=1e-6, atol=1e-5), (m, hc)
+    # the plan prefers kron at shallow levels and flat at deep ones
+    assert kron_plan(1, 256) >= 2
+    assert kron_plan(32, 256) == 0
+
+
+def test_boost_tpu_kron_engine_parity():
+    """VES_BOOST_KRON=1 (kron one-hots at shallow levels) grows the
+    same trees as the XLA engine through a full training run, both with
+    the tier ladder active (mixed binary/continuous columns) and with
+    tiers disabled (all-continuous big tier)."""
+    import os
+
+    from vae_extent_search_tpu.models import boost_tpu
+
+    rng = np.random.default_rng(11)
+    n = 400
+    Xc = rng.standard_normal((n, 8)).astype(np.float32)
+    Xb = (rng.random((n, 20)) < 0.4).astype(np.float32)
+    X = np.concatenate([Xc, Xb], axis=1)
+    y = (Xc[:, 0] - 0.5 * Xc[:, 2] ** 2 + Xb[:, 3]).astype(np.float32)
+    params = {"max_depth": 4, "eta": 0.3}
+    saved = {k: os.environ.get(k) for k in
+             ("VES_BOOST_HIST", "VES_BOOST_KRON", "VES_BOOST_TIER")}
+    try:
+        os.environ["VES_BOOST_HIST"] = "xla"
+        ref = boost_tpu.train(params, boost.DMatrix(X, label=y),
+                              num_boost_round=6, verbose_eval=0)
+        os.environ["VES_BOOST_HIST"] = "pallas_interpret"
+        os.environ["VES_BOOST_KRON"] = "1"
+        for tier in ("", "0"):   # default ladder / tiers disabled
+            if tier:
+                os.environ["VES_BOOST_TIER"] = tier
+            else:
+                os.environ.pop("VES_BOOST_TIER", None)
+            bk = boost_tpu.train(params, boost.DMatrix(X, label=y),
+                                 num_boost_round=6, verbose_eval=0)
+            assert np.abs(ref.predict(X) - bk.predict(X)).max() < 1e-4
+            for t1, t2 in zip(ref.trees, bk.trees):
+                assert t1.feature == t2.feature, tier
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
 def test_boost_tpu_scan_path_callback_parity():
     """The scan fast path (device metrics + post-hoc callback replay)
     reproduces the numpy engine's eval lines — same rounds, same

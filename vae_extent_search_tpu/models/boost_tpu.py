@@ -180,13 +180,19 @@ def _grow_tree_device(hist_input, binned_T, n_edges, grad, hess, *,
         m = 1 << level
         tiers = []   # (gain [m], orig_flat [m]) candidates to merge
         if hist_engine.startswith("pallas"):
-            from ..ops.hist_pallas import hist_pallas_packed
-            interp = hist_engine == "pallas_interpret"
+            from ..ops.hist_pallas import hist_pallas_packed, kron_plan
+            interp = hist_engine.startswith("pallas_interpret")
+            kron = hist_engine.endswith("+kron")
             if hist_meta:
                 tier_plan, d_big = hist_meta
                 parts = hist_input
                 packed_big, ids_big, ne_big = parts[0], parts[1], parts[2]
                 nb_pad = -(-nb // 128) * 128
+                # kron mode appends the lane-major bins of the big tier
+                # as the final part (pack layout otherwise unchanged)
+                lm_big = (parts[3 + 3 * len(tier_plan)]
+                          if kron and d_big else None)
+                khc = kron_plan(m, nb_pad) if lm_big is not None else 0
                 off = 3
                 Gn = Hn = None
                 for (sw, d_t) in tier_plan:
@@ -214,7 +220,8 @@ def _grow_tree_device(hist_input, binned_T, n_edges, grad, hess, *,
                 if d_big:
                     gb, hb = hist_pallas_packed(
                         packed_big, node, grad, hess, d=d_big, m=m,
-                        nb=nb, interpret=interp)
+                        nb=nb, interpret=interp, kron_hc=khc,
+                        bins_lm=lm_big if khc else None)
                     if axis_name:
                         gb, hb = _allsum(gb), _allsum(hb)
                     if Gn is None:
@@ -466,6 +473,12 @@ def train(params: dict, dtrain: DMatrix, num_boost_round: int = 300,
         # other accelerator fall back to the portable XLA matmul path
         hist_engine = ("pallas" if jax.default_backend() == "tpu"
                        else "xla")
+    if (hist_engine.startswith("pallas")
+            and os.environ.get("VES_BOOST_KRON", "0") == "1"):
+        # kron decomposition of full-width one-hots at shallow levels
+        # (ops/hist_pallas.py kron_plan); bit-identical histograms,
+        # less VPU compare work. Opt-in pending chip A/B.
+        hist_engine += "+kron"
     def _packed_inputs():
         """(binned_T, hist_input, hist_meta) for single-device round
         work, built lazily — the mesh scan path packs shard-wise in
@@ -492,7 +505,9 @@ def train(params: dict, dtrain: DMatrix, num_boost_round: int = 300,
         if hist_engine.startswith("pallas"):
             from ..ops.hist_pallas import (pack_bins_host,
                                            pack_bins_host_compact,
+                                           pack_bins_lane_major,
                                            plan_tiers_multi)
+            kron = hist_engine.endswith("+kron")
             nb_pad = -(-nb // 128) * 128
             ne = np.asarray([len(e) for e in thresholds], np.int32)
             # windowed tiers only pay off when enough columns are
@@ -518,10 +533,21 @@ def train(params: dict, dtrain: DMatrix, num_boost_round: int = 300,
                         pack_bins_host_compact(dtrain._binned[idx],
                                                sw=sw, nb=nb_pad),
                         idx.astype(np.int32), ne[idx]]
+                if kron and len(idx_big):
+                    parts.append(
+                        pack_bins_lane_major(dtrain._binned[idx_big]))
                 host_input = tuple(parts)
                 hist_meta = (tuple((sw, len(idx))
                                    for sw, idx in tier_plan),
                              len(idx_big))
+            elif kron:
+                # no windowed tiers: express the whole matrix as one
+                # "big tier" so the grower finds the lane-major pack
+                d_all = dtrain._binned.shape[0]
+                host_input = (pack_bins_host(dtrain._binned),
+                              np.arange(d_all, dtype=np.int32), ne,
+                              pack_bins_lane_major(dtrain._binned))
+                hist_meta = ((), d_all)
             else:
                 host_input = pack_bins_host(dtrain._binned)
         else:
@@ -743,7 +769,8 @@ def _make_sharded_chunk_runner(dtrain, mesh, data_axis, hist_engine,
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..ops.hist_pallas import (_DEF_BLK, pack_bins_host,
-                                   pack_bins_host_compact)
+                                   pack_bins_host_compact,
+                                   pack_bins_lane_major)
 
     n = len(dtrain)
     nsh = mesh.shape[data_axis]
@@ -758,6 +785,7 @@ def _make_sharded_chunk_runner(dtrain, mesh, data_axis, hist_engine,
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     if hist_engine.startswith("pallas"):
+        kron = hist_engine.endswith("+kron")
         nb = max(2, int(ne.max()) + 1)
         nb_pad = -(-nb // 128) * 128
         tier_plan, idx_big = _plan_tiers_env(ne)
@@ -782,10 +810,26 @@ def _make_sharded_chunk_runner(dtrain, mesh, data_axis, hist_engine,
                     jnp.asarray(idx.astype(np.int32)),
                     jnp.asarray(ne[idx])]
                 hist_spec += [P(None, data_axis, None), P(), P()]
+            if kron and len(idx_big):
+                hist_in.append(shard(
+                    pack_bins_lane_major(binned_dn[idx_big]),
+                    P(None, data_axis)))
+                hist_spec.append(P(None, data_axis))
             hist_in = tuple(hist_in)
             hist_spec = tuple(hist_spec)
             hist_meta = (tuple((sw, len(idx)) for sw, idx in tier_plan),
                          len(idx_big))
+        elif kron:
+            d_all = binned_dn.shape[0]
+            hist_in = (shard(pack_bins_host(binned_dn),
+                             P(None, data_axis, None)),
+                       jnp.asarray(np.arange(d_all, dtype=np.int32)),
+                       jnp.asarray(ne),
+                       shard(pack_bins_lane_major(binned_dn),
+                             P(None, data_axis)))
+            hist_spec = (P(None, data_axis, None), P(), P(),
+                         P(None, data_axis))
+            hist_meta = ((), d_all)
         else:
             hist_in = shard(pack_bins_host(binned_dn),
                             P(None, data_axis, None))

@@ -134,6 +134,44 @@ def pack_bins_host_expanded(binned_dn: np.ndarray, sw: int, nb: int,
     return out
 
 
+def pack_bins_lane_major(binned_dn: np.ndarray, fg: int = _DEF_FG,
+                         blk: int = _DEF_BLK):
+    """[d, n] uint8 -> [d_pad, n_pad] uint8, feature-major (rows = lane
+    axis inside the kernel). The kron mode reads each feature's bin
+    column in BOTH orientations: sublane-major from ``pack_bins_host``
+    (the lo one-hot) and lane-major from this array (the hi masks that
+    multiply Bt [2m, blk] — relayouting the packed column in-kernel
+    would cost more than the extra 1 B/row/feature of HBM traffic)."""
+    d, n = binned_dn.shape
+    d_pad = -(-d // fg) * fg
+    n_pad = -(-n // blk) * blk
+    out = np.zeros((d_pad, n_pad), np.uint8)
+    out[:d, :n] = binned_dn
+    return out
+
+
+def kron_plan(m: int, nb_pad: int) -> int:
+    """Pick the hi-group count for the kron one-hot decomposition of a
+    full-width (nb_pad-bin) histogram dot at node count ``m``, or 0 to
+    stay flat.
+
+    The kernel is VPU-bound on one-hot generation (docs/NEXT.md): flat
+    costs ~nb_pad compare-lanes per row per feature. Decomposing
+    bin = hi*lw + lo costs hc lane-major hi compares + lw lo-one-hot
+    lanes + hc Bt-mask multiplies (each >= a full (8,128) register in
+    sublanes) per row. Two hard lessons from the first chip A/B:
+    keep lw at full MXU lanes (128) so the hc dots cost the same MXU
+    passes as the flat dot's nb_pad/128 N-tiles (smaller lw multiplied
+    MXU work 4x and lost outright), and charge the Bt masks their
+    sublane-padded width max(2m, 8). Flat wins past the modeled 10%
+    margin (m >= 32 at nb_pad 256)."""
+    hc = nb_pad // 128
+    if hc < 2:
+        return 0
+    cost = hc + 128 + hc * max(2 * m, 8)
+    return hc if cost < 0.9 * nb_pad else 0
+
+
 def pack_bins_host_compact(binned_dn: np.ndarray, sw: int, nb: int,
                            fg: int = 1, blk: int = _DEF_BLK):
     """Compact pack for a low/mid-cardinality tier: nb//sw features per
@@ -159,7 +197,8 @@ def pack_bins_host_compact(binned_dn: np.ndarray, sw: int, nb: int,
 
 
 def _body(bins_ref, node_ref, g_ref, h_ref, out_ref, *, m: int, nb: int,
-          fg: int, sw: int, compact: bool):
+          fg: int, sw: int, compact: bool, kron_hc: int = 0,
+          bins_lm_ref=None):
     from jax.experimental import pallas as pl
 
     f32 = jnp.float32
@@ -174,6 +213,42 @@ def _body(bins_ref, node_ref, g_ref, h_ref, out_ref, *, m: int, nb: int,
     blk = bins.shape[0]
     fpd = nb // sw
     for f in range(fg):
+        if sw == nb and kron_hc >= 2:
+            # kron decomposition of the full-width one-hot:
+            # bin = hi*lw + lo, so H[c, hi*lw+lo] factorizes into hc
+            # dots of (Bt masked by hi == i) against the lw-lane lo
+            # one-hot. VPU work drops from nb compare-lanes/row to
+            # hc + lw + 2m*hc (kron_plan picks hc; a win at small m,
+            # i.e. the shallow tree levels where most levels live).
+            # The hi masks need the bin column LANE-major ([1, blk],
+            # to combine with Bt) while the lo one-hot needs it
+            # sublane-major — hence the second, lane-major bins input.
+            lw = nb // kron_hc
+            shift = lw.bit_length() - 1
+            assert lw == 1 << shift, (nb, kron_hc)
+            colv = bins[:, f][:, None].astype(jnp.int32)   # [blk, 1]
+            iota_lw = jax.lax.broadcasted_iota(jnp.int32, (1, lw), 1)
+            Alo = ((colv & (lw - 1)) == iota_lw).astype(f32)  # [blk, lw]
+            hi_row = jax.lax.shift_right_logical(
+                bins_lm_ref[f, :][None, :].astype(jnp.int32),
+                shift)                                     # [1, blk]
+            accs = []
+            for i in range(kron_hc):
+                Bti = Bt * (hi_row == i).astype(f32)       # [2m, blk]
+                accs.append(jax.lax.dot_general(
+                    Bti, Alo, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32))           # [2m, lw]
+            acc = jnp.concatenate(accs, axis=1)            # [2m, nb]
+
+            @pl.when(rb == 0)
+            def _init_k():
+                out_ref[f] = acc
+
+            @pl.when(rb != 0)
+            def _accum_k():
+                out_ref[f] += acc
+
+            continue
         if sw == nb:
             # one feature per dot: full-width one-hot of its bin column
             A = (bins[:, f][:, None].astype(jnp.int32)
@@ -220,10 +295,12 @@ def _body(bins_ref, node_ref, g_ref, h_ref, out_ref, *, m: int, nb: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("d", "m", "nb", "blk", "fg", "sw", "interpret"))
+    static_argnames=("d", "m", "nb", "blk", "fg", "sw", "interpret",
+                     "kron_hc"))
 def hist_pallas_packed(binned3, node, grad, hess, *, d: int, m: int,
                        nb: int, blk: int = _DEF_BLK, fg: int = _DEF_FG,
-                       sw: int = 0, interpret: bool = False):
+                       sw: int = 0, interpret: bool = False,
+                       kron_hc: int = 0, bins_lm=None):
     """-> (ghist, hhist), each [d, m, nb] f32 (plain mode) or
     [d_dots, m, nb_pad] (windowed modes, caller reshapes windows).
 
@@ -233,7 +310,14 @@ def hist_pallas_packed(binned3, node, grad, hess, *, d: int, m: int,
     from ``pack_bins_host_compact`` (sw>0: nb//sw features per dot; the
     pack flavor is inferred from the last-dim size);
     node: [n] int32 in [0, m); grad/hess: [n] f32 (padded internally to
-    n_pad with inert zeros)."""
+    n_pad with inert zeros).
+
+    kron_hc >= 2 (plain mode only, with ``bins_lm`` the lane-major pack
+    from ``pack_bins_lane_major``): build each full-width one-hot as a
+    kron product — hc hi-group masks on Bt x a (nb/hc)-lane lo one-hot.
+    Sums exactly the same products as the flat dot (masks/one-hots are
+    exact 0.0/1.0; only the dot's internal accumulation blocking may
+    differ), cheaper on the VPU at small m."""
     from jax.experimental import pallas as pl
 
     n_groups, n_pad, last = binned3.shape
@@ -242,30 +326,49 @@ def hist_pallas_packed(binned3, node, grad, hess, *, d: int, m: int,
     compact = expanded and last == fg * (nb_pad // sw)
     if expanded and not compact:
         assert last == fg * nb_pad, (last, fg, nb_pad)
+    if kron_hc >= 2:
+        assert not expanded and bins_lm is not None \
+            and nb_pad % kron_hc == 0, (kron_hc, sw, nb_pad)
+        assert bins_lm.shape == (n_groups * fg, n_pad), \
+            (bins_lm.shape, n_groups, fg, n_pad)
     n = node.shape[0]
     if n_pad != n:
         node = jnp.pad(node, (0, n_pad - n))
         grad = jnp.pad(grad, (0, n_pad - n))
         hess = jnp.pad(hess, (0, n_pad - n))
     grid = (n_groups, n_pad // blk)
+    in_specs = [
+        pl.BlockSpec((1, blk, last), lambda fgi, rb: (fgi, rb, 0)),
+        pl.BlockSpec((1, blk), lambda fgi, rb: (0, rb)),
+        pl.BlockSpec((1, blk), lambda fgi, rb: (0, rb)),
+        pl.BlockSpec((1, blk), lambda fgi, rb: (0, rb)),
+    ]
+    operands = [binned3, node[None, :].astype(jnp.int32),
+                grad[None, :].astype(jnp.float32),
+                hess[None, :].astype(jnp.float32)]
+    if kron_hc >= 2:
+        in_specs.append(pl.BlockSpec((fg, blk),
+                                     lambda fgi, rb: (fgi, rb)))
+        operands.append(bins_lm)
+
+        def kernel(bins_ref, node_ref, g_ref, h_ref, lm_ref, out_ref):
+            _body(bins_ref, node_ref, g_ref, h_ref, out_ref, m=m,
+                  nb=nb_pad, fg=fg, sw=nb_pad, compact=False,
+                  kron_hc=kron_hc, bins_lm_ref=lm_ref)
+    else:
+        kernel = functools.partial(_body, m=m, nb=nb_pad, fg=fg,
+                                   sw=sw if expanded else nb_pad,
+                                   compact=compact)
     out = pl.pallas_call(
-        functools.partial(_body, m=m, nb=nb_pad, fg=fg,
-                          sw=sw if expanded else nb_pad,
-                          compact=compact),
+        kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, blk, last), lambda fgi, rb: (fgi, rb, 0)),
-            pl.BlockSpec((1, blk), lambda fgi, rb: (0, rb)),
-            pl.BlockSpec((1, blk), lambda fgi, rb: (0, rb)),
-            pl.BlockSpec((1, blk), lambda fgi, rb: (0, rb)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((fg, 2 * m, nb_pad),
                                lambda fgi, rb: (fgi, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n_groups * fg, 2 * m, nb_pad),
                                        jnp.float32),
         interpret=interpret,
-    )(binned3, node[None, :].astype(jnp.int32),
-      grad[None, :].astype(jnp.float32), hess[None, :].astype(jnp.float32))
+    )(*operands)
     if expanded:
         out = out[:d]                               # d = dot count here
         return out[:, :m, :], out[:, m:, :]
