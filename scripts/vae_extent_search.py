@@ -259,9 +259,23 @@ def main():
                         "reference experiment) or flattened 164-dim "
                         "per-store feature rows (the reference's "
                         "'feature' input-mode ablation)")
+    p.add_argument("--profile-dir", type=str,
+                   default=os.environ.get("VES_TRACE_DIR"),
+                   help="write a jax.profiler (TensorBoard) trace of "
+                        "the run under this dir — the TPU-native "
+                        "replacement for the reference's USE_NCU env "
+                        "hook (vae_experiments/ansor.py:5,16); also "
+                        "settable via VES_TRACE_DIR")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args()
 
+    from vae_extent_search_tpu.utils import trace_profile
+    with trace_profile(args.profile_dir,
+                       enabled=args.profile_dir is not None):
+        _dispatch(args)
+
+
+def _dispatch(args):
     if args.arm == "gbdt":
         run_gbdt_arm(args.record_file, args.out_dir, args.measure_size,
                      tuple(args.seeds), args.max_phases,

@@ -561,3 +561,29 @@ def test_remeasure_abort_persists_prefix(tmp_path):
     kept = load_records(out)
     assert len(kept) == 150  # everything up to the abort point
     assert all(r.res.error_no == 2 for r in kept)
+
+
+def test_trace_profile_writes_tensorboard_trace(tmp_path):
+    """The jax.profiler hook (utils.trace_profile, wired to
+    vae_extent_search.py --profile-dir / VES_TRACE_DIR) produces a
+    TensorBoard-loadable trace dir; disabled mode is a no-op."""
+    import glob
+
+    import jax
+    import jax.numpy as jnp
+
+    from vae_extent_search_tpu.utils import trace_profile
+
+    logdir = str(tmp_path / "trace")
+    with trace_profile(logdir):
+        jax.device_get(jax.jit(lambda x: x * 2)(jnp.ones(8)))
+    hits = glob.glob(os.path.join(logdir, "**", "*.trace*"),
+                     recursive=True) + glob.glob(
+        os.path.join(logdir, "**", "*.xplane.pb"), recursive=True)
+    assert hits, os.listdir(logdir)
+
+    with trace_profile(None):   # disabled: no logdir -> no-op
+        pass
+    with trace_profile(str(tmp_path / "off"), enabled=False):
+        pass
+    assert not os.path.exists(str(tmp_path / "off"))
