@@ -114,7 +114,16 @@ def main():
             all_tasks[(t.workload_key, t.target)] = t.to_record()
         print(f"{name} {shape_args}: {len(tasks)} tasks -> {out}")
 
-    with open(os.path.join(NETWORK_INFO_FOLDER, "all_tasks.pkl"), "wb") as f:
+    # all_tasks.pkl is the GLOBAL registry across platforms (the
+    # reference's spans all its hardware targets): merge with any
+    # existing registry so a cuda grid dump does not clobber the llvm
+    # one — this-run tasks win on key collisions
+    reg_path = os.path.join(NETWORK_INFO_FOLDER, "all_tasks.pkl")
+    if os.path.exists(reg_path):
+        with open(reg_path, "rb") as f:
+            for rec in pickle.load(f):
+                all_tasks.setdefault((rec[0], rec[1]), rec)
+    with open(reg_path, "wb") as f:
         pickle.dump(list(all_tasks.values()), f)
     print(f"all_tasks.pkl: {len(all_tasks)} unique tasks")
 

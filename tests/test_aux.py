@@ -587,3 +587,38 @@ def test_trace_profile_writes_tensorboard_trace(tmp_path):
     with trace_profile(str(tmp_path / "off"), enabled=False):
         pass
     assert not os.path.exists(str(tmp_path / "off"))
+
+
+def test_dump_network_info_registry_merges_across_targets(
+        tmp_path, monkeypatch):
+    """all_tasks.pkl is the global multi-platform registry: a second
+    grid dump at another target must MERGE into it, not clobber the
+    first platform's tasks (the reference's registry spans all its
+    hardware targets)."""
+    import pickle
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    import scripts.dump_network_info as dni
+
+    monkeypatch.setattr(dni, "NETWORK_INFO_FOLDER", str(tmp_path))
+    for target in ("llvm", "cuda"):
+        monkeypatch.setattr(
+            sys, "argv",
+            ["dump_network_info.py", "--target", target,
+             "--networks", "dcgan"])
+        dni.main()
+    with open(tmp_path / "all_tasks.pkl", "rb") as f:
+        recs = pickle.load(f)
+    targets = {rec[1] for rec in recs}
+    assert targets == {"llvm", "cuda"}, targets
+    # idempotent on re-dump: same key set, this-run records win
+    n = len(recs)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["dump_network_info.py", "--target", "cuda",
+         "--networks", "dcgan"])
+    dni.main()
+    with open(tmp_path / "all_tasks.pkl", "rb") as f:
+        assert len(pickle.load(f)) == n
