@@ -103,13 +103,17 @@ class AnalyticRunner(Runner):
 
     def __init__(self, peak_gflops: float = 100.0, num_cores: int = 8,
                  vector_width: int = 16, l1_elems: float = 4096.0,
-                 noise: float = 0.0, seed: int = 0):
+                 noise: float = 0.0, seed: int = 0,
+                 fidelity: str = "low"):
         self.peak = peak_gflops * 1e9
         self.num_cores = num_cores
         self.vector_width = vector_width
         self.l1_elems = l1_elems
         self.noise = noise
         self.seed = seed
+        if fidelity not in ("low", "high"):
+            raise ValueError(f"fidelity must be low|high, got {fidelity!r}")
+        self.fidelity = fidelity
 
     def _cost(self, task: SearchTask, state: State) -> float:
         flops = task.compute_dag.flop_ct
@@ -157,8 +161,21 @@ class AnalyticRunner(Runner):
             t *= 1.0 + self.noise * (h - 0.5)
         return max(t, 1e-9)
 
+    def _jitter(self, key_text: bytes, t: float) -> float:
+        """Deterministic per-state cost jitter; zlib.crc32, NOT hash():
+        python string hashing is salted per process, which would make
+        "deterministic" simulated costs differ between runs."""
+        if not self.noise:
+            return t
+        import zlib
+
+        h = zlib.crc32(key_text + f"|{self.seed}".encode()) % 10000 / 10000.0
+        return t * (1.0 + self.noise * (h - 0.5))
+
     def run(self, task, states):
         now = time.time()
+        if self.fidelity == "high":
+            return self._run_hf(task, states, now)
         out = []
         for st in states:
             try:
@@ -170,6 +187,36 @@ class AnalyticRunner(Runner):
             except Exception:
                 out.append(MeasureResult([MAX_FLOAT], ERROR_RUNTIME_DEVICE,
                                          0.0, now))
+        return out
+
+    def _run_hf(self, task, states, now):
+        """High-fidelity path: roofline cost over per-store features
+        (search/analytic_hf.py). One batched featurizer call for the
+        whole measure batch (native when available); the noise key is
+        the printed bound state — byte-identical to the native record
+        path's text, so costs agree across both entry points."""
+        from ..features.per_store import get_per_store_features_from_states
+        from .analytic_hf import hf_cost_from_features
+
+        feats = get_per_store_features_from_states(states, task)
+        out = []
+        for st, fm in zip(states, feats):
+            cost = hf_cost_from_features(fm)
+            if not math.isfinite(cost):
+                out.append(MeasureResult([MAX_FLOAT], ERROR_RUNTIME_DEVICE,
+                                         0.0, now))
+                continue
+            try:
+                if st.stages and st.stages[-1].iters and \
+                        st.stages[-1].iters[0].range is None:
+                    st = task.compute_dag.infer_bound(st)
+                key = st.to_str().encode()
+            except Exception:
+                out.append(MeasureResult([MAX_FLOAT], ERROR_RUNTIME_DEVICE,
+                                         0.0, now))
+                continue
+            out.append(MeasureResult([max(self._jitter(key, cost), 1e-9)],
+                                     ERROR_NO_ERROR, 0.001, now))
         return out
 
     def _cost_from_summary(self, flops: float, text: bytes,
@@ -233,9 +280,30 @@ class AnalyticRunner(Runner):
         statuses, texts, stage_rows, iter_rows = batch
         now = time.time()
         flops = task.compute_dag.flop_ct
+        hf_feats = None
+        if self.fidelity == "high":
+            from ..records.fast_parser import (
+                featurize_perstore_records_native,
+            )
+
+            hf_feats, _keys, _st = featurize_perstore_records_native(
+                task, record_lists)
         out = []
         for i, recs in enumerate(record_lists):
-            if statuses[i] == 0:
+            if statuses[i] == 0 and hf_feats is not None \
+                    and hf_feats[i] is not None:
+                from .analytic_hf import hf_cost_from_features
+
+                cost = hf_cost_from_features(hf_feats[i])
+                if math.isfinite(cost):
+                    out.append(MeasureResult(
+                        [max(self._jitter(texts[i], cost), 1e-9)],
+                        ERROR_NO_ERROR, 0.001, now))
+                else:
+                    out.append(MeasureResult([MAX_FLOAT],
+                                             ERROR_RUNTIME_DEVICE, 0.0, now))
+                continue
+            if statuses[i] == 0 and self.fidelity == "low":
                 out.append(MeasureResult(
                     [self._cost_from_summary(flops, texts[i],
                                              stage_rows[i], iter_rows[i])],
@@ -243,9 +311,7 @@ class AnalyticRunner(Runner):
                 continue
             try:  # python fallback (rfactor-free native miss, bad record)
                 st = task.compute_dag.apply_steps(recs)
-                st = task.compute_dag.infer_bound(st)
-                out.append(MeasureResult([self._cost(task, st)],
-                                         ERROR_NO_ERROR, 0.001, now))
+                out.extend(self.run(task, [st]))
             except Exception:
                 out.append(MeasureResult([MAX_FLOAT], ERROR_RUNTIME_DEVICE,
                                          0.0, now))
@@ -374,6 +440,9 @@ def runner_from_spec(spec: str, noise: float = 0.0, seed: int = 0,
     had already drifted: the fleet lacked 'replay'):
 
     - ``analytic``                      — the analytic simulator
+    - ``analytic_hf``                   — high-fidelity variant: roofline
+                                          over per-store features
+                                          (search/analytic_hf.py)
     - ``replay``                        — costs replayed from
                                           ``replay_log``
     - ``command:<cmd>``                 — external timer, invoked as
@@ -383,6 +452,8 @@ def runner_from_spec(spec: str, noise: float = 0.0, seed: int = 0,
     """
     if spec == "analytic":
         return AnalyticRunner(noise=noise, seed=seed)
+    if spec == "analytic_hf":
+        return AnalyticRunner(noise=noise, seed=seed, fidelity="high")
     if spec == "replay":
         if not replay_log:
             raise SystemExit("--runner replay needs --replay-log")
