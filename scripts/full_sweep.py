@@ -35,7 +35,8 @@ from vae_extent_search_tpu.search.sketch import make_states
 def sweep_task(task: SearchTask, work_dir: str, n_states: int,
                measure_size: int, seeds, max_phases: int,
                vae_epochs: int, reg_epochs: int, noise: float,
-               mesh=None, pool_owner: bool = True):
+               mesh=None, pool_owner: bool = True,
+               runner_spec: str = "analytic"):
     log = os.path.join(
         work_dir,
         clean_name((task.workload_key, task.target.split()[0])) + ".json",
@@ -48,9 +49,13 @@ def sweep_task(task: SearchTask, work_dir: str, n_states: int,
         if not os.path.exists(done):
             if os.path.exists(log):
                 os.remove(log)
+            from vae_extent_search_tpu.search.measure import (
+                runner_from_spec,
+            )
+
             states = make_states(task, n_states, seed=2023)
             measurer = ProgramMeasurer(
-                EmptyBuilder(), AnalyticRunner(noise=noise),
+                EmptyBuilder(), runner_from_spec(runner_spec, noise=noise),
                 callbacks=[RecordToFile(log)],
             )
             for s in range(0, len(states), 256):
@@ -128,6 +133,12 @@ def sweep_task(task: SearchTask, work_dir: str, n_states: int,
             "phase": res.phase,
             "train_size": res.train_size,
             "used_time": round(res.used_time, 2),
+            # final-model recall columns (meaningful on textured pools,
+            # e.g. --runner analytic_hf; see docs/RECALL_FORENSIC.md)
+            "top1": ("" if res.final_recall_topk is None
+                     else res.final_recall_topk),
+            "optimum_rank": ("" if res.final_optimum_rank is None
+                             else res.final_optimum_rank),
         })
     return rows, None
 
@@ -148,6 +159,10 @@ def main():
     p.add_argument("--vae-epochs", type=int, default=200)
     p.add_argument("--reg-epochs", type=int, default=300)
     p.add_argument("--noise", type=float, default=0.25)
+    p.add_argument("--runner", type=str, default="analytic",
+                   help="pool measurement runner spec (see "
+                        "runner_from_spec); analytic_hf gives textured "
+                        "costs where the recall columns are meaningful")
     p.add_argument("--max-tasks", type=int, default=None)
     p.add_argument("--shard-idx", type=int, default=0)
     p.add_argument("--num-shards", type=int, default=1)
@@ -247,7 +262,7 @@ def main():
             task, args.work_dir, args.n_states, args.measure_size,
             seeds_to_run, args.max_phases, args.vae_epochs,
             args.reg_epochs, args.noise, mesh=mesh,
-            pool_owner=is_writer,
+            pool_owner=is_writer, runner_spec=args.runner,
         )
         # shape bucketing (bucket_shapes=True) lets tasks share compiled
         # programs; still drop the executable cache periodically so the

@@ -24,6 +24,14 @@ meaningful on generated pools, closing the one reference number a
 plateau pool cannot express (reference top-1 0.15-0.25,
 scripts/pre_experiments/model_myself/result/.../vae_extent_total_avg.csv).
 
+CIRCULARITY WARNING: the cost is a deterministic function of the
+164-dim per-store feature matrix. Corpora measured with analytic_hf
+are fair game for EXTENT-feature arms (extents are a lossy projection
+of the schedule; recovering the cost from them is a real learning
+problem, like real hardware) but must NOT be used to train or evaluate
+per-store-feature cost models (mlp/gbdt over the same 164 features) —
+those metrics would measure function fitting, not cost prediction.
+
 Feature-vector layout (extract_store_features order, 164 floats, all
 slog = sign(x)*log2(|x|+1) except one-hots and the AI curve):
 
