@@ -114,14 +114,24 @@ def main():
                    help="skip tuning; evaluate latency from the log")
     p.add_argument("--num-measures-per-round", type=int, default=16)
     p.add_argument("--early-stopping", type=int, default=-1)
+    p.add_argument("--runner", type=str, default="analytic",
+                   help="any runner_from_spec spec: analytic | "
+                        "analytic_hf | replay | command:<cmd> | "
+                        "service:<host:port>")
+    p.add_argument("--noise", type=float, default=0.2,
+                   help="simulated-measurement jitter for the analytic "
+                        "runners")
     args = p.parse_args()
 
     log_file = args.log_file or (
         f"{args.network}-B{args.batch_size}-{args.target.split()[0]}.json"
     )
+    from vae_extent_search_tpu.search.measure import runner_from_spec
+
     tune_and_evaluate(
         args.network, args.batch_size, args.image_size, args.target,
         log_file, args.num_measure_trials, args.strategy,
+        runner=runner_from_spec(args.runner, noise=args.noise),
         search_policy=args.search_policy, load_model=args.load_model,
         use_transfer=args.transfer_tune,
         continue_tuning=args.continue_tuning, eval_only=args.eval_only,

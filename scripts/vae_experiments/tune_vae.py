@@ -175,8 +175,12 @@ def main():
     p.add_argument("--log-file", type=str, default="tune_vae.json")
     p.add_argument("--seed", type=int, default=2023)
     p.add_argument("--runner", type=str, default="analytic",
-                   help="analytic | command:<external timer cmd> "
-                        "(out-of-process hardware timing bridge)")
+                   help="any runner_from_spec spec: analytic | "
+                        "analytic_hf | replay | command:<cmd> | "
+                        "service:<host:port>")
+    p.add_argument("--noise", type=float, default=0.2,
+                   help="simulated-measurement jitter for the analytic "
+                        "runners")
     p.add_argument("--tune-vae-hparams", action="store_true",
                    help="KL/dim-targeted VAE config search before the "
                         "phase loop (reference hyperparameter_search)")
@@ -186,11 +190,10 @@ def main():
         "conv2d_layer", (1, 14, 14, 128, 128, 3, 3, [1, 1], [1, 1])
     )
     task = SearchTask(wk, args.target)
-    runner = None
-    if args.runner.startswith("command:"):
-        from vae_extent_search_tpu.search.measure import CommandRunner
+    from vae_extent_search_tpu.search.measure import runner_from_spec
 
-        runner = CommandRunner(args.runner.split(":", 1)[1])
+    runner = runner_from_spec(args.runner, noise=args.noise,
+                              seed=args.seed)
     best, wall = run_tuning(
         task, args.n_candidates, args.measure_size, args.n_phases,
         select=args.select, log_file=args.log_file, seed=args.seed,
