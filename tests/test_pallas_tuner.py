@@ -1,0 +1,238 @@
+"""Self-tuning path: Pallas matmul kernel, state->config mapping, runner,
+online active loop (scripts/tune_pallas_kernel.py components)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vae_extent_search_tpu.ops.matmul_pallas import (
+    config_is_valid,
+    make_matmul,
+    matmul_vmem_bytes,
+    predicted_seconds,
+)
+from vae_extent_search_tpu.records import SearchTask, make_workload_key
+from vae_extent_search_tpu.records.serde import (
+    ERROR_BUILD_TIMEOUT,
+    ERROR_INSTANTIATION,
+    ERROR_NO_ERROR,
+)
+from vae_extent_search_tpu.search.measure import (
+    EmptyBuilder,
+    ProgramMeasurer,
+    runner_from_spec,
+)
+from vae_extent_search_tpu.search.pallas_tuner import (
+    PallasMatmulRunner,
+    state_loops,
+    state_to_matmul_config,
+)
+from vae_extent_search_tpu.search.sketch import make_states
+
+
+def _task(M=64, N=64, K=64):
+    return SearchTask(
+        make_workload_key("matmul_auto_scheduler_test", (M, N, K)), "llvm")
+
+
+# ---------------------------------------------------------------------------
+# kernel numerics (interpret mode; the chip path is the same code)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("cfg", [(128, 128, 128), (64, 256, 32),
+                                 (256, 256, 256), (8, 128, 64)])
+def test_matmul_kernel_interpret_exact(cfg):
+    M = N = K = 256
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((M, K), np.float32))
+    b = jnp.asarray(rng.standard_normal((K, N), np.float32))
+    mm = make_matmul(M, N, K, *cfg, dtype_name="float32", interpret=True)
+    got = mm(a, b)
+    want = a @ b
+    assert float(jnp.max(jnp.abs(got - want))) < 1e-4
+
+
+def test_matmul_kernel_bf16_inputs_f32_accum():
+    M = N = K = 128
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.standard_normal((M, K), np.float32))
+    b = jnp.asarray(rng.standard_normal((K, N), np.float32))
+    mm = make_matmul(M, N, K, 64, 64, 64, dtype_name="bfloat16",
+                     interpret=True)
+    got = mm(a, b)
+    want = jnp.dot(a.astype(jnp.bfloat16).astype(jnp.float32),
+                   b.astype(jnp.bfloat16).astype(jnp.float32))
+    rel = float(jnp.max(jnp.abs(got - want)) / jnp.max(jnp.abs(want)))
+    assert got.dtype == jnp.float32
+    assert rel < 1e-5  # same bf16 products, f32 accumulation
+
+
+def test_config_validity():
+    ok, _ = config_is_valid(256, 256, 256, 128, 128, 128)
+    assert ok
+    ok, why = config_is_valid(256, 256, 256, 100, 128, 64)
+    assert not ok and "divide" in why
+    ok, why = config_is_valid(256, 256, 256, 0, 128, 64)
+    assert not ok
+    # VMEM blow-up: full-K panels at bf16
+    big = matmul_vmem_bytes(4096, 4096, 4096, 2)
+    ok, why = config_is_valid(4096, 4096, 4096, 4096, 4096, 4096)
+    assert not ok and "VMEM" in why and big > 12 * 2**20
+    # predicted_seconds grows with grid overhead for tiny blocks
+    assert (predicted_seconds(1536, 1536, 1536, 2, 1, 3)
+            > predicted_seconds(1536, 1536, 1536, 256, 128, 128) * 100)
+
+
+# ---------------------------------------------------------------------------
+# state -> config mapping
+# ---------------------------------------------------------------------------
+
+def test_state_to_config_canonical_tiling():
+    from vae_extent_search_tpu.ir.schedule_api import (
+        state_reorder,
+        state_split,
+    )
+
+    task = _task(256, 256, 256)
+    st = task.compute_dag.init_state.copy()
+    cid = next(i for i, s in enumerate(st.stages) if s.op.name == "C")
+    i_it, j_it, k_it = st.stages[cid].iters
+    i0, i1, i2 = state_split(st, cid, i_it, [4, 8])
+    j0, j1, j2 = state_split(st, cid, j_it, [2, 16])
+    k0, k1 = state_split(st, cid, k_it, [32])
+    state_reorder(st, cid, [i0, j0, k0, i1, j1, k1, i2, j2])
+    # expected: grid loops = everything outside k0; block = inside
+    exts = {it.name: it.range[1] for it in st.stages[cid].iters}
+    cfg, why = state_to_matmul_config(st)
+    assert why is None
+    assert cfg == (exts["i.1"] * exts["i.2"],
+                   exts["j.1"] * exts["j.2"],
+                   exts["k.1"])
+
+
+def test_state_to_config_unsplit_reduction():
+    task = _task(64, 64, 64)
+    st = task.compute_dag.init_state.copy()
+    cfg, why = state_to_matmul_config(st)
+    # plain i, j, k nest: the whole reduction is inside the block
+    assert cfg == (1, 1, 64) and why is None
+
+
+def test_state_to_config_pool_divisibility():
+    task = _task(1536, 1536, 1536)
+    states = make_states(task, 80, seed=11)
+    assert len(states) > 20
+    n_valid = 0
+    for st in states:
+        cfg, why = state_to_matmul_config(st)
+        assert cfg is not None, why
+        bm, bn, bk = cfg
+        assert 1536 % bm == 0 and 1536 % bn == 0 and 1536 % bk == 0, (
+            cfg, st.to_str())
+        n_valid += config_is_valid(1536, 1536, 1536, bm, bn, bk)[0]
+    assert n_valid > len(states) * 0.8
+
+
+def test_state_loops_depth_tracks_print_nesting():
+    task = _task(1536, 1536, 1536)
+    st = make_states(task, 10, seed=3)[0]
+    loops = state_loops(st)
+    # depth increases by exactly 1 per enclosing loop along any DFS path
+    for (_, _, d0), (_, _, d1) in zip(loops, loops[1:]):
+        assert d1 <= d0 + 1
+
+
+# ---------------------------------------------------------------------------
+# runner
+# ---------------------------------------------------------------------------
+
+def _fake_time(M, N, K, bm, bn, bk):
+    return predicted_seconds(M, N, K, bm, bn, bk)
+
+
+def test_runner_caches_per_config_and_spec():
+    task = _task(1536, 1536, 1536)
+    states = make_states(task, 30, seed=7)
+    r = PallasMatmulRunner(time_fn=_fake_time)
+    m = ProgramMeasurer(EmptyBuilder(), r, max_continuous_error=10**9)
+    res = m.measure(task, states)
+    assert len(res) == len(states)
+    assert any(x.error_no == ERROR_NO_ERROR for x in res)
+    timed = r.n_timed
+    res2 = r.run(task, states)
+    assert r.n_timed == timed  # fully cached
+    assert [x.costs[0] for x in res2] == [
+        r.cache[(1536, 1536, 1536) + state_to_matmul_config(s)[0]].costs[0]
+        for s in states]
+    assert isinstance(runner_from_spec("pallas_matmul"), PallasMatmulRunner)
+    assert runner_from_spec("pallas_matmul:float32").dtype == "float32"
+
+
+def test_runner_rejects_invalid_and_slow_configs():
+    from vae_extent_search_tpu.ir.schedule_api import (
+        state_reorder,
+        state_split,
+    )
+
+    task = _task(4096, 4096, 4096)
+    # VMEM-invalid: whole matrices inside the block (reduce split [4096]
+    # leaves k.0 extent 1 -> grid (1,1,1), block (4096, 4096, 4096))
+    st = task.compute_dag.init_state.copy()
+    cid = next(i for i, s in enumerate(st.stages) if s.op.name == "C")
+    i_it, j_it, k_it = st.stages[cid].iters
+    k0, k1 = state_split(st, cid, k_it, [4096])
+    state_reorder(st, cid, [k0, i_it, j_it, k1])
+    cfg, _ = state_to_matmul_config(st)
+    assert cfg == (4096, 4096, 4096)
+    r = PallasMatmulRunner(time_fn=_fake_time)
+    res = r.run(task, [st])
+    assert res[0].error_no == ERROR_INSTANTIATION
+
+    # too-slow config (tiny blocks -> enormous grid) on the REAL timing
+    # path is rejected by the prediction guard before any compile
+    st2 = task.compute_dag.init_state.copy()
+    r2 = PallasMatmulRunner(max_seconds=0.5)  # real path, no time_fn
+    res2 = r2.run(task, [st2])  # (1, 1, 4096): grid 4096x4096
+    assert res2[0].error_no == ERROR_BUILD_TIMEOUT
+
+
+# ---------------------------------------------------------------------------
+# online active loop
+# ---------------------------------------------------------------------------
+
+def test_online_active_search_measures_progressively():
+    from vae_extent_search_tpu.search.active_loop import (
+        SelectionConfig,
+        run_active_search_online,
+    )
+
+    rng = np.random.default_rng(0)
+    N, D = 400, 12
+    X = rng.integers(1, 64, size=(N, D)).astype(np.float32)
+    w = rng.standard_normal(D)
+    truth = X @ w / 10.0
+    calls = []
+
+    def measure_fn(idxs):
+        calls.append(list(idxs))
+        return truth[np.asarray(idxs)].astype(np.float32)
+
+    res = run_active_search_online(
+        X, measure_fn, measure_size=16, max_phases=3,
+        vae_epochs=30, reg_epochs=40,
+        selection=SelectionConfig(num_select=16),
+        verbose=False,
+    )
+    assert res.n_measured == sum(len(c) for c in calls)
+    assert len(set(res.selected_order)) == len(res.selected_order)
+    assert res.best_index in res.selected_order
+    assert res.best_label == pytest.approx(truth[res.best_index])
+    # best-so-far is monotone
+    assert all(b1 >= b0 - 1e-9
+               for b0, b1 in zip(res.best_history, res.best_history[1:]))
+
+    res_r = run_active_search_online(
+        X, measure_fn, measure_size=16, max_phases=3, select="random")
+    assert res_r.n_measured == 64

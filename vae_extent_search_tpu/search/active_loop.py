@@ -431,6 +431,163 @@ def run_active_search(
     return result
 
 
+@dataclass
+class OnlineSearchResult:
+    best_index: int
+    best_label: float
+    n_measured: int
+    phases: int
+    used_time: float
+    best_history: List[float] = field(default_factory=list)
+    selected_order: List[int] = field(default_factory=list)
+
+
+def run_active_search_online(
+    features: np.ndarray,
+    measure_fn,
+    measure_size: int = 16,
+    max_phases: int = 8,
+    latent_dim: int = 64,
+    hidden_dim: int = 256,
+    vae_epochs: int = 500,
+    vae_lr: float = 1e-3,
+    vae_beta: float = 0.01,
+    reg_epochs: int = 1000,
+    reg_config: Optional[Dict] = None,
+    selection: Optional[SelectionConfig] = None,
+    sampling_seed: int = 2000,
+    train_seed: int = 2023,
+    pretrained_vae_params=None,
+    select: str = "model",
+    verbose: bool = False,
+) -> OnlineSearchResult:
+    """The ONLINE variant of run_active_search: labels are not known up
+    front — ``measure_fn(pool_indices) -> labels`` measures candidates for
+    real (higher label = better, the -log-cost convention).  This is the
+    reference's live-measurement arm (vae_experiments/tune_vae.py:73-166)
+    with its selection stub (tuning.py:65-68 picks randomly) replaced by
+    the full offline-arm selection mix (select_programs); ``select=
+    "random"`` reproduces the stub as a baseline arm.  There is no
+    stop-on-optimum (the optimum is unknown); the loop runs the phase
+    budget and reports the best measured candidate."""
+    if select not in ("model", "random"):
+        raise ValueError(f"unknown select {select!r}")
+    t0 = time.time()
+    N = features.shape[0]
+    X, _, N, pad = _prepare_pool(
+        features, np.zeros(N, np.float32), False, None)
+    N_pad = X.shape[0]
+
+    key = jax.random.PRNGKey(train_seed)
+    k_vae, key = jax.random.split(key)
+    if select == "random":
+        vae_params = None
+    elif pretrained_vae_params is None:
+        vae_params = _train_pool_vae(
+            X, N, k_vae, train_seed, latent_dim, hidden_dim, vae_lr,
+            vae_beta, vae_epochs, False, verbose)
+    else:
+        vae_params = pretrained_vae_params
+
+    rng = np.random.default_rng(sampling_seed)
+    init_idx = rng.choice(N, size=min(measure_size, N), replace=False)
+    labels = np.full(N_pad, -1e9, np.float32)  # unmeasured sentinel
+    labels[init_idx] = measure_fn(init_idx.tolist())
+    used_mask = np.zeros(N_pad, bool)
+    used_mask[init_idx] = True
+    selected_order = list(init_idx)
+
+    result = OnlineSearchResult(0, -np.inf, 0, 0, 0.0)
+
+    def note_best():
+        meas = np.where(used_mask[:N])[0]
+        b = meas[np.argmax(labels[meas])]
+        result.best_index = int(b)
+        result.best_label = float(labels[b])
+        result.best_history.append(result.best_label)
+
+    note_best()
+    used = jnp.asarray(used_mask)
+    remaining = ~used
+    if pad:
+        remaining = remaining.at[N:].set(False)
+
+    pred_cfg = (reg_config if isinstance(reg_config, PredictorConfig)
+                else PredictorConfig(**reg_config) if reg_config
+                else PredictorConfig())
+    sel_cfg = selection or SelectionConfig(num_select=measure_size)
+    center_buf = np.zeros(sel_cfg.max_centers, np.int32)
+    center_n = min(len(selected_order), sel_cfg.max_centers)
+    center_buf[:center_n] = selected_order[:center_n]
+    center_pos = jnp.arange(sel_cfg.max_centers)
+
+    k_sel = jax.random.PRNGKey(sampling_seed)
+    for phase in range(1, max_phases + 1):
+        rem_np = np.where(~used_mask[:N])[0]
+        if len(rem_np) == 0:
+            break
+        if select == "random":
+            sel = rng.choice(rem_np, size=min(measure_size, len(rem_np)),
+                             replace=False)
+        else:
+            # retrain the predictor on the measured set (bucketed gather,
+            # same as the offline loop)
+            k_init, k_train, key = jax.random.split(key, 3)
+            params = init_predictor_params(
+                k_init, X.shape[1], hidden_dim, latent_dim)
+            if vae_params is not None:
+                params = load_pretrained_encoder(params, vae_params)
+            n_meas = len(selected_order)
+            cap = 256
+            while cap < n_meas:
+                cap *= 2
+            cap = min(cap, N_pad)
+            if cap < N_pad:
+                midx = np.zeros(cap, np.int32)
+                midx[:n_meas] = selected_order
+                Xm = X[jnp.asarray(midx)]
+                ym = jnp.asarray(labels)[jnp.asarray(midx)]
+                mmask = jnp.arange(cap) < n_meas
+            else:
+                Xm, ym, mmask = X, jnp.asarray(labels), used
+            params, _ = fit_predictor(
+                params, Xm, ym, mmask, k_train, pred_cfg, reg_epochs)
+
+            k_sel, sub = jax.random.split(k_sel)
+            gate = int(used_mask.sum()) < sel_cfg.uncertainty_topk
+            sel_idx, sel_valid, remaining, _ = select_programs(
+                params, X, used, remaining, sub, sel_cfg,
+                gate_uncertainty_to_remaining=gate,
+                center_idx=jnp.asarray(center_buf),
+                center_valid=center_pos < min(center_n,
+                                              sel_cfg.max_centers),
+            )
+            sel = _host(sel_idx)[_host(sel_valid)]
+
+        labels[sel] = measure_fn(list(map(int, sel)))
+        used_mask[sel] = True
+        used = used.at[jnp.asarray(np.asarray(sel))].set(True)
+        if select == "random":
+            remaining = ~used
+            if pad:
+                remaining = remaining.at[N:].set(False)
+        selected_order.extend(int(i) for i in sel)
+        for i in sel:
+            center_buf[center_n % sel_cfg.max_centers] = int(i)
+            center_n += 1
+        result.phases = phase
+        note_best()
+        if verbose:
+            print(f"phase {phase}: +{len(sel)} measured "
+                  f"(total {int(used_mask.sum())}), "
+                  f"best label {result.best_label:.4f}")
+
+    result.n_measured = int(used_mask.sum())
+    result.used_time = time.time() - t0
+    result.selected_order = selected_order
+    return result
+
+
 def run_gbdt_baseline_search(
     features: np.ndarray,
     labels: np.ndarray,

@@ -449,6 +449,9 @@ def runner_from_spec(spec: str, noise: float = 0.0, seed: int = 0,
                                           ``<cmd> in.json out.json``
     - ``service:<key>@<host>:<port>``   — measure through the
                                           tracker/server service
+    - ``pallas_matmul[:<dtype>]``       — time real Pallas matmul kernels
+                                          on the attached TPU (self-tuning;
+                                          search/pallas_tuner.py)
     """
     if spec == "analytic":
         return AnalyticRunner(noise=noise, seed=seed)
@@ -461,6 +464,10 @@ def runner_from_spec(spec: str, noise: float = 0.0, seed: int = 0,
         return RecordReplayRunner(load_records(replay_log))
     if spec.startswith("command:"):
         return CommandRunner(spec.split(":", 1)[1])
+    if spec == "pallas_matmul" or spec.startswith("pallas_matmul:"):
+        from .pallas_tuner import PallasMatmulRunner
+        dtype = spec.split(":", 1)[1] if ":" in spec else "bfloat16"
+        return PallasMatmulRunner(dtype=dtype, verbose=True)
     if spec.startswith("service:"):
         from .measure_service import ServiceRunner
         key, addr = spec.split(":", 1)[1].split("@")

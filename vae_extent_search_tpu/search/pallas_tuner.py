@@ -1,0 +1,355 @@
+"""Self-tuning: the framework's active search tunes its own TPU kernels.
+
+The reference's online arm (scripts/vae_experiments/tune_vae.py:73-166)
+generates candidate schedules for the machine it runs on, measures them
+live with ``ProgramMeasurer``, and learns which to measure next.  Its
+"machine" is a CPU/GPU executing TVM-lowered kernels; ours is the TPU
+executing Pallas kernels.  This module closes that loop natively:
+
+- the candidate pool is the ordinary sketch-GA pool for a matmul task
+  (search/sketch.py — the same SSRSRS multi-level tilings Ansor samples,
+  src/auto_scheduler/search_policy/sketch_policy.cc:96-151);
+- each schedule's tile structure maps onto a Pallas block configuration
+  ``(bm, bn, bk)`` (state_to_matmul_config below);
+- ``PallasMatmulRunner`` compiles + times that kernel ON THE CHIP with the
+  tunnel-safe round-trip methodology (bench.py: a dependent scalar is
+  device_get once per timing; dispatch acks are not completion).
+
+Many states collapse onto one block config (interleavings Pallas cannot
+express are quotiented away); the runner memoizes per config, so the
+active loop's "measure 64 states" phases cost one compile+timing per
+*novel* config only — exactly the economics of the reference's
+measured-state dedup (sketch_policy.cc:626-631).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..ir.state import AT_ROOT, State
+from ..records.serde import (
+    ERROR_BUILD_TIMEOUT,
+    ERROR_COMPILE_DEVICE,
+    ERROR_INSTANTIATION,
+    ERROR_NO_ERROR,
+    MAX_FLOAT,
+    MeasureResult,
+)
+from ..records.task import SearchTask
+from ..records.workload import decode_workload_key
+from .measure import Runner
+
+
+# ---------------------------------------------------------------------------
+# state -> Pallas block config
+# ---------------------------------------------------------------------------
+
+def state_loops(state: State) -> List[Tuple[str, int, int]]:
+    """(iterator name, extent, nest depth) in print order — the print
+    traversal of ir/state.py::_print_stage, including trivial (0,1) loops
+    so tile products are exact.  Depth counts every enclosing iterator
+    (the printed tree's nesting), so "descendants of loop at index p" is
+    exactly the run of following entries with depth > loops[p].depth."""
+    loops: List[Tuple[str, int, int]] = []
+
+    def visit(sid: int, base: int):
+        stage = state.stages[sid]
+        depth = base
+        for i, it in enumerate(stage.iters):
+            if it.range is not None and isinstance(it.range[1], int):
+                loops.append((it.name, it.range[1], depth))
+            depth += 1
+            attached = state.attach_map.iter_to_attached_stages.get((sid, i))
+            if attached:
+                for a_sid in attached:
+                    visit(a_sid, depth)
+
+    for sid, stage in enumerate(state.stages):
+        if stage.op_type == "placeholder":
+            continue
+        if stage.compute_at == AT_ROOT:
+            visit(sid, 0)
+    return loops
+
+
+def _roots(name: str) -> set:
+    # split names: "i.0"; fused names: "i.0@j.0@"; suffixed: "k.1"
+    return {part.split(".")[0] for part in name.split("@") if part}
+
+
+def state_to_matmul_config(
+    state: State, m_root: str = "i", n_root: str = "j", k_root: str = "k",
+) -> Tuple[Optional[Tuple[int, int, int]], Optional[str]]:
+    """Quotient a schedule onto ``(bm, bn, bk)``.
+
+    The cut is the outermost reduction loop: everything outside it is the
+    Pallas grid, everything inside is the block. For the canonical CPU
+    tiling i0 j0 i1 j1 k0 i2 j2 k1 i3 j3 (SSRSRS + reduce split,
+    sketch_policy.cc:96-104) this yields bm=i2*i3, bn=j2*j3, bk=k1 —
+    grid (i0*i1, j0*j1, k0).  Degenerate schedules (no tiling) map to
+    degenerate configs; the runner measures or rejects them on merit.
+    """
+    loops = state_loops(state)
+    kpos = None
+    for idx, (name, _, _) in enumerate(loops):
+        if k_root in _roots(name):
+            kpos = idx
+            break
+    if kpos is None:
+        return None, "no reduction loop in the nest"
+    k_depth = loops[kpos][2]
+    bm = bn = bk = 1
+    saw_k_inner = False
+    for name, ext, depth in loops[kpos + 1:]:
+        if depth <= k_depth:
+            break  # left the outermost reduction loop's subtree
+        roots = _roots(name)
+        if m_root in roots:
+            bm *= ext
+        if n_root in roots:
+            bn *= ext
+        if k_root in roots:
+            bk *= ext
+            saw_k_inner = True
+    if not saw_k_inner:
+        # unsplit reduction: the single k loop IS the block's k extent
+        bk = loops[kpos][1]
+    return (bm, bn, bk), None
+
+
+# ---------------------------------------------------------------------------
+# on-chip timing
+# ---------------------------------------------------------------------------
+
+def _round_trip_floor(device=None) -> float:
+    """Median host<->device round-trip latency of a trivial program — the
+    dispatch/transfer floor to subtract (ROUND_NOTES: block_until_ready on
+    the tunneled platform acks dispatch, not completion; only a device_get
+    of a dependent scalar forces completion)."""
+    import jax
+    import jax.numpy as jnp
+
+    tiny = jax.jit(lambda x: x * 2.0 + 1.0)
+    x = jnp.float32(3.0)
+    jax.device_get(tiny(x))
+    samples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.device_get(tiny(x))
+        samples.append(time.perf_counter() - t0)
+    return float(np.median(samples))
+
+
+class PallasMatmulRunner(Runner):
+    """Times real Pallas matmul kernels on the attached TPU.
+
+    Drop-in for ProgramMeasurer's runner slot (reference RPCRunner role,
+    measure.py:434-611 — except the "remote device" is the chip under our
+    feet).  Costs are seconds per kernel call, so records written through
+    RecordToFile replay like any other measurement log.
+    """
+
+    #: timing-loop lengths; one compile per (config, iters) pair
+    ITER_LADDER = (1, 4, 16, 64)
+
+    def __init__(self, dtype: str = "bfloat16", target_ms: float = 25.0,
+                 repeats: int = 3, max_seconds: float = 2.0,
+                 interpret: bool = False,
+                 time_fn: Optional[Callable] = None,
+                 verify: bool = True, verbose: bool = False):
+        self.dtype = dtype
+        self.target_ms = target_ms
+        self.repeats = repeats
+        self.max_seconds = max_seconds
+        self.interpret = interpret
+        self.time_fn = time_fn  # test hook: (M,N,K,bm,bn,bk) -> seconds
+        self.verify = verify
+        self.verbose = verbose
+        self.cache: Dict[tuple, MeasureResult] = {}
+        self.n_timed = 0
+        self._floor = None
+        self._operands = {}
+        self._verified = False
+
+    # -- helpers --------------------------------------------------------
+
+    @staticmethod
+    def task_dims(task: SearchTask) -> Tuple[int, int, int]:
+        """(M, N, K) in matmul terms from the workload key.
+        matmul_auto_scheduler_test(N, M, K): A=(N,K) B=(K,M) C=(N,M),
+        i over N(arg0), j over M(arg1) (workload_library.py) — so
+        pallas M=args[0], N=args[1], K=args[2]."""
+        name, args = decode_workload_key(task.workload_key)
+        if "matmul" not in name:
+            raise ValueError(
+                f"PallasMatmulRunner needs a matmul workload, got {name!r}")
+        return int(args[0]), int(args[1]), int(args[2])
+
+    def _get_operands(self, M: int, N: int, K: int):
+        import jax
+        import jax.numpy as jnp
+
+        key = (M, N, K, self.dtype)
+        ops = self._operands.get(key)
+        if ops is None:
+            rng = np.random.default_rng(0)
+            a = jnp.asarray(rng.standard_normal((M, K), np.float32),
+                            jnp.dtype(self.dtype))
+            b = jnp.asarray(rng.standard_normal((K, N), np.float32),
+                            jnp.dtype(self.dtype))
+            ops = self._operands[key] = (a, b)
+        return ops
+
+    def _time_config(self, M: int, N: int, K: int,
+                     bm: int, bn: int, bk: int) -> float:
+        """Seconds per kernel call (may raise on compile failure)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.matmul_pallas import make_matmul, predicted_seconds
+
+        if self.time_fn is not None:
+            return float(self.time_fn(M, N, K, bm, bn, bk))
+
+        est = predicted_seconds(M, N, K, bm, bn, bk,
+                                dtype=jnp.dtype(self.dtype))
+        if est > self.max_seconds:
+            raise TimeoutError(
+                f"predicted {est:.2f}s/call exceeds --max-seconds "
+                f"{self.max_seconds:g}")
+        iters = self.ITER_LADDER[0]
+        for cand in self.ITER_LADDER:
+            if cand * est <= self.target_ms / 1e3:
+                iters = cand
+        mm = make_matmul(M, N, K, bm, bn, bk, dtype_name=self.dtype,
+                         interpret=self.interpret)
+        a, b = self._get_operands(M, N, K)
+
+        if self.verify and not self._verified:
+            want = jnp.dot(a.astype(jnp.float32), b.astype(jnp.float32))
+            got = mm(a, b)
+            err = float(jnp.max(jnp.abs(got - want))
+                        / (jnp.max(jnp.abs(want)) + 1e-30))
+            if err > 2e-2:
+                raise AssertionError(f"kernel numerics off: rel err {err:g}")
+            self._verified = True
+
+        @jax.jit
+        def timed(a, b):
+            def body(s, _):
+                c = mm(a + s.astype(a.dtype), b)
+                return c[0, 0] * jnp.float32(1e-30), None
+
+            s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+            return s
+
+        if self._floor is None:
+            self._floor = _round_trip_floor()
+        jax.device_get(timed(a, b))  # warm (compile)
+        best = float("inf")
+        for _ in range(self.repeats):
+            t0 = time.perf_counter()
+            jax.device_get(timed(a, b))
+            best = min(best, time.perf_counter() - t0)
+        return max(best - self._floor, 1e-9) / iters
+
+    # -- Runner interface ------------------------------------------------
+
+    def run(self, task: SearchTask, states: Sequence[State]
+            ) -> List[MeasureResult]:
+        M, N, K = self.task_dims(task)
+        out: List[MeasureResult] = []
+        for st in states:
+            now = time.time()
+            cfg, why = state_to_matmul_config(st)
+            if cfg is None:
+                out.append(MeasureResult([MAX_FLOAT], ERROR_INSTANTIATION,
+                                         0.0, now))
+                continue
+            key = (M, N, K) + cfg
+            res = self.cache.get(key)
+            if res is None:
+                import jax.numpy as jnp
+
+                from ..ops.matmul_pallas import config_is_valid
+
+                ok, _why = config_is_valid(M, N, K, *cfg,
+                                           dtype=jnp.dtype(self.dtype))
+                if not ok:
+                    res = MeasureResult([MAX_FLOAT], ERROR_INSTANTIATION,
+                                        0.0, now)
+                    self.cache[key] = res
+            if res is None:
+                t0 = time.time()
+                try:
+                    sec = self._time_config(M, N, K, *cfg)
+                    res = MeasureResult([sec], ERROR_NO_ERROR,
+                                        time.time() - t0, now)
+                except TimeoutError:
+                    res = MeasureResult([MAX_FLOAT], ERROR_BUILD_TIMEOUT,
+                                        time.time() - t0, now)
+                except Exception as exc:  # compile/VMEM/validity errors
+                    if self.verbose:
+                        print(f"  config {cfg}: {exc}")
+                    res = MeasureResult([MAX_FLOAT], ERROR_COMPILE_DEVICE,
+                                        time.time() - t0, now)
+                self.cache[key] = res
+                self.n_timed += 1
+                if self.verbose and res.error_no == ERROR_NO_ERROR:
+                    gf = 2.0 * M * N * K / res.costs[0] / 1e9
+                    print(f"  config bm={cfg[0]:<5d} bn={cfg[1]:<5d} "
+                          f"bk={cfg[2]:<5d} {res.costs[0]*1e3:8.3f} ms "
+                          f"{gf:10.1f} GFLOP/s")
+            out.append(res)
+        return out
+
+    def measured_configs(self) -> List[Tuple[Tuple[int, ...], float, int]]:
+        """(config, seconds, error_no) per distinct measured config."""
+        return [((k[3], k[4], k[5]), r.costs[0], r.error_no)
+                for k, r in self.cache.items()]
+
+
+def time_xla_matmul(M: int, N: int, K: int, dtype: str = "bfloat16",
+                    target_ms: float = 25.0, repeats: int = 3) -> float:
+    """XLA's own jnp.dot at the same shapes/dtype — the reference line the
+    tuned kernel is judged against (same timing methodology)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((M, K), np.float32),
+                    jnp.dtype(dtype))
+    b = jnp.asarray(rng.standard_normal((K, N), np.float32),
+                    jnp.dtype(dtype))
+
+    floor = _round_trip_floor()
+    est = 2.0 * M * N * K / 2.0e14
+
+    def make(iters):
+        @jax.jit
+        def timed(a, b):
+            def body(s, _):
+                c = jnp.dot(a + s.astype(a.dtype), b,
+                            preferred_element_type=jnp.float32)
+                return c[0, 0] * jnp.float32(1e-30), None
+
+            s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+            return s
+
+        return timed
+
+    iters = 1
+    for cand in PallasMatmulRunner.ITER_LADDER:
+        if cand * est <= target_ms / 1e3:
+            iters = cand
+    timed = make(iters)
+    jax.device_get(timed(a, b))
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.device_get(timed(a, b))
+        best = min(best, time.perf_counter() - t0)
+    return max(best - floor, 1e-9) / iters
