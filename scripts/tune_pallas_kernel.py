@@ -36,6 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 from vae_extent_search_tpu.features.extent import extent_vector
+from vae_extent_search_tpu.ops.matmul_pallas import snap_config_to_hw
 from vae_extent_search_tpu.records import SearchTask, make_workload_key
 from vae_extent_search_tpu.records.serde import ERROR_NO_ERROR
 from vae_extent_search_tpu.search.active_loop import (
@@ -106,9 +107,10 @@ def main():
     states = make_states(task, args.n_candidates, seed=args.seed)
     X = pad_extent_features(states)
     cfgs = [state_to_matmul_config(st)[0] for st in states]
-    distinct = {c for c in cfgs if c is not None}
-    print(f"  {len(states)} states -> {len(distinct)} distinct block "
-          f"configs in {time.time()-t0:.1f}s")
+    raw = {c for c in cfgs if c is not None}
+    snapped = {snap_config_to_hw(M, N, K, *c) for c in raw}
+    print(f"  {len(states)} states -> {len(raw)} raw tilings -> "
+          f"{len(snapped)} hw-legal block configs in {time.time()-t0:.1f}s")
 
     time_fn = None
     if args.fake_timer:
@@ -144,6 +146,7 @@ def main():
     )
 
     best_cfg, _ = state_to_matmul_config(states[res.best_index])
+    best_cfg = snap_config_to_hw(M, N, K, *best_cfg)
     best_sec = float(np.exp(-res.best_label))
     gflops = 2.0 * M * N * K / best_sec / 1e9
     print(f"\narm={args.arm}: measured {res.n_measured} states "

@@ -12,6 +12,7 @@ from vae_extent_search_tpu.ops.matmul_pallas import (
     make_matmul,
     matmul_vmem_bytes,
     predicted_seconds,
+    snap_config_to_hw,
 )
 from vae_extent_search_tpu.records import SearchTask, make_workload_key
 from vae_extent_search_tpu.records.serde import (
@@ -83,6 +84,25 @@ def test_config_validity():
     # predicted_seconds grows with grid overhead for tiny blocks
     assert (predicted_seconds(1536, 1536, 1536, 2, 1, 3)
             > predicted_seconds(1536, 1536, 1536, 256, 128, 128) * 100)
+
+
+def test_snap_config_to_hw():
+    # bm -> sublane multiple (16 for bf16), bn/bk -> 128-lane multiples,
+    # all divisors of the axis; full dim always legal
+    assert snap_config_to_hw(1536, 1536, 1536, 64, 96, 4) == (64, 128, 128)
+    assert snap_config_to_hw(1536, 1536, 1536, 2, 1, 3) == (16, 128, 128)
+    assert snap_config_to_hw(1536, 1536, 1536, 24, 200, 400) == \
+        (32, 256, 512)
+    # already legal: unchanged
+    assert snap_config_to_hw(1536, 1536, 1536, 128, 384, 768) == \
+        (128, 384, 768)
+    # axis smaller than the alignment: snaps to the full dim
+    assert snap_config_to_hw(64, 64, 64, 3, 3, 3) == (16, 64, 64)
+    # f32 sublane is 8
+    import jax.numpy as jnp
+
+    assert snap_config_to_hw(1536, 1536, 1536, 3, 1, 1,
+                             dtype=jnp.float32)[0] == 8
 
 
 # ---------------------------------------------------------------------------
@@ -164,7 +184,8 @@ def test_runner_caches_per_config_and_spec():
     res2 = r.run(task, states)
     assert r.n_timed == timed  # fully cached
     assert [x.costs[0] for x in res2] == [
-        r.cache[(1536, 1536, 1536) + state_to_matmul_config(s)[0]].costs[0]
+        r.cache[(1536, 1536, 1536) + snap_config_to_hw(
+            1536, 1536, 1536, *state_to_matmul_config(s)[0])].costs[0]
         for s in states]
     assert isinstance(runner_from_spec("pallas_matmul"), PallasMatmulRunner)
     assert runner_from_spec("pallas_matmul:float32").dtype == "float32"
@@ -191,10 +212,17 @@ def test_runner_rejects_invalid_and_slow_configs():
     assert res[0].error_no == ERROR_INSTANTIATION
 
     # too-slow config (tiny blocks -> enormous grid) on the REAL timing
-    # path is rejected by the prediction guard before any compile
-    st2 = task.compute_dag.init_state.copy()
+    # path is rejected by the prediction guard before any compile:
+    # split k so bk snaps small -> (16, 128, 128) at 8192^3 is a
+    # 2.1M-step grid (predicted ~3 s/call)
+    task2 = _task(8192, 8192, 8192)
+    st2 = task2.compute_dag.init_state.copy()
+    cid2 = next(i for i, s in enumerate(st2.stages) if s.op.name == "C")
+    state_split(st2, cid2, st2.stages[cid2].iters[2], [128])
+    cfg2, _ = state_to_matmul_config(st2)
+    assert cfg2 == (1, 1, 128)
     r2 = PallasMatmulRunner(max_seconds=0.5)  # real path, no time_fn
-    res2 = r2.run(task, [st2])  # (1, 1, 4096): grid 4096x4096
+    res2 = r2.run(task2, [st2])
     assert res2[0].error_no == ERROR_BUILD_TIMEOUT
 
 

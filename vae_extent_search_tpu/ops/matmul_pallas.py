@@ -40,6 +40,28 @@ def matmul_vmem_bytes(bm: int, bn: int, bk: int, itemsize: int) -> int:
     return 2 * (bm * bk + bk * bn) * itemsize + 3 * bm * bn * 4
 
 
+def snap_config_to_hw(M: int, N: int, K: int, bm: int, bn: int, bk: int,
+                      dtype=jnp.bfloat16) -> Tuple[int, int, int]:
+    """Snap a raw (bm, bn, bk) onto the Mosaic-legal lattice.
+
+    The TPU lowering requires each block's last two dims divisible by
+    (sublane, 128) — or equal to the full array dim (pallas_guide.md
+    tiling constraints; verified empirically: interpret mode accepts any
+    shape, the chip rejects e.g. (64, 96, 4) on a 1536^2 operand).  Block
+    roles: A=[bm, bk], B=[bk, bn], out=[bm, bn] ⇒ bm is a sublane dim,
+    bn and bk are lane dims.  Each value snaps UP to the smallest divisor
+    of its axis that satisfies its alignment, falling back to the full
+    dim (always legal)."""
+    sublane = 16 if jnp.dtype(dtype).itemsize < 4 else 8
+
+    def snap(v: int, dim: int, align: int) -> int:
+        cands = [d for d in range(1, dim + 1)
+                 if dim % d == 0 and d % align == 0 and d >= v]
+        return min(cands) if cands else dim
+
+    return (snap(bm, M, sublane), snap(bn, N, 128), snap(bk, K, 128))
+
+
 def config_is_valid(M: int, N: int, K: int, bm: int, bn: int, bk: int,
                     dtype=jnp.bfloat16) -> Tuple[bool, Optional[str]]:
     for v, d, nm in ((bm, M, "bm"), (bn, N, "bn"), (bk, K, "bk")):

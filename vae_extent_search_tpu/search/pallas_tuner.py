@@ -143,6 +143,42 @@ def _round_trip_floor(device=None) -> float:
     return float(np.median(samples))
 
 
+ITER_LADDER = (1, 4, 16, 64, 256, 1024)
+
+
+def _time_chained(make_timed: Callable[[int], Callable], args,
+                  est_per_call: float, target_ms: float, repeats: int,
+                  floor: Optional[float] = None) -> float:
+    """Seconds per call of a chained-loop program.
+
+    ``make_timed(iters)`` returns a jitted fn whose output depends on
+    every iteration. The loop length is picked so the signal dominates
+    the (drifting, 6-31 ms on the tunnel) dispatch floor: smallest ladder
+    value with iters*est >= max(target, 6*floor), else the ladder top.
+    The floor is measured fresh (same minute as the reps) and
+    subtracted; min over repeats."""
+    import jax
+
+    if floor is None:
+        floor = _round_trip_floor()
+    want = max(target_ms / 1e3, 6.0 * floor)
+    iters = ITER_LADDER[-1]
+    for cand in ITER_LADDER:
+        if cand * est_per_call >= want:
+            iters = cand
+            break
+    timed = make_timed(iters)
+    jax.device_get(timed(*args))  # warm (compile)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.device_get(timed(*args))
+        best = min(best, time.perf_counter() - t0)
+    # if the floor still dominates, the per-call number is junk; keep a
+    # defensible lower bound rather than a negative/zero artifact
+    return max(best - floor, best * 0.05) / iters
+
+
 class PallasMatmulRunner(Runner):
     """Times real Pallas matmul kernels on the attached TPU.
 
@@ -152,10 +188,7 @@ class PallasMatmulRunner(Runner):
     RecordToFile replay like any other measurement log.
     """
 
-    #: timing-loop lengths; one compile per (config, iters) pair
-    ITER_LADDER = (1, 4, 16, 64)
-
-    def __init__(self, dtype: str = "bfloat16", target_ms: float = 25.0,
+    def __init__(self, dtype: str = "bfloat16", target_ms: float = 50.0,
                  repeats: int = 3, max_seconds: float = 2.0,
                  interpret: bool = False,
                  time_fn: Optional[Callable] = None,
@@ -170,7 +203,6 @@ class PallasMatmulRunner(Runner):
         self.verbose = verbose
         self.cache: Dict[tuple, MeasureResult] = {}
         self.n_timed = 0
-        self._floor = None
         self._operands = {}
         self._verified = False
 
@@ -220,10 +252,6 @@ class PallasMatmulRunner(Runner):
             raise TimeoutError(
                 f"predicted {est:.2f}s/call exceeds --max-seconds "
                 f"{self.max_seconds:g}")
-        iters = self.ITER_LADDER[0]
-        for cand in self.ITER_LADDER:
-            if cand * est <= self.target_ms / 1e3:
-                iters = cand
         mm = make_matmul(M, N, K, bm, bn, bk, dtype_name=self.dtype,
                          interpret=self.interpret)
         a, b = self._get_operands(M, N, K)
@@ -237,24 +265,21 @@ class PallasMatmulRunner(Runner):
                 raise AssertionError(f"kernel numerics off: rel err {err:g}")
             self._verified = True
 
-        @jax.jit
-        def timed(a, b):
-            def body(s, _):
-                c = mm(a + s.astype(a.dtype), b)
-                return c[0, 0] * jnp.float32(1e-30), None
+        def make_timed(iters):
+            @jax.jit
+            def timed(a, b):
+                def body(s, _):
+                    c = mm(a + s.astype(a.dtype), b)
+                    return c[0, 0] * jnp.float32(1e-30), None
 
-            s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
-            return s
+                s, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                                    length=iters)
+                return s
 
-        if self._floor is None:
-            self._floor = _round_trip_floor()
-        jax.device_get(timed(a, b))  # warm (compile)
-        best = float("inf")
-        for _ in range(self.repeats):
-            t0 = time.perf_counter()
-            jax.device_get(timed(a, b))
-            best = min(best, time.perf_counter() - t0)
-        return max(best - self._floor, 1e-9) / iters
+            return timed
+
+        return _time_chained(make_timed, (a, b), est, self.target_ms,
+                             self.repeats)
 
     # -- Runner interface ------------------------------------------------
 
@@ -264,18 +289,23 @@ class PallasMatmulRunner(Runner):
         out: List[MeasureResult] = []
         for st in states:
             now = time.time()
-            cfg, why = state_to_matmul_config(st)
-            if cfg is None:
+            raw, why = state_to_matmul_config(st)
+            if raw is None:
                 out.append(MeasureResult([MAX_FLOAT], ERROR_INSTANTIATION,
                                          0.0, now))
                 continue
+            import jax.numpy as jnp
+
+            from ..ops.matmul_pallas import config_is_valid, snap_config_to_hw
+
+            # quotient onto the Mosaic-legal lattice: blocks' last-two
+            # dims must be (sublane, 128)-aligned or full-dim on real
+            # hardware (interpret mode does not enforce this)
+            cfg = snap_config_to_hw(M, N, K, *raw,
+                                    dtype=jnp.dtype(self.dtype))
             key = (M, N, K) + cfg
             res = self.cache.get(key)
             if res is None:
-                import jax.numpy as jnp
-
-                from ..ops.matmul_pallas import config_is_valid
-
                 ok, _why = config_is_valid(M, N, K, *cfg,
                                            dtype=jnp.dtype(self.dtype))
                 if not ok:
@@ -313,7 +343,7 @@ class PallasMatmulRunner(Runner):
 
 
 def time_xla_matmul(M: int, N: int, K: int, dtype: str = "bfloat16",
-                    target_ms: float = 25.0, repeats: int = 3) -> float:
+                    target_ms: float = 50.0, repeats: int = 3) -> float:
     """XLA's own jnp.dot at the same shapes/dtype — the reference line the
     tuned kernel is judged against (same timing methodology)."""
     import jax
@@ -324,11 +354,9 @@ def time_xla_matmul(M: int, N: int, K: int, dtype: str = "bfloat16",
                     jnp.dtype(dtype))
     b = jnp.asarray(rng.standard_normal((K, N), np.float32),
                     jnp.dtype(dtype))
-
-    floor = _round_trip_floor()
     est = 2.0 * M * N * K / 2.0e14
 
-    def make(iters):
+    def make_timed(iters):
         @jax.jit
         def timed(a, b):
             def body(s, _):
@@ -341,15 +369,4 @@ def time_xla_matmul(M: int, N: int, K: int, dtype: str = "bfloat16",
 
         return timed
 
-    iters = 1
-    for cand in PallasMatmulRunner.ITER_LADDER:
-        if cand * est <= target_ms / 1e3:
-            iters = cand
-    timed = make(iters)
-    jax.device_get(timed(a, b))
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        jax.device_get(timed(a, b))
-        best = min(best, time.perf_counter() - t0)
-    return max(best - floor, 1e-9) / iters
+    return _time_chained(make_timed, (a, b), est, target_ms, repeats)
