@@ -270,7 +270,11 @@ class PallasMatmulRunner(Runner):
             def timed(a, b):
                 def body(s, _):
                     c = mm(a + s.astype(a.dtype), b)
-                    return c[0, 0] * jnp.float32(1e-30), None
+                    # consume ALL of c: a c[0,0]-only chain lets XLA
+                    # slice the dot to one column (measured 5000+
+                    # "TFLOP/s"); the full-sum dependency forces the
+                    # complete matmul every iteration
+                    return jnp.sum(c) * jnp.float32(1e-30), None
 
                 s, _ = jax.lax.scan(body, jnp.float32(0.0), None,
                                     length=iters)
@@ -362,7 +366,8 @@ def time_xla_matmul(M: int, N: int, K: int, dtype: str = "bfloat16",
             def body(s, _):
                 c = jnp.dot(a + s.astype(a.dtype), b,
                             preferred_element_type=jnp.float32)
-                return c[0, 0] * jnp.float32(1e-30), None
+                # full-sum dependency: see the runner's chain comment
+                return jnp.sum(c) * jnp.float32(1e-30), None
 
             s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
             return s
