@@ -17,10 +17,16 @@ kernels for host CPUs/GPUs. Here the "hardware in the loop" is the chip the
 search itself runs on, and the result is a tuned (bm, bn, bk) block config
 judged against XLA's own dot at the same shape/dtype.
 
+Two target-kernel families: blocked matmul (ops/matmul_pallas.py) and
+implicit-GEMM conv2d+bias+relu (ops/conv2d_pallas.py — the reference's
+flagship tutorial workload, tune_conv2d_layer_cuda.py:56-62).
+
 Usage (chip):
   python scripts/tune_pallas_kernel.py --dim 1536 --n-candidates 1000 \
       --measure-size 16 --n-phases 6
   python scripts/tune_pallas_kernel.py --arm random   # stub-selection arm
+  python scripts/tune_pallas_kernel.py --workload conv2d \
+      --conv 1 56 56 256 256 3 3      # N H W CO CI KH KW (stride 1, pad 1)
 CPU smoke test:
   JAX_PLATFORMS=cpu python scripts/tune_pallas_kernel.py --fake-timer ...
 """
@@ -36,7 +42,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 from vae_extent_search_tpu.features.extent import extent_vector
-from vae_extent_search_tpu.ops.matmul_pallas import snap_config_to_hw
+from vae_extent_search_tpu.ops.conv2d_pallas import (
+    conv_out_size,
+    predicted_conv_seconds,
+    snap_conv_config_to_hw,
+)
+from vae_extent_search_tpu.ops.matmul_pallas import (
+    predicted_seconds,
+    snap_config_to_hw,
+)
 from vae_extent_search_tpu.records import SearchTask, make_workload_key
 from vae_extent_search_tpu.records.serde import ERROR_NO_ERROR
 from vae_extent_search_tpu.search.active_loop import (
@@ -49,8 +63,11 @@ from vae_extent_search_tpu.search.measure import (
     RecordToFile,
 )
 from vae_extent_search_tpu.search.pallas_tuner import (
+    PallasConv2dRunner,
     PallasMatmulRunner,
+    state_to_conv_config,
     state_to_matmul_config,
+    time_xla_conv2d,
     time_xla_matmul,
 )
 from vae_extent_search_tpu.search.sketch import make_states
@@ -67,11 +84,19 @@ def pad_extent_features(states):
 
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--workload", type=str, default="matmul",
+                   choices=["matmul", "conv2d"])
     p.add_argument("--dim", type=int, default=1536,
                    help="square matmul size (or use --m/--n/--k)")
     p.add_argument("--m", type=int, default=None)
     p.add_argument("--n", type=int, default=None)
     p.add_argument("--k", type=int, default=None)
+    p.add_argument("--conv", type=int, nargs=7,
+                   default=[1, 56, 56, 256, 256, 3, 3],
+                   metavar=("N", "H", "W", "CO", "CI", "KH", "KW"),
+                   help="conv2d_layer dims (stride fixed 1)")
+    p.add_argument("--pad", type=int, default=None,
+                   help="conv padding (default: same, (KH-1)//2)")
     p.add_argument("--dtype", type=str, default="bfloat16")
     p.add_argument("--n-candidates", type=int, default=1000)
     p.add_argument("--measure-size", type=int, default=16)
@@ -94,34 +119,53 @@ def main():
     p.add_argument("--skip-xla-baseline", action="store_true")
     args = p.parse_args()
 
-    M = args.m or args.dim
-    N = args.n or args.dim
-    K = args.k or args.dim
+    if args.workload == "matmul":
+        M = args.m or args.dim
+        N = args.n or args.dim
+        K = args.k or args.dim
+        wk = make_workload_key("matmul_auto_scheduler_test", (M, N, K))
+        shape_desc = f"[{M}x{K}] @ [{K}x{N}]"
+        to_cfg = state_to_matmul_config
+        snap = lambda c: snap_config_to_hw(M, N, K, *c)   # noqa: E731
+        flops = 2.0 * M * N * K
+        fake_fn = lambda *a: predicted_seconds(*a)        # noqa: E731
+        runner_cls = PallasMatmulRunner
+        xla_fn = lambda: time_xla_matmul(M, N, K, dtype=args.dtype)  # noqa: E731
+    else:
+        cN, cH, cW, cCO, cCI, cKH, cKW = args.conv
+        pad = args.pad if args.pad is not None else (cKH - 1) // 2
+        params = (cN, cH, cW, cCO, cCI, cKH, cKW, 1, pad)
+        wk = make_workload_key(
+            "conv2d_layer",
+            (cN, cH, cW, cCO, cCI, cKH, cKW, [1, 1], [pad, pad]))
+        OH = conv_out_size(cH, cKH, 1, pad)
+        OW = conv_out_size(cW, cKW, 1, pad)
+        shape_desc = (f"conv2d {cN}x{cH}x{cW}x{cCI} * "
+                      f"{cKH}x{cKW}x{cCI}x{cCO} (pad {pad})")
+        to_cfg = state_to_conv_config
+        snap = lambda c: snap_conv_config_to_hw(*params, *c)  # noqa: E731
+        flops = 2.0 * cN * OH * OW * cCO * cKH * cKW * cCI
+        fake_fn = lambda *a: predicted_conv_seconds(*a)       # noqa: E731
+        runner_cls = PallasConv2dRunner
+        xla_fn = lambda: time_xla_conv2d(*params, dtype=args.dtype)  # noqa: E731
 
-    wk = make_workload_key("matmul_auto_scheduler_test", (M, N, K))
     task = SearchTask(wk, "llvm")  # schedule-space donor for the tilings
 
     t0 = time.time()
     print(f"generating {args.n_candidates} candidate tilings for "
-          f"[{M}x{K}] @ [{K}x{N}] {args.dtype} ...")
+          f"{shape_desc} {args.dtype} ...")
     states = make_states(task, args.n_candidates, seed=args.seed)
     X = pad_extent_features(states)
-    cfgs = [state_to_matmul_config(st)[0] for st in states]
+    cfgs = [to_cfg(st)[0] for st in states]
     raw = {c for c in cfgs if c is not None}
-    snapped = {snap_config_to_hw(M, N, K, *c) for c in raw}
+    snapped = {snap(c) for c in raw}
     print(f"  {len(states)} states -> {len(raw)} raw tilings -> "
           f"{len(snapped)} hw-legal block configs in {time.time()-t0:.1f}s")
 
-    time_fn = None
-    if args.fake_timer:
-        from vae_extent_search_tpu.ops.matmul_pallas import predicted_seconds
-
-        def time_fn(M, N, K, bm, bn, bk):  # noqa: F811
-            return predicted_seconds(M, N, K, bm, bn, bk)
-
-    runner = PallasMatmulRunner(dtype=args.dtype,
-                                max_seconds=args.max_seconds,
-                                time_fn=time_fn, verbose=True)
+    runner = runner_cls(dtype=args.dtype,
+                        max_seconds=args.max_seconds,
+                        time_fn=fake_fn if args.fake_timer else None,
+                        verbose=True)
     measurer = ProgramMeasurer(EmptyBuilder(), runner,
                                callbacks=[RecordToFile(args.log_file)],
                                max_continuous_error=10 ** 9)
@@ -145,21 +189,23 @@ def main():
         verbose=True,
     )
 
-    best_cfg, _ = state_to_matmul_config(states[res.best_index])
-    best_cfg = snap_config_to_hw(M, N, K, *best_cfg)
+    best_cfg = snap(to_cfg(states[res.best_index])[0])
     best_sec = float(np.exp(-res.best_label))
-    gflops = 2.0 * M * N * K / best_sec / 1e9
+    gflops = flops / best_sec / 1e9
+    cfg_names = (("bm", "bn", "bk") if args.workload == "matmul"
+                 else ("boh", "bco", "bci"))
     print(f"\narm={args.arm}: measured {res.n_measured} states "
           f"({runner.n_timed} distinct configs compiled+timed) in "
           f"{res.used_time:.1f}s")
-    print(f"best config bm={best_cfg[0]} bn={best_cfg[1]} bk={best_cfg[2]}"
-          f": {best_sec*1e3:.3f} ms  ({gflops:.0f} GFLOP/s)")
+    print(f"best config "
+          + " ".join(f"{n}={v}" for n, v in zip(cfg_names, best_cfg))
+          + f": {best_sec*1e3:.3f} ms  ({gflops:.0f} GFLOP/s)")
 
     xla_sec = None
     if not args.skip_xla_baseline and not args.fake_timer:
-        xla_sec = time_xla_matmul(M, N, K, dtype=args.dtype)
-        print(f"XLA jnp.dot same shape/dtype: {xla_sec*1e3:.3f} ms "
-              f"({2.0*M*N*K/xla_sec/1e9:.0f} GFLOP/s) -> tuned kernel at "
+        xla_sec = xla_fn()
+        print(f"XLA same shape/dtype: {xla_sec*1e3:.3f} ms "
+              f"({flops/xla_sec/1e9:.0f} GFLOP/s) -> tuned kernel at "
               f"{xla_sec/best_sec:.2f}x XLA")
 
     ok = [(c, s) for c, s, e in runner.measured_configs()
@@ -172,13 +218,16 @@ def main():
               f"(best is {med/best_sec:.1f}x median)")
 
     if args.out_csv:
+        shape = ((args.m or args.dim, args.n or args.dim, args.k or args.dim)
+                 if args.workload == "matmul" else tuple(args.conv))
         row = {
-            "arm": args.arm, "M": M, "N": N, "K": K, "dtype": args.dtype,
+            "arm": args.arm, "workload": args.workload,
+            "shape": "x".join(str(v) for v in shape), "dtype": args.dtype,
             "n_candidates": len(states), "measure_size": args.measure_size,
             "n_phases": res.phases, "n_measured": res.n_measured,
             "n_configs_timed": runner.n_timed,
-            "best_bm": best_cfg[0], "best_bn": best_cfg[1],
-            "best_bk": best_cfg[2], "best_ms": best_sec * 1e3,
+            "best_cfg": "x".join(str(v) for v in best_cfg),
+            "best_ms": best_sec * 1e3,
             "gflops": gflops,
             "xla_ms": None if xla_sec is None else xla_sec * 1e3,
             "wall_s": res.used_time,

@@ -452,6 +452,8 @@ def runner_from_spec(spec: str, noise: float = 0.0, seed: int = 0,
     - ``pallas_matmul[:<dtype>]``       — time real Pallas matmul kernels
                                           on the attached TPU (self-tuning;
                                           search/pallas_tuner.py)
+    - ``pallas_conv2d[:<dtype>]``       — same for implicit-GEMM conv2d
+                                          kernels (ops/conv2d_pallas.py)
     """
     if spec == "analytic":
         return AnalyticRunner(noise=noise, seed=seed)
@@ -468,6 +470,10 @@ def runner_from_spec(spec: str, noise: float = 0.0, seed: int = 0,
         from .pallas_tuner import PallasMatmulRunner
         dtype = spec.split(":", 1)[1] if ":" in spec else "bfloat16"
         return PallasMatmulRunner(dtype=dtype, verbose=True)
+    if spec == "pallas_conv2d" or spec.startswith("pallas_conv2d:"):
+        from .pallas_tuner import PallasConv2dRunner
+        dtype = spec.split(":", 1)[1] if ":" in spec else "bfloat16"
+        return PallasConv2dRunner(dtype=dtype, verbose=True)
     if spec.startswith("service:"):
         from .measure_service import ServiceRunner
         key, addr = spec.split(":", 1)[1].split("@")

@@ -120,6 +120,50 @@ def state_to_matmul_config(
     return (bm, bn, bk), None
 
 
+def state_to_conv_config(
+    state: State,
+) -> Tuple[Optional[Tuple[int, int, int]], Optional[str]]:
+    """Quotient a conv2d_layer schedule onto ``(boh, bco, bci)``.
+
+    Same cut as the matmul quotient: the outermost reduction loop
+    (roots rc/ry/rx — records/workload_library.py:62-64) splits grid
+    from block.  Inside it, yy extents multiply into boh (spatial output
+    rows per block), ff into bco (output channels), rc into bci (input
+    channels).  xx (output width: the kernel always takes full OW rows)
+    and ry/rx (the kernel steps kh, kw singly in its sequential grid
+    axis) are quotiented away — interleavings the implicit-GEMM kernel
+    cannot express collapse onto the same config, exactly like the
+    matmul map.
+    """
+    reduce_roots = {"rc", "ry", "rx"}
+    loops = state_loops(state)
+    kpos = None
+    for idx, (name, _, _) in enumerate(loops):
+        if _roots(name) & reduce_roots:
+            kpos = idx
+            break
+    if kpos is None:
+        return None, "no reduction loop in the nest"
+    k_depth = loops[kpos][2]
+    boh = bco = bci = 1
+    saw_rc_inner = False
+    for name, ext, depth in loops[kpos + 1:]:
+        if depth <= k_depth:
+            break
+        roots = _roots(name)
+        if "yy" in roots:
+            boh *= ext
+        if "ff" in roots:
+            bco *= ext
+        if "rc" in roots:
+            bci *= ext
+            saw_rc_inner = True
+    if not saw_rc_inner and "rc" in _roots(loops[kpos][0]):
+        # unsplit channel reduction: the cut loop itself is rc
+        bci = loops[kpos][1]
+    return (boh, bco, bci), None
+
+
 # ---------------------------------------------------------------------------
 # on-chip timing
 # ---------------------------------------------------------------------------
@@ -177,6 +221,55 @@ def _time_chained(make_timed: Callable[[int], Callable], args,
     # if the floor still dominates, the per-call number is junk; keep a
     # defensible lower bound rather than a negative/zero artifact
     return max(best - floor, best * 0.05) / iters
+
+
+def _run_cached(runner, states: Sequence[State], *, to_raw, snap, valid,
+                time_cfg, shape_key: tuple, flops: float,
+                names: Tuple[str, ...]) -> List[MeasureResult]:
+    """Shared measure loop of the Pallas kernel runners: quotient each
+    state onto a snapped block config, memoize one compile+timing per
+    novel config (the economics of the reference's measured-state dedup,
+    sketch_policy.cc:626-631)."""
+    out: List[MeasureResult] = []
+    for st in states:
+        now = time.time()
+        raw, _why = to_raw(st)
+        if raw is None:
+            out.append(MeasureResult([MAX_FLOAT], ERROR_INSTANTIATION,
+                                     0.0, now))
+            continue
+        cfg = snap(raw)
+        key = shape_key + cfg
+        res = runner.cache.get(key)
+        if res is None:
+            ok, _why = valid(cfg)
+            if not ok:
+                res = MeasureResult([MAX_FLOAT], ERROR_INSTANTIATION,
+                                    0.0, now)
+                runner.cache[key] = res
+        if res is None:
+            t0 = time.time()
+            try:
+                sec = time_cfg(cfg)
+                res = MeasureResult([sec], ERROR_NO_ERROR,
+                                    time.time() - t0, now)
+            except TimeoutError:
+                res = MeasureResult([MAX_FLOAT], ERROR_BUILD_TIMEOUT,
+                                    time.time() - t0, now)
+            except Exception as exc:  # compile/VMEM/validity errors
+                if runner.verbose:
+                    print(f"  config {cfg}: {exc}")
+                res = MeasureResult([MAX_FLOAT], ERROR_COMPILE_DEVICE,
+                                    time.time() - t0, now)
+            runner.cache[key] = res
+            runner.n_timed += 1
+            if runner.verbose and res.error_no == ERROR_NO_ERROR:
+                gf = flops / res.costs[0] / 1e9
+                cfg_s = " ".join(f"{n}={v:<5d}" for n, v in zip(names, cfg))
+                print(f"  config {cfg_s} {res.costs[0]*1e3:8.3f} ms "
+                      f"{gf:10.1f} GFLOP/s")
+        out.append(res)
+    return out
 
 
 class PallasMatmulRunner(Runner):
@@ -289,61 +382,213 @@ class PallasMatmulRunner(Runner):
 
     def run(self, task: SearchTask, states: Sequence[State]
             ) -> List[MeasureResult]:
+        import jax.numpy as jnp
+
+        from ..ops.matmul_pallas import config_is_valid, snap_config_to_hw
+
         M, N, K = self.task_dims(task)
-        out: List[MeasureResult] = []
-        for st in states:
-            now = time.time()
-            raw, why = state_to_matmul_config(st)
-            if raw is None:
-                out.append(MeasureResult([MAX_FLOAT], ERROR_INSTANTIATION,
-                                         0.0, now))
-                continue
-            import jax.numpy as jnp
-
-            from ..ops.matmul_pallas import config_is_valid, snap_config_to_hw
-
+        dtype = jnp.dtype(self.dtype)
+        return _run_cached(
+            self, states,
+            to_raw=state_to_matmul_config,
             # quotient onto the Mosaic-legal lattice: blocks' last-two
             # dims must be (sublane, 128)-aligned or full-dim on real
             # hardware (interpret mode does not enforce this)
-            cfg = snap_config_to_hw(M, N, K, *raw,
-                                    dtype=jnp.dtype(self.dtype))
-            key = (M, N, K) + cfg
-            res = self.cache.get(key)
-            if res is None:
-                ok, _why = config_is_valid(M, N, K, *cfg,
-                                           dtype=jnp.dtype(self.dtype))
-                if not ok:
-                    res = MeasureResult([MAX_FLOAT], ERROR_INSTANTIATION,
-                                        0.0, now)
-                    self.cache[key] = res
-            if res is None:
-                t0 = time.time()
-                try:
-                    sec = self._time_config(M, N, K, *cfg)
-                    res = MeasureResult([sec], ERROR_NO_ERROR,
-                                        time.time() - t0, now)
-                except TimeoutError:
-                    res = MeasureResult([MAX_FLOAT], ERROR_BUILD_TIMEOUT,
-                                        time.time() - t0, now)
-                except Exception as exc:  # compile/VMEM/validity errors
-                    if self.verbose:
-                        print(f"  config {cfg}: {exc}")
-                    res = MeasureResult([MAX_FLOAT], ERROR_COMPILE_DEVICE,
-                                        time.time() - t0, now)
-                self.cache[key] = res
-                self.n_timed += 1
-                if self.verbose and res.error_no == ERROR_NO_ERROR:
-                    gf = 2.0 * M * N * K / res.costs[0] / 1e9
-                    print(f"  config bm={cfg[0]:<5d} bn={cfg[1]:<5d} "
-                          f"bk={cfg[2]:<5d} {res.costs[0]*1e3:8.3f} ms "
-                          f"{gf:10.1f} GFLOP/s")
-            out.append(res)
-        return out
+            snap=lambda raw: snap_config_to_hw(M, N, K, *raw, dtype=dtype),
+            valid=lambda cfg: config_is_valid(M, N, K, *cfg, dtype=dtype),
+            time_cfg=lambda cfg: self._time_config(M, N, K, *cfg),
+            shape_key=(M, N, K),
+            flops=2.0 * M * N * K,
+            names=("bm", "bn", "bk"),
+        )
 
     def measured_configs(self) -> List[Tuple[Tuple[int, ...], float, int]]:
         """(config, seconds, error_no) per distinct measured config."""
-        return [((k[3], k[4], k[5]), r.costs[0], r.error_no)
+        return [(k[3:], r.costs[0], r.error_no)
                 for k, r in self.cache.items()]
+
+
+class PallasConv2dRunner(Runner):
+    """Times real Pallas conv2d+bias+relu kernels on the attached TPU.
+
+    The conv sibling of PallasMatmulRunner: conv2d_layer schedules
+    (records/workload_library.py:141, the reference's flagship tutorial
+    workload) quotient onto implicit-GEMM block configs
+    (ops/conv2d_pallas.py) which are compiled and timed on chip.
+    """
+
+    def __init__(self, dtype: str = "bfloat16", target_ms: float = 50.0,
+                 repeats: int = 3, max_seconds: float = 2.0,
+                 interpret: bool = False,
+                 time_fn: Optional[Callable] = None,
+                 verify: bool = True, verbose: bool = False):
+        self.dtype = dtype
+        self.target_ms = target_ms
+        self.repeats = repeats
+        self.max_seconds = max_seconds
+        self.interpret = interpret
+        self.time_fn = time_fn  # test hook: (params..., boh,bco,bci) -> s
+        self.verify = verify
+        self.verbose = verbose
+        self.cache: Dict[tuple, MeasureResult] = {}
+        self.n_timed = 0
+        self._operands = {}
+        self._verified = False
+
+    @staticmethod
+    def task_params(task: SearchTask) -> Tuple[int, ...]:
+        """(N, H, W, CO, CI, KH, KW, stride, pad) from the workload key
+        (conv2d_layer arg order, workload_library.py:141)."""
+        name, args = decode_workload_key(task.workload_key)
+        if "conv2d_layer" not in name:
+            raise ValueError(
+                f"PallasConv2dRunner needs a conv2d_layer workload, "
+                f"got {name!r}")
+        N, H, W, CO, CI, KH, KW, stride, pad = args[:9]
+
+        def scalar(v):
+            return int(v[0]) if isinstance(v, (list, tuple)) else int(v)
+
+        return (int(N), int(H), int(W), int(CO), int(CI), int(KH),
+                int(KW), scalar(stride), scalar(pad))
+
+    def _get_operands(self, N, H, W, CO, CI, KH, KW):
+        import jax.numpy as jnp
+
+        key = (N, H, W, CO, CI, KH, KW, self.dtype)
+        ops = self._operands.get(key)
+        if ops is None:
+            rng = np.random.default_rng(0)
+            dt = jnp.dtype(self.dtype)
+            x = jnp.asarray(rng.standard_normal((N, H, W, CI), np.float32),
+                            dt)
+            w = jnp.asarray(
+                rng.standard_normal((KH, KW, CI, CO), np.float32), dt)
+            bias = jnp.asarray(rng.standard_normal(CO, np.float32), dt)
+            ops = self._operands[key] = (x, w, bias)
+        return ops
+
+    def _time_config(self, params: Tuple[int, ...],
+                     boh: int, bco: int, bci: int) -> float:
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.conv2d_pallas import (
+            make_conv2d,
+            predicted_conv_seconds,
+            xla_conv2d_reference,
+        )
+
+        if self.time_fn is not None:
+            return float(self.time_fn(*params, boh, bco, bci))
+        N, H, W, CO, CI, KH, KW, stride, pad = params
+        est = predicted_conv_seconds(*params, boh, bco, bci,
+                                     dtype=jnp.dtype(self.dtype))
+        if est > self.max_seconds:
+            raise TimeoutError(
+                f"predicted {est:.2f}s/call exceeds --max-seconds "
+                f"{self.max_seconds:g}")
+        conv = make_conv2d(*params, boh, bco, bci, dtype_name=self.dtype,
+                           interpret=self.interpret)
+        x, w, bias = self._get_operands(N, H, W, CO, CI, KH, KW)
+
+        if self.verify and not self._verified:
+            want = xla_conv2d_reference(*params, dtype_name=self.dtype)(
+                x, w, bias)
+            got = conv(x, w, bias)
+            err = float(jnp.max(jnp.abs(got - want))
+                        / (jnp.max(jnp.abs(want)) + 1e-30))
+            if err > 2e-2:
+                raise AssertionError(f"kernel numerics off: rel err {err:g}")
+            self._verified = True
+
+        def make_timed(iters):
+            @jax.jit
+            def timed(x, w, bias):
+                def body(s, _):
+                    c = conv(x + s.astype(x.dtype), w, bias)
+                    # full-sum dependency: forces the complete conv each
+                    # iteration (see PallasMatmulRunner's chain comment)
+                    return jnp.sum(c) * jnp.float32(1e-30), None
+
+                s, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                                    length=iters)
+                return s
+
+            return timed
+
+        return _time_chained(make_timed, (x, w, bias), est, self.target_ms,
+                             self.repeats)
+
+    def run(self, task: SearchTask, states: Sequence[State]
+            ) -> List[MeasureResult]:
+        import jax.numpy as jnp
+
+        from ..ops.conv2d_pallas import (
+            conv_config_is_valid,
+            conv_out_size,
+            snap_conv_config_to_hw,
+        )
+
+        params = self.task_params(task)
+        N, H, W, CO, CI, KH, KW, stride, pad = params
+        OH = conv_out_size(H, KH, stride, pad)
+        OW = conv_out_size(W, KW, stride, pad)
+        dtype = jnp.dtype(self.dtype)
+        return _run_cached(
+            self, states,
+            to_raw=state_to_conv_config,
+            snap=lambda raw: snap_conv_config_to_hw(*params, *raw,
+                                                    dtype=dtype),
+            valid=lambda cfg: conv_config_is_valid(*params, *cfg,
+                                                   dtype=dtype),
+            time_cfg=lambda cfg: self._time_config(params, *cfg),
+            shape_key=params,
+            flops=2.0 * N * OH * OW * CO * KH * KW * CI,
+            names=("boh", "bco", "bci"),
+        )
+
+    def measured_configs(self) -> List[Tuple[Tuple[int, ...], float, int]]:
+        """(config, seconds, error_no) per distinct measured config."""
+        return [(k[9:], r.costs[0], r.error_no)
+                for k, r in self.cache.items()]
+
+
+def time_xla_conv2d(N: int, H: int, W: int, CO: int, CI: int,
+                    KH: int, KW: int, stride: int, pad: int,
+                    dtype: str = "bfloat16", target_ms: float = 50.0,
+                    repeats: int = 3) -> float:
+    """XLA's own conv_general_dilated + bias + relu at the same shapes/
+    dtype — the baseline the tuned conv kernel is judged against."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.conv2d_pallas import conv_out_size, xla_conv2d_reference
+
+    rng = np.random.default_rng(0)
+    dt = jnp.dtype(dtype)
+    x = jnp.asarray(rng.standard_normal((N, H, W, CI), np.float32), dt)
+    w = jnp.asarray(rng.standard_normal((KH, KW, CI, CO), np.float32), dt)
+    bias = jnp.asarray(rng.standard_normal(CO, np.float32), dt)
+    conv = xla_conv2d_reference(N, H, W, CO, CI, KH, KW, stride, pad,
+                                dtype_name=dtype)
+    OH = conv_out_size(H, KH, stride, pad)
+    OW = conv_out_size(W, KW, stride, pad)
+    est = 2.0 * N * OH * OW * CO * KH * KW * CI / 2.0e14
+
+    def make_timed(iters):
+        @jax.jit
+        def timed(x, w, bias):
+            def body(s, _):
+                c = conv(x + s.astype(x.dtype), w, bias)
+                return jnp.sum(c) * jnp.float32(1e-30), None
+
+            s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+            return s
+
+        return timed
+
+    return _time_chained(make_timed, (x, w, bias), est, target_ms, repeats)
 
 
 def time_xla_matmul(M: int, N: int, K: int, dtype: str = "bfloat16",
