@@ -29,6 +29,12 @@ Usage (chip):
       --conv 1 56 56 256 256 3 3      # N H W CO CI KH KW (stride 1, pad 1)
 CPU smoke test:
   JAX_PLATFORMS=cpu python scripts/tune_pallas_kernel.py --fake-timer ...
+
+The written log is a kernel library: ops/kernel_library.py replays it into
+block configs so framework code dispatches the tuned kernel afterwards
+(``VES_KERNEL_LIBRARY=tune_pallas.json``, then ``tuned_matmul(M, N, K)``)
+— the reference's tune-once / ApplyHistoryBest-every-build flow
+(dispatcher.py:149-308) closed over the TPU's own compute substrate.
 """
 
 import argparse
@@ -150,6 +156,10 @@ def main():
         xla_fn = lambda: time_xla_conv2d(*params, dtype=args.dtype)  # noqa: E731
 
     task = SearchTask(wk, "llvm")  # schedule-space donor for the tilings
+    # records carry the chip target + dtype so ops/kernel_library.py can
+    # dispatch them later (the -model attribute is the dispatcher's
+    # best_by_model key — here "hardware model" = timed operand dtype)
+    record_task = SearchTask(wk, f"tpu -model={args.dtype}")
 
     t0 = time.time()
     print(f"generating {args.n_candidates} candidate tilings for "
@@ -171,7 +181,7 @@ def main():
                                max_continuous_error=10 ** 9)
 
     def measure_fn(idxs):
-        results = measurer.measure(task, [states[i] for i in idxs])
+        results = measurer.measure(record_task, [states[i] for i in idxs])
         return np.asarray(
             [-np.log((r.mean_cost if r.error_no == ERROR_NO_ERROR else 1e10)
                      + 1e-8) for r in results], np.float32)

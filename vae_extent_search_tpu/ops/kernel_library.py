@@ -1,0 +1,251 @@
+"""Tuned-kernel dispatch: ApplyHistoryBest for the framework's own kernels.
+
+The reference's production story is two-stage: tune once, then every
+``relay.build`` consults ``ApplyHistoryBest`` to compile with the best
+recorded schedule (reference python/tvm/auto_scheduler/dispatcher.py:149-308,
+mirrored in records/dispatcher.py).  The TPU-native analogue closes the
+self-tuning loop (scripts/tune_pallas_kernel.py): tuning logs hold measured
+Pallas schedules — the state IS the schedule, the cost IS seconds of the
+Pallas kernel it quotients onto — and this library replays them into block
+configs so the framework's own matmul/conv2d calls run tuned, falling back
+to XLA when no record matches.
+
+Query semantics match the reference dispatcher: exact (workload name, args)
+first, then the min dis-factor-scaled compatible workload
+(reference utils.py:82-130), with the record's ``-model=<dtype>`` target
+attribute playing the reference's best_by_model role (dispatcher.py:227-261:
+records partition by hardware model; here the "model" is the operand dtype
+the kernel was timed with).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from typing import Dict, Iterable, Optional, Tuple
+
+from ..records.dispatcher import (
+    calc_workload_dis_factor,
+    decode_workload_key_flat,
+    target_model_of,
+)
+from ..records.serde import MeasureRecord, iter_records
+from ..records.workload import make_workload_key
+
+# One tuning-log record provides a block config for any query whose args it
+# divides (the reference accepts any finite dis-factor, dispatcher.py:263-308)
+# — but a config tuned for a 16x-larger problem is a poor prior, so cap it.
+MAX_DIS_FACTOR = 1024.0
+
+
+class PallasKernelLibrary:
+    """Best tuned Pallas schedule per (workload, dtype) from measure logs."""
+
+    def __init__(self, records: Optional[Iterable[MeasureRecord]] = None,
+                 include_compatible: bool = True):
+        self.include_compatible = include_compatible
+        # (name, flat args, dtype) -> (mean cost seconds, MeasureRecord)
+        self._best: Dict[tuple, Tuple[float, MeasureRecord]] = {}
+        self._config_cache: Dict[tuple, Optional[Tuple[int, ...]]] = {}
+        if records is not None:
+            self.update(records)
+
+    @classmethod
+    def from_file(cls, path: str, **kw) -> "PallasKernelLibrary":
+        return cls(iter_records(path), **kw)
+
+    @classmethod
+    def from_files(cls, paths: Iterable[str], **kw) -> "PallasKernelLibrary":
+        lib = cls(**kw)
+        for p in paths:
+            lib.update(iter_records(p))
+        return lib
+
+    def __len__(self) -> int:
+        return len(self._best)
+
+    def update(self, records: Iterable[MeasureRecord]):
+        for rec in records:
+            if rec.res.error_no != 0:
+                continue
+            name, args = decode_workload_key_flat(rec.inp.task.workload_key)
+            if args is None:
+                continue
+            dtype = target_model_of(rec.inp.task.target)
+            key = (name, args, dtype)
+            cost = rec.res.mean_cost
+            cur = self._best.get(key)
+            if cur is None or cost < cur[0]:
+                self._best[key] = (cost, rec)
+        self._config_cache.clear()
+
+    # -- dispatcher-semantics query --------------------------------------
+
+    def query(self, workload_key: str, dtype: str = "bfloat16",
+              ) -> Optional[MeasureRecord]:
+        """Best record for the workload: exact args, else min
+        dis-factor-scaled compatible args (reference dispatcher.py:263-308).
+        Records tuned under a different dtype never match — block validity
+        (sublane alignment, VMEM) is dtype-dependent."""
+        name, args = decode_workload_key_flat(workload_key)
+        exact = self._best.get((name, args, dtype))
+        if exact is not None:
+            return exact[1]
+        if not self.include_compatible or args is None:
+            return None
+        best_score, best_rec = float("inf"), None
+        for (r_name, r_args, r_dtype), (cost, rec) in self._best.items():
+            if r_name != name or r_dtype != dtype:
+                continue
+            factor = calc_workload_dis_factor((name, args), (r_name, r_args))
+            if factor > MAX_DIS_FACTOR:
+                continue
+            score = factor * cost
+            if score < best_score:
+                best_score, best_rec = score, rec
+        return best_rec
+
+    # -- workload-specific config lookups ---------------------------------
+
+    def matmul_config(self, M: int, N: int, K: int,
+                      dtype: str = "bfloat16",
+                      ) -> Optional[Tuple[int, int, int]]:
+        """Tuned (bm, bn, bk) for an [M,K]@[K,N] matmul, snapped onto the
+        query shape's Mosaic-legal lattice (a compatible record tuned at a
+        larger shape re-snaps to divisors of THIS shape, the same way the
+        reference applies a compatible schedule to the queried workload)."""
+        import jax.numpy as jnp
+
+        from .matmul_pallas import config_is_valid, snap_config_to_hw
+        from ..search.pallas_tuner import state_to_matmul_config
+
+        cache_key = ("matmul", M, N, K, dtype)
+        if cache_key in self._config_cache:
+            return self._config_cache[cache_key]
+        # workload arg order per records/workload_library.py:77
+        # matmul_auto_scheduler_test(N=M_pallas, M=N_pallas, K)
+        wk = make_workload_key("matmul_auto_scheduler_test", (M, N, K))
+        cfg: Optional[Tuple[int, int, int]] = None
+        rec = self.query(wk, dtype)
+        if rec is not None:
+            raw, _why = state_to_matmul_config(rec.inp.recover_state())
+            if raw is not None:
+                snapped = snap_config_to_hw(M, N, K, *raw,
+                                            dtype=jnp.dtype(dtype))
+                if config_is_valid(M, N, K, *snapped,
+                                   dtype=jnp.dtype(dtype))[0]:
+                    cfg = snapped
+        self._config_cache[cache_key] = cfg
+        return cfg
+
+    def conv2d_config(self, N: int, H: int, W: int, CO: int, CI: int,
+                      KH: int, KW: int, stride: int, pad: int,
+                      dtype: str = "bfloat16",
+                      ) -> Optional[Tuple[int, int, int]]:
+        """Tuned (boh, bco, bci) for a conv2d_layer workload."""
+        import jax.numpy as jnp
+
+        from .conv2d_pallas import (conv_config_is_valid,
+                                    snap_conv_config_to_hw)
+        from ..search.pallas_tuner import state_to_conv_config
+
+        params = (N, H, W, CO, CI, KH, KW, stride, pad)
+        cache_key = ("conv2d",) + params + (dtype,)
+        if cache_key in self._config_cache:
+            return self._config_cache[cache_key]
+        wk = make_workload_key(
+            "conv2d_layer",
+            (N, H, W, CO, CI, KH, KW, [stride, stride], [pad, pad]))
+        cfg: Optional[Tuple[int, int, int]] = None
+        rec = self.query(wk, dtype)
+        if rec is not None:
+            raw, _why = state_to_conv_config(rec.inp.recover_state())
+            if raw is not None:
+                snapped = snap_conv_config_to_hw(
+                    *params, *raw, dtype=jnp.dtype(dtype))
+                if conv_config_is_valid(*params, *snapped,
+                                        dtype=jnp.dtype(dtype))[0]:
+                    cfg = snapped
+        self._config_cache[cache_key] = cfg
+        return cfg
+
+    # -- dispatching op builders ------------------------------------------
+
+    def matmul(self, M: int, N: int, K: int, dtype: str = "bfloat16",
+               interpret: bool = False):
+        """``(fn(a[M,K], b[K,N]) -> c[M,N] f32, provenance)`` — the tuned
+        Pallas kernel when a record matches, XLA's dot otherwise (the
+        reference's ApplyHistoryBestOrSample fallback role,
+        dispatcher.py:179-258, minus sampling: XLA is already a strong
+        default on TPU, random schedules are not)."""
+        cfg = self.matmul_config(M, N, K, dtype)
+        if cfg is not None:
+            from .matmul_pallas import make_matmul
+
+            return (make_matmul(M, N, K, *cfg, dtype_name=dtype,
+                                interpret=interpret),
+                    ("pallas",) + cfg)
+        import jax.numpy as jnp
+
+        jdt = jnp.dtype(dtype)
+
+        def mm(a, b):
+            return jnp.dot(a.astype(jdt), b.astype(jdt),
+                           preferred_element_type=jnp.float32)
+
+        return mm, ("xla",)
+
+    def conv2d(self, N: int, H: int, W: int, CO: int, CI: int,
+               KH: int, KW: int, stride: int, pad: int,
+               dtype: str = "bfloat16", interpret: bool = False):
+        """``(fn(x, w, bias) -> relu(conv+bias), provenance)``."""
+        params = (N, H, W, CO, CI, KH, KW, stride, pad)
+        cfg = self.conv2d_config(*params, dtype=dtype)
+        if cfg is not None:
+            from .conv2d_pallas import make_conv2d
+
+            return (make_conv2d(*params, *cfg, dtype_name=dtype,
+                                interpret=interpret),
+                    ("pallas",) + cfg)
+        from .conv2d_pallas import xla_conv2d_reference
+
+        return xla_conv2d_reference(*params, dtype_name=dtype), ("xla",)
+
+
+# -- process-default library (env-configured, like the reference's global
+#    DispatchContext.current that relay.build consults implicitly) ----------
+
+LIBRARY_ENV = "VES_KERNEL_LIBRARY"
+_default_lock = threading.Lock()
+_default: Optional[PallasKernelLibrary] = None
+_default_env: Optional[str] = None
+
+
+def default_library() -> PallasKernelLibrary:
+    """The process-wide library, loaded from ``VES_KERNEL_LIBRARY`` (an
+    ``os.pathsep``-separated list of tuning logs; missing/empty -> empty
+    library, every dispatch falls back to XLA). Reloads when the env var
+    changes."""
+    global _default, _default_env
+    env = os.environ.get(LIBRARY_ENV, "")
+    with _default_lock:
+        if _default is None or env != _default_env:
+            paths = [p for p in env.split(os.pathsep)
+                     if p and os.path.exists(p)]
+            _default = PallasKernelLibrary.from_files(paths)
+            _default_env = env
+        return _default
+
+
+def tuned_matmul(M: int, N: int, K: int, dtype: str = "bfloat16",
+                 interpret: bool = False):
+    """Dispatch an [M,K]@[K,N] matmul through the default library."""
+    return default_library().matmul(M, N, K, dtype, interpret=interpret)
+
+
+def tuned_conv2d(N: int, H: int, W: int, CO: int, CI: int,
+                 KH: int, KW: int, stride: int, pad: int,
+                 dtype: str = "bfloat16", interpret: bool = False):
+    """Dispatch a conv2d+bias+relu through the default library."""
+    return default_library().conv2d(N, H, W, CO, CI, KH, KW, stride, pad,
+                                    dtype, interpret=interpret)
