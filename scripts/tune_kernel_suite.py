@@ -1,0 +1,208 @@
+"""Multi-workload self-tuning: the gradient TaskScheduler allocates REAL
+on-chip Pallas kernel measurements across a suite of kernel workloads.
+
+This closes the reference's flagship flow (scripts/tune_network.py:63-109:
+extract tasks -> TaskScheduler(gradient) -> tune -> ApplyHistoryBest ->
+network latency) over the TPU's own compute substrate: the "network" is a
+weighted suite of matmul/conv2d kernel shapes, each trial compiles + times
+a real Pallas kernel on the attached chip (search/pallas_tuner.py), the
+gradient strategy (Ansor §6, reference task_scheduler.py:418-474) decides
+which workload's next round buys the most suite-latency reduction, and the
+resulting log is a PallasKernelLibrary (ops/kernel_library.py) whose
+weighted tuned latency is the estimate_network_latency analogue
+(reference scripts/estimate_network_latency.py:10-35).
+
+Suite entries, comma-free tokens, repeatable:
+  matmul:MxNxK[:weight]
+  conv2d:NxHxWxCOxCIxKHxKW[:weight]        (stride 1, same padding)
+
+Usage (chip):
+  python scripts/tune_kernel_suite.py \
+      --suite matmul:1536x1536x1536:2 conv2d:1x56x56x128x128x3x3:4 \
+      --n-trials 96 --measures-per-round 8
+CPU smoke test:
+  JAX_PLATFORMS=cpu python scripts/tune_kernel_suite.py --fake-timer \
+      --suite matmul:256x256x256 conv2d:1x8x8x128x128x3x3 --n-trials 16
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from vae_extent_search_tpu.ops.conv2d_pallas import (
+    conv_out_size,
+    predicted_conv_seconds,
+)
+from vae_extent_search_tpu.ops.kernel_library import PallasKernelLibrary
+from vae_extent_search_tpu.ops.matmul_pallas import predicted_seconds
+from vae_extent_search_tpu.records import (
+    SearchTask,
+    TuningOptions,
+    make_workload_key,
+)
+from vae_extent_search_tpu.search.measure import (
+    EmptyBuilder,
+    RecordToFile,
+)
+from vae_extent_search_tpu.search.pallas_tuner import (
+    PallasKernelRunner,
+    time_xla_conv2d,
+    time_xla_matmul,
+)
+from vae_extent_search_tpu.search.task_scheduler import (
+    LogEstimatedLatency,
+    PrintTableInfo,
+    TaskScheduler,
+)
+
+
+def parse_suite_entry(token: str):
+    """-> (family, dims tuple, weight)."""
+    parts = token.split(":")
+    family = parts[0]
+    dims = tuple(int(v) for v in parts[1].split("x"))
+    weight = float(parts[2]) if len(parts) > 2 else 1.0
+    if family == "matmul":
+        if len(dims) != 3:
+            raise SystemExit(f"matmul wants MxNxK, got {parts[1]!r}")
+    elif family == "conv2d":
+        if len(dims) != 7:
+            raise SystemExit(f"conv2d wants NxHxWxCOxCIxKHxKW, got "
+                             f"{parts[1]!r}")
+    else:
+        raise SystemExit(f"unknown suite family {family!r}")
+    return family, dims, weight
+
+
+def entry_workload_key(family, dims):
+    if family == "matmul":
+        return make_workload_key("matmul_auto_scheduler_test", dims)
+    N, H, W, CO, CI, KH, KW = dims
+    pad = (KH - 1) // 2
+    return make_workload_key(
+        "conv2d_layer", (N, H, W, CO, CI, KH, KW, [1, 1], [pad, pad]))
+
+
+def entry_flops(family, dims):
+    if family == "matmul":
+        M, N, K = dims
+        return 2.0 * M * N * K
+    N, H, W, CO, CI, KH, KW = dims
+    pad = (KH - 1) // 2
+    OH = conv_out_size(H, KH, 1, pad)
+    OW = conv_out_size(W, KW, 1, pad)
+    return 2.0 * N * OH * OW * CO * KH * KW * CI
+
+
+DEFAULT_SUITE = [
+    # a resnet-block-flavoured mix: three conv stages + a dense head
+    "conv2d:1x56x56x128x128x3x3:4",
+    "conv2d:1x28x28x256x256x3x3:4",
+    "matmul:1536x1536x1536:1",
+]
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--suite", type=str, nargs="+", default=DEFAULT_SUITE,
+                   help="matmul:MxNxK[:w] / conv2d:NxHxWxCOxCIxKHxKW[:w]")
+    p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--n-trials", type=int, default=96,
+                   help="total measurement trials across the suite")
+    p.add_argument("--measures-per-round", type=int, default=8)
+    p.add_argument("--strategy", type=str, default="gradient",
+                   choices=["gradient", "round-robin"])
+    p.add_argument("--policy", type=str, default="sketch.vae",
+                   help="search policy spec (sketch.<cost-model>)")
+    p.add_argument("--seed", type=int, default=2023)
+    p.add_argument("--max-seconds", type=float, default=2.0)
+    p.add_argument("--log-file", type=str, default="tune_kernel_suite.json")
+    p.add_argument("--fake-timer", action="store_true",
+                   help="CPU smoke test: analytic stand-in for the chip")
+    p.add_argument("--skip-xla-baseline", action="store_true")
+    args = p.parse_args()
+
+    entries = [parse_suite_entry(t) for t in args.suite]
+
+    # two task lists per entry (tune_pallas_kernel.py pattern): the llvm
+    # donor drives sketch generation (CPU tiling rules are the schedule-
+    # space donor), the tpu -model=<dtype> task keys the records so
+    # ops/kernel_library.py can dispatch them later
+    donor_tasks, record_tasks, weights = [], [], []
+    for family, dims, weight in entries:
+        wk = entry_workload_key(family, dims)
+        donor_tasks.append(SearchTask(wk, "llvm"))
+        record_tasks.append(SearchTask(wk, f"tpu -model={args.dtype}"))
+        weights.append(weight)
+
+    runner = PallasKernelRunner(
+        dtype=args.dtype, max_seconds=args.max_seconds,
+        matmul_time_fn=predicted_seconds if args.fake_timer else None,
+        conv_time_fn=predicted_conv_seconds if args.fake_timer else None,
+        verbose=not args.fake_timer,
+    )
+    tune_option = TuningOptions(
+        num_measure_trials=args.n_trials,
+        num_measures_per_round=args.measures_per_round,
+        builder=EmptyBuilder(),
+        runner=runner,
+        measure_callbacks=[RecordToFile(args.log_file)],
+    )
+    scheduler = TaskScheduler(
+        record_tasks, weights, strategy=args.strategy,
+        callbacks=[PrintTableInfo(), LogEstimatedLatency()],
+        seed=args.seed,
+    )
+
+    from vae_extent_search_tpu.search.cost_model import make_search_policies
+
+    policies, cost_model = make_search_policies(
+        args.policy, donor_tasks, seed=args.seed)
+
+    t0 = time.time()
+    scheduler.tune(tune_option, policies=policies, cost_model=cost_model)
+    wall = time.time() - t0
+
+    lib = PallasKernelLibrary.from_file(args.log_file)
+    print(f"\nsuite tuned in {wall:.1f}s "
+          f"({args.n_trials} trials, {runner.n_timed} distinct configs "
+          f"compiled+timed); library holds {len(lib)} workloads")
+
+    tuned_total, xla_total = 0.0, 0.0
+    have_xla = not args.skip_xla_baseline and not args.fake_timer
+    for (family, dims, weight), task in zip(entries, record_tasks):
+        rec = lib.query(task.workload_key, dtype=args.dtype)
+        if rec is None:
+            print(f"  {family} {dims}: NO tuned record (all configs "
+                  "invalid/errored)")
+            continue
+        sec = rec.res.mean_cost
+        gf = entry_flops(family, dims) / sec / 1e9
+        line = (f"  {family} {'x'.join(map(str, dims))} w={weight:g}: "
+                f"tuned {sec*1e3:.3f} ms ({gf:.0f} GFLOP/s)")
+        tuned_total += weight * sec
+        if have_xla:
+            if family == "matmul":
+                xla_sec = time_xla_matmul(*dims, dtype=args.dtype)
+            else:
+                N, H, W, CO, CI, KH, KW = dims
+                pad = (KH - 1) // 2
+                xla_sec = time_xla_conv2d(N, H, W, CO, CI, KH, KW, 1, pad,
+                                          dtype=args.dtype)
+            xla_total += weight * xla_sec
+            line += f" | XLA {xla_sec*1e3:.3f} ms ({xla_sec/sec:.2f}x)"
+        print(line)
+
+    print(f"\nweighted suite latency (tuned Pallas): {tuned_total*1e3:.3f} ms")
+    if have_xla and xla_total:
+        print(f"weighted suite latency (XLA):          {xla_total*1e3:.3f} ms"
+              f"  -> tuned at {xla_total/tuned_total:.2f}x XLA")
+
+
+if __name__ == "__main__":
+    main()

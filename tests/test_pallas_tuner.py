@@ -264,3 +264,81 @@ def test_online_active_search_measures_progressively():
     res_r = run_active_search_online(
         X, measure_fn, measure_size=16, max_phases=3, select="random")
     assert res_r.n_measured == 64
+
+
+# ---------------------------------------------------------------------------
+# composite runner + kernel-suite TaskScheduler flow
+# ---------------------------------------------------------------------------
+
+def test_composite_runner_dispatches_per_family():
+    from vae_extent_search_tpu.ops.conv2d_pallas import (
+        predicted_conv_seconds,
+    )
+    from vae_extent_search_tpu.search.pallas_tuner import PallasKernelRunner
+
+    r = PallasKernelRunner(matmul_time_fn=_fake_time,
+                           conv_time_fn=predicted_conv_seconds)
+    mm_task = _task(256, 256, 256)
+    conv_task = SearchTask(
+        make_workload_key(
+            "conv2d_layer", (1, 8, 8, 128, 128, 3, 3, [1, 1], [1, 1])),
+        "llvm")
+    res = r.run(mm_task, make_states(mm_task, 8, seed=1))
+    assert any(x.error_no == ERROR_NO_ERROR for x in res)
+    assert r.matmul.n_timed > 0 and r.conv.n_timed == 0
+    res = r.run(conv_task, make_states(conv_task, 8, seed=1))
+    assert any(x.error_no == ERROR_NO_ERROR for x in res)
+    assert r.conv.n_timed > 0
+    assert r.n_timed == r.matmul.n_timed + r.conv.n_timed
+
+    bad = SearchTask(make_workload_key("max_pool2d_layer", (1, 8, 8, 8, 2)),
+                     "llvm")
+    with pytest.raises(ValueError, match="no Pallas kernel family"):
+        r.run(bad, [])
+
+    assert runner_from_spec("pallas").matmul.dtype == "bfloat16"
+    assert runner_from_spec("pallas:float32").conv.dtype == "float32"
+
+
+def test_kernel_suite_scheduler_tunes_mixed_families(tmp_path):
+    """The gradient TaskScheduler allocates trials across a mixed Pallas
+    kernel suite through the composite runner, and the resulting log is a
+    dispatchable kernel library (scripts/tune_kernel_suite.py flow;
+    reference task_scheduler.py:418-474 + dispatcher.py:149-308)."""
+    from vae_extent_search_tpu.ops.conv2d_pallas import (
+        predicted_conv_seconds,
+    )
+    from vae_extent_search_tpu.ops.kernel_library import PallasKernelLibrary
+    from vae_extent_search_tpu.records.task import TuningOptions
+    from vae_extent_search_tpu.search.measure import RecordToFile
+    from vae_extent_search_tpu.search.pallas_tuner import PallasKernelRunner
+    from vae_extent_search_tpu.search.task_scheduler import TaskScheduler
+
+    mm_wk = make_workload_key("matmul_auto_scheduler_test", (256, 256, 256))
+    conv_wk = make_workload_key(
+        "conv2d_layer", (1, 8, 8, 128, 128, 3, 3, [1, 1], [1, 1]))
+    donor = [SearchTask(mm_wk, "llvm"), SearchTask(conv_wk, "llvm")]
+    record = [SearchTask(mm_wk, "tpu -model=bfloat16"),
+              SearchTask(conv_wk, "tpu -model=bfloat16")]
+
+    runner = PallasKernelRunner(matmul_time_fn=_fake_time,
+                                conv_time_fn=predicted_conv_seconds)
+    log = str(tmp_path / "suite.json")
+    opts = TuningOptions(num_measure_trials=16, num_measures_per_round=4,
+                         builder=EmptyBuilder(), runner=runner,
+                         measure_callbacks=[RecordToFile(log)])
+    sched = TaskScheduler(record, [1.0, 2.0], strategy="gradient",
+                          callbacks=[], seed=0)
+    from vae_extent_search_tpu.search.sketch import SketchPolicy
+
+    sched.tune(opts, policies=[SketchPolicy(t, seed=i)
+                               for i, t in enumerate(donor)])
+    assert sched.ct >= 16
+    assert all(c > 0 for c in sched.task_cts)  # warm-up touched both
+
+    lib = PallasKernelLibrary.from_file(log)
+    assert len(lib) == 2
+    for t in record:
+        rec = lib.query(t.workload_key, dtype="bfloat16")
+        assert rec is not None
+        assert rec.res.mean_cost < 1e9

@@ -454,6 +454,9 @@ def runner_from_spec(spec: str, noise: float = 0.0, seed: int = 0,
                                           search/pallas_tuner.py)
     - ``pallas_conv2d[:<dtype>]``       — same for implicit-GEMM conv2d
                                           kernels (ops/conv2d_pallas.py)
+    - ``pallas[:<dtype>]``              — composite: dispatch per task to
+                                          the matching kernel family
+                                          (mixed suites, tune_kernel_suite)
     """
     if spec == "analytic":
         return AnalyticRunner(noise=noise, seed=seed)
@@ -474,6 +477,11 @@ def runner_from_spec(spec: str, noise: float = 0.0, seed: int = 0,
         from .pallas_tuner import PallasConv2dRunner
         dtype = spec.split(":", 1)[1] if ":" in spec else "bfloat16"
         return PallasConv2dRunner(dtype=dtype, verbose=True)
+    if spec == "pallas" or spec.startswith("pallas:"):
+        # composite: dispatch per task family (mixed kernel suites)
+        from .pallas_tuner import PallasKernelRunner
+        dtype = spec.split(":", 1)[1] if ":" in spec else "bfloat16"
+        return PallasKernelRunner(dtype=dtype, verbose=True)
     if spec.startswith("service:"):
         from .measure_service import ServiceRunner
         key, addr = spec.split(":", 1)[1].split("@")

@@ -620,3 +620,41 @@ def time_xla_matmul(M: int, N: int, K: int, dtype: str = "bfloat16",
         return timed
 
     return _time_chained(make_timed, (a, b), est, target_ms, repeats)
+
+
+class PallasKernelRunner(Runner):
+    """Composite runner over every self-tunable kernel family.
+
+    The TaskScheduler tunes many tasks through ONE runner (reference
+    task_scheduler.py:418-474 allocates one measurer across all tasks);
+    this dispatches each task to its family runner by workload name —
+    matmul_auto_scheduler_test -> PallasMatmulRunner, conv2d_layer ->
+    PallasConv2dRunner — so a mixed kernel suite (scripts/
+    tune_kernel_suite.py) tunes through the scheduler's gradient
+    allocation exactly like a network's task set."""
+
+    def __init__(self, dtype: str = "bfloat16",
+                 matmul_time_fn: Optional[Callable] = None,
+                 conv_time_fn: Optional[Callable] = None, **kw):
+        self.matmul = PallasMatmulRunner(dtype=dtype, time_fn=matmul_time_fn,
+                                         **kw)
+        self.conv = PallasConv2dRunner(dtype=dtype, time_fn=conv_time_fn,
+                                       **kw)
+
+    def _dispatch(self, task: SearchTask) -> Runner:
+        name, _ = decode_workload_key(task.workload_key)
+        if "conv2d_layer" in name:
+            return self.conv
+        if "matmul" in name:
+            return self.matmul
+        raise ValueError(
+            f"no Pallas kernel family for workload {name!r} "
+            "(tunable: matmul_auto_scheduler_test, conv2d_layer)")
+
+    def run(self, task: SearchTask, states: Sequence[State]
+            ) -> List[MeasureResult]:
+        return self._dispatch(task).run(task, states)
+
+    @property
+    def n_timed(self) -> int:
+        return self.matmul.n_timed + self.conv.n_timed
