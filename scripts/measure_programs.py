@@ -2,10 +2,11 @@
 
 Parity: reference scripts/measure_programs.py — replays to-measure files
 through ProgramMeasurer (builder+runner+RecordToFile), shardable via
---start-idx/--end-idx/--step-idx (:88-91). On the TPU framework, real
-candidate-kernel timing is an external adapter; the built-in runners are
-``analytic`` (deterministic simulator) and ``replay`` (costs from an
-existing log).
+--start-idx/--end-idx/--step-idx (:88-91), with the FLOP-dependent
+timing-repeat policy (:107-120; see flop_repeat_count). On the TPU
+framework, real candidate-kernel timing is an external adapter; the
+built-in runners are ``analytic`` (deterministic simulator) and
+``replay`` (costs from an existing log).
 """
 
 import argparse
@@ -27,11 +28,34 @@ from vae_extent_search_tpu.search.measure import (
 )
 
 
-def remeasure_file(in_file: str, out_file: str, runner, batch: int = 64):
+def remeasure_file(in_file: str, out_file: str, runner, batch: int = 64,
+                   flop_repeats: bool = True, target: str = None):
     records = load_records(in_file)
     if not records:
         return 0
     task = records[0].inp.task
+    if target and target != task.target:
+        # re-target the pool: to-measure programs are generated once per
+        # target kind and measured on each platform of that kind with
+        # the records carrying the platform's target string (reference
+        # measure_programs.py rebuilds tasks from its required --target;
+        # TenSet measured one cuda pool on both k80 and t4)
+        from vae_extent_search_tpu.records import SearchTask
+
+        if target.split()[0] != (task.target.split()[0] if task.target
+                                 else "llvm"):
+            raise SystemExit(
+                f"--target kind {target.split()[0]!r} does not match the "
+                f"pool's kind {task.target!r}: schedule spaces differ "
+                "across kinds; regenerate the pool with dump_programs")
+        task = SearchTask(task.workload_key, target)
+    if flop_repeats and hasattr(runner, "repeat"):
+        # FLOP-dependent timing-repeat policy (reference
+        # measure_programs.py:107-120): emitted records carry `repeat`
+        # cost entries scaled to the task's arithmetic volume
+        from vae_extent_search_tpu.search.measure import flop_repeat_count
+
+        runner.repeat = flop_repeat_count(task.compute_dag.flop_ct)
     os.makedirs(os.path.dirname(out_file) or ".", exist_ok=True)
     if os.path.exists(out_file):
         os.remove(out_file)
@@ -111,6 +135,16 @@ def main():
     p.add_argument("--step-idx", type=int, default=1)
     p.add_argument("--resume", action="store_true",
                    help="skip files whose output already exists non-empty")
+    p.add_argument("--no-flop-repeats", action="store_true",
+                   help="disable the FLOP-dependent timing-repeat policy "
+                        "(reference measure_programs.py:107-120) and emit "
+                        "single-cost records")
+    p.add_argument("--target", type=str, default=None,
+                   help="measure the pools AS this platform target "
+                        "(records carry it; the analytic runner prices "
+                        "with its profile — search/platforms.py). Output "
+                        "defaults to measure_records/<platform>/ like the "
+                        "reference's per-platform record folders")
     args = p.parse_args()
 
     from vae_extent_search_tpu.search.measure import runner_from_spec
@@ -130,13 +164,24 @@ def main():
             print(f"no to-measure files under {args.in_folder}")
             return
 
+    out_folder = MEASURE_RECORD_FOLDER
+    if args.target:
+        from vae_extent_search_tpu.search.platforms import (
+            platform_for_target,
+        )
+
+        out_folder = os.path.join(MEASURE_RECORD_FOLDER,
+                                  platform_for_target(args.target).name)
+
     for i, in_file in enumerate(files):
         out = args.out_file if (args.out_file and len(files) == 1) else \
-            os.path.join(MEASURE_RECORD_FOLDER, os.path.basename(in_file))
+            os.path.join(out_folder, os.path.basename(in_file))
         if args.resume and os.path.exists(out) and os.path.getsize(out) > 0:
             print(f"[{i + 1}/{len(files)}] exists, skip {out}", flush=True)
             continue
-        n = remeasure_file(in_file, out, runner, batch=args.batch_size)
+        n = remeasure_file(in_file, out, runner, batch=args.batch_size,
+                           flop_repeats=not args.no_flop_repeats,
+                           target=args.target)
         print(f"[{i + 1}/{len(files)}] measured {n} programs -> {out}",
               flush=True)
 

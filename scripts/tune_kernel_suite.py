@@ -20,8 +20,11 @@ Usage (chip):
   python scripts/tune_kernel_suite.py \
       --suite matmul:1536x1536x1536:2 conv2d:1x56x56x128x128x3x3:4 \
       --n-trials 96 --measures-per-round 8
-CPU smoke test:
+CPU smoke test (--policy sketch: the default sketch.vae retrains the VAE
+cost model every round and takes multiple minutes even at --n-trials 16;
+plain `sketch` finishes in ~1 s):
   JAX_PLATFORMS=cpu python scripts/tune_kernel_suite.py --fake-timer \
+      --policy sketch \
       --suite matmul:256x256x256 conv2d:1x8x8x128x128x3x3 --n-trials 16
 """
 
@@ -31,8 +34,6 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import numpy as np
 
 from vae_extent_search_tpu.ops.conv2d_pallas import (
     conv_out_size,
@@ -74,18 +75,33 @@ def parse_suite_entry(token: str):
         if len(dims) != 7:
             raise SystemExit(f"conv2d wants NxHxWxCOxCIxKHxKW, got "
                              f"{parts[1]!r}")
+        KH, KW = dims[5], dims[6]
+        if KH % 2 == 0 or KW % 2 == 0:
+            raise SystemExit(
+                f"conv2d suite entries use 'same' padding, which needs odd "
+                f"kernel sizes; got KH={KH} KW={KW}")
+        if KH != KW:
+            # the Pallas conv runner + XLA baseline plumb one scalar pad
+            raise SystemExit(
+                f"conv2d suite entries need square kernels (KH==KW); "
+                f"got KH={KH} KW={KW}")
     else:
         raise SystemExit(f"unknown suite family {family!r}")
     return family, dims, weight
+
+
+def conv_same_padding(KH, KW):
+    """'same' padding per spatial dim (odd kernels only; see parse)."""
+    return (KH - 1) // 2, (KW - 1) // 2
 
 
 def entry_workload_key(family, dims):
     if family == "matmul":
         return make_workload_key("matmul_auto_scheduler_test", dims)
     N, H, W, CO, CI, KH, KW = dims
-    pad = (KH - 1) // 2
+    pad_h, pad_w = conv_same_padding(KH, KW)
     return make_workload_key(
-        "conv2d_layer", (N, H, W, CO, CI, KH, KW, [1, 1], [pad, pad]))
+        "conv2d_layer", (N, H, W, CO, CI, KH, KW, [1, 1], [pad_h, pad_w]))
 
 
 def entry_flops(family, dims):
@@ -93,9 +109,9 @@ def entry_flops(family, dims):
         M, N, K = dims
         return 2.0 * M * N * K
     N, H, W, CO, CI, KH, KW = dims
-    pad = (KH - 1) // 2
-    OH = conv_out_size(H, KH, 1, pad)
-    OW = conv_out_size(W, KW, 1, pad)
+    pad_h, pad_w = conv_same_padding(KH, KW)
+    OH = conv_out_size(H, KH, 1, pad_h)
+    OW = conv_out_size(W, KW, 1, pad_w)
     return 2.0 * N * OH * OW * CO * KH * KW * CI
 
 
@@ -191,7 +207,7 @@ def main():
                 xla_sec = time_xla_matmul(*dims, dtype=args.dtype)
             else:
                 N, H, W, CO, CI, KH, KW = dims
-                pad = (KH - 1) // 2
+                pad, _ = conv_same_padding(KH, KW)
                 xla_sec = time_xla_conv2d(N, H, W, CO, CI, KH, KW, 1, pad,
                                           dtype=args.dtype)
             xla_total += weight * xla_sec

@@ -334,7 +334,7 @@ def test_hyperparameter_opt_tpe_end_to_end(tmp_path, monkeypatch):
     sys.path.insert(0, repo)
     from vae_extent_search_tpu.data import make_dataset_from_log_file
 
-    log = os.path.join(repo, "resnet_18-B1-llvm.json")
+    log = os.path.join(repo, "result", "corpus", "resnet_18-B1-llvm.json")
     ds_path = str(tmp_path / "ds.pkl")
     make_dataset_from_log_file([log], ds_path, min_sample_size=1,
                                verbose=0)
@@ -423,7 +423,7 @@ def test_lgbm_bayesian_hpo_end_to_end(tmp_path, monkeypatch):
     sys.path.insert(0, repo)
     from vae_extent_search_tpu.data import make_dataset_from_log_file
 
-    log = os.path.join(repo, "resnet_18-B1-llvm.json")
+    log = os.path.join(repo, "result", "corpus", "resnet_18-B1-llvm.json")
     ds_path = str(tmp_path / "ds.pkl")
     make_dataset_from_log_file([log], ds_path, min_sample_size=1,
                                verbose=0)
@@ -538,7 +538,7 @@ def test_remeasure_abort_persists_prefix(tmp_path):
     from scripts.measure_programs import remeasure_file
     from vae_extent_search_tpu.records import load_records, save_records
 
-    corpus = os.path.join(repo, "resnet_18-B1-llvm.json")
+    corpus = os.path.join(repo, "result", "corpus", "resnet_18-B1-llvm.json")
     src = load_records(corpus, max_lines=8)
     task = src[0].inp.task
     base = [r for r in src if r.inp.task.workload_key == task.workload_key]

@@ -112,7 +112,7 @@ def test_gbdt_native_backend_on_ci_log_records():
     from vae_extent_search_tpu.models.gbdt import GBDTModelInternal
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    log = os.path.join(repo, "resnet_18-B1-llvm.json")
+    log = os.path.join(repo, "result", "corpus", "resnet_18-B1-llvm.json")
     # the reference quadruple: (features, normalized_throughputs,
     # task_ids, min_latency)
     feats, y, _, _ = get_per_store_features_from_file(log)
@@ -956,3 +956,60 @@ def test_lgbm_model_selects_lossguide(monkeypatch):
     b2 = boost_tpu.train(params, d2, num_boost_round=10,
                          obj=boost.pack_sum_square_error)
     assert np.allclose(b1.predict(rows), b2.predict(rows))
+
+
+def test_boost_tpu_pack_cache_releases_device_memory():
+    """Advisor finding (round 2/3): the DMatrix-lifetime pack cache must
+    hold HOST arrays only — no device (HBM on chip) buffers may stay
+    pinned to the DMatrix after train() returns, and re-training under a
+    different engine/tier key must not accumulate packs (the cache keeps
+    only the latest key)."""
+    import gc
+
+    import jax
+
+    from vae_extent_search_tpu.models import boost_tpu
+
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((300, 8)).astype(np.float32)
+    y = X[:, 0].astype(np.float32)
+    d = boost.DMatrix(X, label=y)
+    params = {"max_depth": 3, "eta": 0.3}
+
+    gc.collect()
+    live0 = sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                for a in jax.live_arrays())
+    b = boost_tpu.train(params, d, num_boost_round=4, verbose_eval=0)
+    assert len(b.trees) == 4
+    del b
+    gc.collect()
+
+    # 1) the cache itself holds only host numpy payloads
+    cache = getattr(d, "_ves_pack_cache", None)
+    assert cache is not None and len(cache) == 1
+    for host_input, _meta in cache.values():
+        parts = host_input if isinstance(host_input, tuple) else (host_input,)
+        for p in parts:
+            assert isinstance(p, np.ndarray), type(p)
+
+    # 2) device live bytes return to (approximately) the pre-train
+    # level: nothing corpus-sized stays resident once the booster and
+    # round temporaries are gone (corpus is ~300*8*4 = 9.6 kB binned;
+    # allow a small slack for cached scalars/compiled-constant buffers)
+    live1 = sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                for a in jax.live_arrays())
+    assert live1 - live0 < 4096, (live0, live1)
+
+    # 3) retraining under a different tier key evicts the old pack
+    # rather than accumulating host copies
+    import os
+    old = os.environ.get("VES_BOOST_TIER")
+    os.environ["VES_BOOST_TIER"] = "0"
+    try:
+        boost_tpu.train(params, d, num_boost_round=2, verbose_eval=0)
+        assert len(d._ves_pack_cache) == 1
+    finally:
+        if old is None:
+            os.environ.pop("VES_BOOST_TIER", None)
+        else:
+            os.environ["VES_BOOST_TIER"] = old

@@ -254,7 +254,7 @@ def test_iter_records_recovers_kill_corrupted_log(tmp_path):
                                                      record_to_json)
 
     corpus = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "resnet_18-B1-llvm.json")
+        os.path.abspath(__file__))), "result", "corpus", "resnet_18-B1-llvm.json")
     src = load_records(corpus, max_lines=6)
     lines = [record_to_json(r) for r in src]
     corrupt = (lines[0] + "\n"
@@ -285,7 +285,7 @@ def test_iter_records_tolerates_foreign_json_lines(tmp_path):
                                                      record_to_json)
 
     corpus = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "resnet_18-B1-llvm.json")
+        os.path.abspath(__file__))), "result", "corpus", "resnet_18-B1-llvm.json")
     src = load_records(corpus, max_lines=2)
     p = tmp_path / "foreign.json"
     p.write_text("null\n"
@@ -308,7 +308,7 @@ def test_repair_glued_scan_chunked(tmp_path, monkeypatch):
                                                      record_to_json)
 
     corpus = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "resnet_18-B1-llvm.json")
+        os.path.abspath(__file__))), "result", "corpus", "resnet_18-B1-llvm.json")
     src = load_records(corpus, max_lines=3)
     lines = [record_to_json(r) for r in src]
     p = tmp_path / "glued.json"

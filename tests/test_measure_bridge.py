@@ -182,3 +182,91 @@ def test_local_service_measure_context():
         results = ctx.runner.run(task, states)
     assert all(r.error_no == ERROR_NO_ERROR for r in results)
     assert all(np.isfinite(r.costs[0]) for r in results)
+
+
+def test_flop_repeat_count_reference_thresholds():
+    """The FLOP-dependent timing-repeat policy matches the reference's
+    exact thresholds (measure_programs.py:107-120)."""
+    from vae_extent_search_tpu.search.measure import flop_repeat_count
+
+    assert flop_repeat_count(2416443392.0) == 4
+    assert flop_repeat_count(1e12) == 4
+    assert flop_repeat_count(834928640.0) == 6
+    assert flop_repeat_count(2416443391.0) == 6
+    assert flop_repeat_count(2097152.0) == 10
+    assert flop_repeat_count(1.0) == 10
+    assert flop_repeat_count(2097153.0) == 8
+    assert flop_repeat_count(834928639.0) == 8
+
+
+def test_analytic_runner_emits_repeat_costs():
+    """AnalyticRunner(repeat=R) emits R cost entries per record; repeat 0
+    equals the single-repeat cost (so means stay comparable) and later
+    repeats only differ under noise."""
+    task, states = _task_and_states(4)
+    one = AnalyticRunner(noise=0.2).run(task, states)
+    ten = AnalyticRunner(noise=0.2, repeat=10).run(task, states)
+    for a, b in zip(one, ten):
+        assert len(b.costs) == 10
+        assert b.costs[0] == a.costs[0]
+        assert len(set(b.costs)) > 1  # noise spreads the repeats
+    # noise=0 stays fully deterministic across repeats
+    det = AnalyticRunner(repeat=4).run(task, states)
+    for r in det:
+        assert len(set(r.costs)) == 1
+
+
+def test_command_runner_repeat_contract(tmp_path):
+    """CommandRunner(repeat=R) appends R to the timer argv and parses
+    comma-separated multi-repeat cost lines; records written through
+    ProgramMeasurer carry all R costs."""
+    task, states = _task_and_states(5)
+    log = str(tmp_path / "rep.json")
+    measurer = ProgramMeasurer(
+        EmptyBuilder(), CommandRunner(TIMER, timeout=120, repeat=6),
+        callbacks=[RecordToFile(log)])
+    results = measurer.measure(task, states)
+    assert all(r.error_no == ERROR_NO_ERROR for r in results)
+    assert all(len(r.costs) == 6 for r in results)
+    recs = load_records(log)
+    assert all(len(r.res.costs) == 6 for r in recs)
+    # repeat-0 equals the single-repeat timing (same analytic base)
+    ref = CommandRunner(TIMER, timeout=120).run(task, states)
+    for a, b in zip(ref, results):
+        assert abs(a.costs[0] - b.costs[0]) <= 1e-9 * max(a.costs[0], 1e-30)
+
+
+def test_measure_programs_flop_dependent_repeats(tmp_path):
+    """scripts/measure_programs.remeasure_file applies the reference's
+    FLOP-repeat policy to its runner: a small matmul task (flop_ct
+    2*64^3 = 524288 <= 2097152) gets 10 costs per emitted record
+    (reference measure_programs.py:107-120), and --no-flop-repeats
+    restores single-cost records."""
+    sys.path.insert(0, REPO)
+    from scripts.measure_programs import remeasure_file
+    from vae_extent_search_tpu.records import make_record, save_records
+    from vae_extent_search_tpu.search.measure import flop_repeat_count
+
+    task, states = _task_and_states(6)
+    assert flop_repeat_count(task.compute_dag.flop_ct) == 10
+    in_file = str(tmp_path / "to_measure.json")
+    save_records(in_file, [
+        make_record(task, st.transform_steps, [0.0], 0, 0.0, 0.0)
+        for st in states], mode="w")
+
+    out_file = str(tmp_path / "measured.json")
+    n = remeasure_file(in_file, out_file, AnalyticRunner(noise=0.2))
+    recs = load_records(out_file)
+    assert n == 6 and len(recs) == 6
+    assert all(len(r.res.costs) == 10 for r in recs
+               if r.res.error_no == ERROR_NO_ERROR)
+
+    out2 = str(tmp_path / "measured_single.json")
+    remeasure_file(in_file, out2, AnalyticRunner(noise=0.2),
+                   flop_repeats=False)
+    recs2 = load_records(out2)
+    assert all(len(r.res.costs) == 1 for r in recs2
+               if r.res.error_no == ERROR_NO_ERROR)
+    # repeat-0 cost matches the single-cost run bit-exactly
+    for a, b in zip(recs2, recs):
+        assert a.res.costs[0] == b.res.costs[0]

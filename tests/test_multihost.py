@@ -11,7 +11,7 @@ import sys
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-CORPUS = os.path.join(REPO, "resnet_18-B1-llvm.json")
+CORPUS = os.path.join(REPO, "result", "corpus", "resnet_18-B1-llvm.json")
 
 
 def _free_port():

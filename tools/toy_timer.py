@@ -13,7 +13,12 @@ Failure injection for tests:
 - ``TOY_TIMER_SLEEP=S``: sleep S seconds before answering, exercising
   the runner timeout path.
 
-Usage: python tools/toy_timer.py <in.json> <out.json>
+Usage: python tools/toy_timer.py <in.json> <out.json> [repeat]
+
+``repeat`` (appended by CommandRunner when its FLOP-dependent repeat
+policy asks for > 1; reference measure_programs.py:107-120) makes the
+timer emit that many comma-separated costs per line, like a real
+multi-repeat hardware timing.
 """
 
 import os
@@ -28,13 +33,14 @@ from vae_extent_search_tpu.search.measure import AnalyticRunner  # noqa: E402
 
 def main():
     in_file, out_file = sys.argv[1], sys.argv[2]
+    repeat = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     sleep = float(os.environ.get("TOY_TIMER_SLEEP", "0"))
     if sleep:
         time.sleep(sleep)
     fail_every = int(os.environ.get("TOY_TIMER_FAIL_EVERY", "0"))
 
     records = load_records(in_file)
-    runner = AnalyticRunner(noise=0.2)
+    runner = AnalyticRunner(noise=0.2, repeat=repeat)
     lines = []
     for i, rec in enumerate(records):
         if fail_every and (i + 1) % fail_every == 0:
@@ -43,7 +49,7 @@ def main():
         task = rec.inp.task
         state = rec.inp.recover_state(infer_bound=True)
         res = runner.run(task, [state])[0]
-        lines.append(f"{res.costs[0]:.9g}")
+        lines.append(",".join(f"{c:.9g}" for c in res.costs))
     with open(out_file, "w") as f:
         f.write("\n".join(lines) + "\n")
 

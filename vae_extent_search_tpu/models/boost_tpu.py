@@ -552,6 +552,11 @@ def train(params: dict, dtrain: DMatrix, num_boost_round: int = 300,
                 host_input = pack_bins_host(dtrain._binned)
         else:
             host_input = np.ascontiguousarray(dtrain._binned.T)  # [n, d]
+        # keep only the latest (engine, tier) pack: cross-engine A/Bs
+        # use one DMatrix per arm anyway (docs/NEXT.md), and retaining
+        # every historical key would grow host RAM by ~a corpus-sized
+        # pack per distinct engine/tier combination
+        cache.clear()
         cache[cache_key] = (host_input, hist_meta)
         if isinstance(host_input, tuple):
             return binned_T, tuple(jnp.asarray(a) for a in

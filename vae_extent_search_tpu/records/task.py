@@ -51,6 +51,28 @@ class HardwareParams:
                        max_local_memory_per_block=2147483647,
                        max_threads_per_block=1024, max_vthread_extent=8,
                        warp_size=32)
+        # non-default platform profiles (search/platforms.py) shape the
+        # CPU schedule space with the platform's core count and vector
+        # ISA (InitParallel fuses to num_cores*16; reference
+        # sketch_policy_rules.cc:580-643). The default platform — bare
+        # llvm and the historical skylake target — keeps the reference's
+        # host-cpu-count behavior (GetDefaultHardwareParams), so
+        # pre-registry pools regenerate identically.
+        try:
+            from ..search.platforms import is_default_cpu_platform, \
+                platform_for_target
+
+            p = platform_for_target(target)
+            if not is_default_cpu_platform(p):
+                return cls(num_cores=p.num_cores,
+                           vector_unit_bytes=p.vector_unit_bytes,
+                           cache_line_bytes=64,
+                           max_shared_memory_per_block=2147483647,
+                           max_local_memory_per_block=2147483647,
+                           max_threads_per_block=2147483647,
+                           max_vthread_extent=1, warp_size=1)
+        except ImportError:  # registry unavailable mid-bootstrap
+            pass
         # llvm / cpu-style default (search_task.py GetDefaultHardwareParams)
         return cls(num_cores=os.cpu_count() or 1, vector_unit_bytes=64,
                    cache_line_bytes=64,

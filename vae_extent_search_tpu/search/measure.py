@@ -47,7 +47,27 @@ class Builder:
         raise NotImplementedError
 
 
+def flop_repeat_count(flop_ct: float) -> int:
+    """FLOP-dependent hardware-timing repeat policy (reference
+    scripts/measure_programs.py:107-120): small kernels are timed more
+    often because per-launch noise dominates, big kernels less because a
+    single run already averages it out. Thresholds are the reference's
+    verbatim."""
+    if flop_ct >= 2416443392.0:
+        return 4
+    if flop_ct >= 834928640.0:
+        return 6
+    if flop_ct <= 2097152.0:
+        return 10
+    return 8
+
+
 class Runner:
+    #: timing repetitions per candidate; runners that model real timing
+    #: emit ``repeat`` cost entries per record (reference
+    #: measurer_kwargs['repeat'], scripts/measure_programs.py:107-120)
+    repeat: int = 1
+
     def run(self, task: SearchTask, states: Sequence[State]) -> List[MeasureResult]:
         raise NotImplementedError
 
@@ -104,16 +124,60 @@ class AnalyticRunner(Runner):
     def __init__(self, peak_gflops: float = 100.0, num_cores: int = 8,
                  vector_width: int = 16, l1_elems: float = 4096.0,
                  noise: float = 0.0, seed: int = 0,
-                 fidelity: str = "low"):
+                 fidelity: str = "low", repeat: int = 1,
+                 platform: Optional[str] = "auto"):
         self.peak = peak_gflops * 1e9
         self.num_cores = num_cores
         self.vector_width = vector_width
         self.l1_elems = l1_elems
         self.noise = noise
         self.seed = seed
+        self.repeat = max(1, int(repeat))
         if fidelity not in ("low", "high"):
             raise ValueError(f"fidelity must be low|high, got {fidelity!r}")
         self.fidelity = fidelity
+        # platform: "auto" resolves the task's target to an analytic
+        # hardware profile per measure call (search/platforms.py — the
+        # TenSet 6-platform dimension); a platform name pins one
+        # profile; None keeps the constructor constants. Explicit
+        # constructor constants imply None (the caller knows best).
+        custom = (peak_gflops, num_cores, vector_width, l1_elems) != \
+            (100.0, 8, 16, 4096.0)
+        self.platform = None if (custom and platform == "auto") else platform
+
+    def _apply_platform(self, task):
+        """Bind the task's platform constants onto the runner; returns
+        the HFHardware profile for the high-fidelity path. For the
+        default platform (bare llvm / skylake / bare cuda) this is a
+        no-op relative to the historical constants, so pre-registry
+        corpora replay bit-identically."""
+        from .analytic_hf import DEFAULT_HW
+
+        if self.platform is None:
+            return DEFAULT_HW
+        from .platforms import platform_by_name, platform_for_target
+
+        p = (platform_for_target(task.target) if self.platform == "auto"
+             else platform_by_name(self.platform))
+        b = p.base
+        self.peak = b.peak_gflops * 1e9
+        self.num_cores = b.num_cores
+        self.vector_width = b.vector_width
+        self.l1_elems = b.l1_elems
+        return p.hf
+
+    def _rep_costs(self, key: bytes, t: float) -> List[float]:
+        """Expand one simulated cost into ``repeat`` timing entries
+        (reference records carry one cost per hardware repeat). Repeat 0
+        is the base cost; later repeats get extra deterministic jitter
+        keyed by (state, rep) so noisy runs look like real multi-repeat
+        timings while noise=0 stays exactly reproducible."""
+        if self.repeat == 1:
+            return [t]
+        out = [t]
+        for r in range(1, self.repeat):
+            out.append(max(self._jitter(key + b"#rep%d" % r, t), 1e-9))
+        return out
 
     def _cost(self, task: SearchTask, state: State) -> float:
         flops = task.compute_dag.flop_ct
@@ -174,34 +238,39 @@ class AnalyticRunner(Runner):
 
     def run(self, task, states):
         now = time.time()
+        hw = self._apply_platform(task)
         if self.fidelity == "high":
-            return self._run_hf(task, states, now)
+            return self._run_hf(task, states, now, hw)
         out = []
         for st in states:
             try:
                 if st.stages and st.stages[-1].iters and \
                         st.stages[-1].iters[0].range is None:
                     st = task.compute_dag.infer_bound(st)
-                out.append(MeasureResult([self._cost(task, st)],
-                                         ERROR_NO_ERROR, 0.001, now))
+                cost = self._cost(task, st)
+                out.append(MeasureResult(
+                    self._rep_costs(st.to_str().encode(), cost),
+                    ERROR_NO_ERROR, 0.001, now))
             except Exception:
                 out.append(MeasureResult([MAX_FLOAT], ERROR_RUNTIME_DEVICE,
                                          0.0, now))
         return out
 
-    def _run_hf(self, task, states, now):
+    def _run_hf(self, task, states, now, hw=None):
         """High-fidelity path: roofline cost over per-store features
         (search/analytic_hf.py). One batched featurizer call for the
         whole measure batch (native when available); the noise key is
         the printed bound state — byte-identical to the native record
         path's text, so costs agree across both entry points."""
         from ..features.per_store import get_per_store_features_from_states
-        from .analytic_hf import hf_cost_from_features
+        from .analytic_hf import DEFAULT_HW, hf_cost_from_features
 
+        if hw is None:
+            hw = DEFAULT_HW
         feats = get_per_store_features_from_states(states, task)
         out = []
         for st, fm in zip(states, feats):
-            cost = hf_cost_from_features(fm)
+            cost = hf_cost_from_features(fm, hw)
             if not math.isfinite(cost):
                 out.append(MeasureResult([MAX_FLOAT], ERROR_RUNTIME_DEVICE,
                                          0.0, now))
@@ -215,8 +284,9 @@ class AnalyticRunner(Runner):
                 out.append(MeasureResult([MAX_FLOAT], ERROR_RUNTIME_DEVICE,
                                          0.0, now))
                 continue
-            out.append(MeasureResult([max(self._jitter(key, cost), 1e-9)],
-                                     ERROR_NO_ERROR, 0.001, now))
+            out.append(MeasureResult(
+                self._rep_costs(key, max(self._jitter(key, cost), 1e-9)),
+                ERROR_NO_ERROR, 0.001, now))
         return out
 
     def _cost_from_summary(self, flops: float, text: bytes,
@@ -279,6 +349,7 @@ class AnalyticRunner(Runner):
             return None
         statuses, texts, stage_rows, iter_rows = batch
         now = time.time()
+        hw = self._apply_platform(task)
         flops = task.compute_dag.flop_ct
         hf_feats = None
         if self.fidelity == "high":
@@ -294,10 +365,12 @@ class AnalyticRunner(Runner):
                     and hf_feats[i] is not None:
                 from .analytic_hf import hf_cost_from_features
 
-                cost = hf_cost_from_features(hf_feats[i])
+                cost = hf_cost_from_features(hf_feats[i], hw)
                 if math.isfinite(cost):
                     out.append(MeasureResult(
-                        [max(self._jitter(texts[i], cost), 1e-9)],
+                        self._rep_costs(
+                            texts[i],
+                            max(self._jitter(texts[i], cost), 1e-9)),
                         ERROR_NO_ERROR, 0.001, now))
                 else:
                     out.append(MeasureResult([MAX_FLOAT],
@@ -305,8 +378,11 @@ class AnalyticRunner(Runner):
                 continue
             if statuses[i] == 0 and self.fidelity == "low":
                 out.append(MeasureResult(
-                    [self._cost_from_summary(flops, texts[i],
-                                             stage_rows[i], iter_rows[i])],
+                    self._rep_costs(
+                        texts[i],
+                        self._cost_from_summary(flops, texts[i],
+                                                stage_rows[i],
+                                                iter_rows[i])),
                     ERROR_NO_ERROR, 0.001, now))
                 continue
             try:  # python fallback (rfactor-free native miss, bad record)
@@ -325,15 +401,21 @@ class CommandRunner(Runner):
     out-of-process).
 
     The batch is written as a record log (costs all zero) to a temp file;
-    ``command`` is invoked as `command <in.json> <out.json>` and must
-    write one float cost (seconds) or the string "error" per line of
-    <out.json>, in input order. Timeouts / bad lines map to error
+    ``command`` is invoked as `command <in.json> <out.json> [repeat]` and
+    must write, per line of <out.json> in input order, either the string
+    "error" or one-or-more float costs (seconds) separated by commas or
+    spaces — one per timing repeat. ``repeat`` (the FLOP-dependent policy
+    of reference measure_programs.py:107-120; see flop_repeat_count) is
+    appended to the argv only when > 1, so pre-existing single-repeat
+    timers keep working unchanged. Timeouts / bad lines map to error
     records.
     """
 
-    def __init__(self, command: str, timeout: float = 600.0):
+    def __init__(self, command: str, timeout: float = 600.0,
+                 repeat: int = 1):
         self.command = command
         self.timeout = timeout
+        self.repeat = max(1, int(repeat))
 
     def run(self, task, states):
         import subprocess
@@ -353,9 +435,12 @@ class CommandRunner(Runner):
             inp = os.path.join(td, "in.json")
             outp = os.path.join(td, "out.json")
             save_records(inp, recs, mode="w")
+            argv = [*self.command.split(), inp, outp]
+            if self.repeat > 1:
+                argv.append(str(self.repeat))
             try:
                 subprocess.run(
-                    [*self.command.split(), inp, outp],
+                    argv,
                     timeout=self.timeout, check=True,
                     capture_output=True,
                 )
@@ -365,8 +450,12 @@ class CommandRunner(Runner):
             out = []
             for i in range(len(states)):
                 try:
-                    cost = float(lines[i])
-                    out.append(MeasureResult([cost], 0, cost, time.time()))
+                    costs = [float(v)
+                             for v in lines[i].replace(",", " ").split()]
+                    if not costs:
+                        raise ValueError("empty cost line")
+                    out.append(MeasureResult(costs, 0, sum(costs),
+                                             time.time()))
                 except (IndexError, ValueError):
                     out.append(MeasureResult([MAX_FLOAT],
                                              ERROR_RUNTIME_DEVICE, 0.0,
@@ -439,8 +528,12 @@ def runner_from_spec(spec: str, noise: float = 0.0, seed: int = 0,
     scripts/measure_programs.py and the fleet worker (the two copies
     had already drifted: the fleet lacked 'replay'):
 
-    - ``analytic``                      — the analytic simulator
-    - ``analytic_hf``                   — high-fidelity variant: roofline
+    - ``analytic[:<platform>]``         — the analytic simulator; the
+                                          optional platform name pins one
+                                          hardware profile, default
+                                          resolves per task target
+                                          (search/platforms.py)
+    - ``analytic_hf[:<platform>]``      — high-fidelity variant: roofline
                                           over per-store features
                                           (search/analytic_hf.py)
     - ``replay``                        — costs replayed from
@@ -458,10 +551,13 @@ def runner_from_spec(spec: str, noise: float = 0.0, seed: int = 0,
                                           the matching kernel family
                                           (mixed suites, tune_kernel_suite)
     """
-    if spec == "analytic":
-        return AnalyticRunner(noise=noise, seed=seed)
-    if spec == "analytic_hf":
-        return AnalyticRunner(noise=noise, seed=seed, fidelity="high")
+    if spec == "analytic" or spec.startswith("analytic:"):
+        plat = spec.split(":", 1)[1] if ":" in spec else "auto"
+        return AnalyticRunner(noise=noise, seed=seed, platform=plat)
+    if spec == "analytic_hf" or spec.startswith("analytic_hf:"):
+        plat = spec.split(":", 1)[1] if ":" in spec else "auto"
+        return AnalyticRunner(noise=noise, seed=seed, fidelity="high",
+                              platform=plat)
     if spec == "replay":
         if not replay_log:
             raise SystemExit("--runner replay needs --replay-log")
