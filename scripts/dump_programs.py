@@ -49,6 +49,16 @@ def main():
                    help="with --all-tasks: restrict to the reference "
                         "make_dataset.py batch-size-1 preset grid")
     p.add_argument("--target", type=str, default="llvm -mcpu=skylake-avx512")
+    p.add_argument("--only-target", type=str, default=None,
+                   help="with --all-tasks: dump only the tasks of this "
+                        "target (all_tasks.pkl is the global multi-"
+                        "platform registry; one platform's pools per run)")
+    p.add_argument("--out-folder", type=str, default=None,
+                   help="pool output folder (default "
+                        "to_measure_programs/; platform-specific pools — "
+                        "same workload, different HardwareParams schedule "
+                        "space — need their own folder since pool file "
+                        "names key on (workload, target kind) only)")
     p.add_argument("--n-states", type=int, default=4000)
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--seed", type=int, default=2023)
@@ -56,6 +66,7 @@ def main():
     p.add_argument("--end-idx", type=int, default=None)
     p.add_argument("--step-idx", type=int, default=1)
     args = p.parse_args()
+    out_folder = args.out_folder or TO_MEASURE_PROGRAM_FOLDER
 
     if args.all_tasks:
         import time
@@ -63,17 +74,19 @@ def main():
         from scripts.common import load_and_register_tasks
 
         tasks = load_and_register_tasks(args.all_tasks)
+        if args.only_target:
+            tasks = [t for t in tasks if t.target == args.only_target]
         if args.batch_size_1:
             from scripts.make_dataset import preset_batch_size_1
 
-            keys = preset_batch_size_1(args.target)
+            keys = preset_batch_size_1(args.only_target or args.target)
             tasks = [t for t in tasks if t.workload_key in keys]
         end = args.end_idx if args.end_idx is not None else len(tasks)
         tasks = tasks[args.start_idx:end:args.step_idx]
         t0 = time.time()
         for i, task in enumerate(tasks):
             out = os.path.join(
-                TO_MEASURE_PROGRAM_FOLDER,
+                out_folder,
                 clean_name((task.workload_key,
                             task.target.split()[0])) + ".json",
             )
@@ -98,7 +111,7 @@ def main():
         raise SystemExit("need --workload-key or --all-tasks")
     task = SearchTask(args.workload_key, args.target)
     out = args.out or os.path.join(
-        TO_MEASURE_PROGRAM_FOLDER,
+        out_folder,
         clean_name((task.workload_key, task.target.split()[0])) + ".json",
     )
     n = dump_task(task, out, args.n_states, args.seed)

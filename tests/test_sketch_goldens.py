@@ -1,0 +1,209 @@
+"""Generation-side sketch goldens against the reference's recorded pools.
+
+Round 3's worst bug (GPU shared-cache attach position,
+docs/ROUND_NOTES.md) was invisible to every replay test: replaying
+RECORDED steps is byte-exact even when the GENERATOR produces the wrong
+steps. These tests close that class: every state the reference's own
+search recorded (tutorials/auto_scheduler/ci_logs — products of real
+Ansor sketch+GA runs; rule surface sketch_policy_rules.cc:493-696) must
+be *reachable* by our generator, checked on three structural axes that
+init-population randomness and GA mutations cannot legitimately move:
+
+  1. structural step-kind histogram (cache stages, rfactor,
+     follow-splits, compute-at/inline counts),
+  2. per-stage split shapes (tiling-structure fingerprint: how many
+     lengths each SplitStep carries on which stage),
+  3. cache-attach iterator positions (the CA step that follows each
+     CacheRead/CacheWrite — exactly where the round-3 bug lived;
+     conv2d.json cuda golden iter 14).
+
+Annotation/fuse/pragma steps are excluded from the signature: those are
+sampled per state (InitParallel fuse counts, unroll values, vector
+sizes) and vary legitimately.
+"""
+
+import os
+from collections import Counter
+
+import pytest
+
+from tests.conftest import CI_LOGS
+from vae_extent_search_tpu.records import SearchTask, load_records
+from vae_extent_search_tpu.search.sketch import make_states
+
+# step kinds fixed by the sketch (structure), not by init/GA sampling.
+# CA is included: ChangeComputeLocation/MutateComputeLocation re-target
+# CA steps but never change how many exist for the cache/fusion
+# structure chosen by the sketch.
+_STRUCTURAL = {"SP", "RE", "FSP", "FFSP", "CHR", "CHW", "RF", "CI",
+               "CR", "SA", "CA"}
+
+
+def structural_signature(step_records):
+    """(kind histogram, split shapes, cache-attach positions)."""
+    kinds = tuple(sorted(Counter(
+        s[0] for s in step_records if s[0] in _STRUCTURAL).items()))
+    sp_shape = tuple(sorted(
+        (s[1], len(s[4])) for s in step_records if s[0] == "SP"
+    ))
+    cache_attach = []
+    for i, s in enumerate(step_records):
+        if s[0] in ("CHR", "CHW") and i + 1 < len(step_records) \
+                and step_records[i + 1][0] == "CA":
+            ca = step_records[i + 1]
+            # (cache kind, scope, attach iter position)
+            scope = s[2] if isinstance(s[2], str) else ""
+            cache_attach.append((s[0], scope, ca[3]))
+    return kinds, sp_shape, tuple(sorted(cache_attach))
+
+
+def _generated_signatures(task, n=160, seed=11):
+    states = make_states(task, n, seed=seed)
+    return [structural_signature([s.to_record() for s in
+                                  st.transform_steps]) for st in states]
+
+
+def _reference_records(log):
+    recs = load_records(os.path.join(CI_LOGS, log))
+    return [r for r in recs if r.res.error_no == 0]
+
+
+@pytest.mark.parametrize("log", [
+    "matmul.json",
+    "conv2d.json",
+    "resnet-50-NHWC-B1-llvm.json",
+    "resnet-18-NHWC-B1-cuda.json",
+])
+def test_reference_states_reachable_by_generator(log):
+    """Every recorded reference state's structural signature appears in
+    our generated population for the same task — kind histogram AND
+    split shapes AND cache-attach positions all at once."""
+    recs = _reference_records(log)
+    assert recs
+    missed = []
+    gen_cache = {}
+    for ri, rec in enumerate(recs):
+        task = SearchTask(rec.inp.task.workload_key,
+                          "cuda" if rec.inp.task.is_gpu else "llvm")
+        ref_sig = structural_signature(rec.inp.step_records)
+        key = task.workload_key
+        if key not in gen_cache:
+            gen_cache[key] = set(_generated_signatures(task))
+        if ref_sig in gen_cache[key]:
+            continue
+        if any(k == "RF" for k, _ in ref_sig[0]):
+            # rfactored states: CA/CR counts are init-population
+            # placement samples with ~1% joint probability (the
+            # reference pool surfaced them through its 2048-population
+            # cost-model-guided GA); reachability of the combination
+            # is pinned separately by
+            # test_rfactor_placement_combo_reachable. Here require the
+            # rest of the structure.
+            relaxed = tuple((k, c) for k, c in ref_sig[0]
+                            if k not in ("CA", "CR"))
+            if any(
+                tuple((k, c) for k, c in g[0]
+                      if k not in ("CA", "CR")) == relaxed
+                and g[1] == ref_sig[1] and g[2] == ref_sig[2]
+                for g in gen_cache[key]
+            ):
+                continue
+        missed.append((ri, ref_sig))
+    assert not missed, (
+        f"{len(missed)}/{len(recs)} reference states structurally "
+        f"unreachable by the generator: {missed[:3]}"
+    )
+
+
+def test_conv2d_cuda_shared_cache_attach_modal_position():
+    """The round-3 bug detector, sharpened: for the conv2d cuda task,
+    the *modal* shared-cache attach position across a generated
+    population equals the reference's recorded position (iter 14 =
+    outermost reduce tile after the space tiles; reference records put
+    both shared caches there). A generator that attaches inside the
+    innermost reduce tile (the round-3 bug) shifts every sample, not
+    just outliers, so the mode catches it regardless of mutation
+    noise."""
+    recs = _reference_records("conv2d.json")
+    task = SearchTask(recs[0].inp.task.workload_key, "cuda")
+    ref_positions = {
+        (kind, scope, pos)
+        for rec in recs
+        for kind, scope, pos in structural_signature(
+            rec.inp.step_records)[2]
+        if scope == "shared"
+    }
+    assert ref_positions, "reference records carry shared caches"
+
+    counts = Counter()
+    for sig in _generated_signatures(task, n=160, seed=5):
+        for kind, scope, pos in sig[2]:
+            if scope == "shared":
+                counts[(kind, scope, pos)] += 1
+    assert counts, "generator produced no shared caches on a cuda task"
+    modal = {max(
+        ((k, c) for k, c in counts.items() if k[0] == kind_scope[0]),
+        key=lambda kc: kc[1])[0]
+        for kind_scope in ref_positions}
+    assert modal == ref_positions, (counts, ref_positions)
+
+
+def test_cpu_split_shapes_follow_tiling_structure():
+    """CPU multi-level tiling is SSRSRS (search_policy.py:179-194):
+    generated matmul states split space iters into 3 lengths and reduce
+    iters into 1 on the main compute stage, matching the reference's
+    matmul.json record exactly."""
+    recs = _reference_records("matmul.json")
+    ref_sp = structural_signature(recs[0].inp.step_records)[1]
+    task = SearchTask(recs[0].inp.task.workload_key, "llvm")
+    sigs = _generated_signatures(task, n=64, seed=1)
+    assert any(sig[1] == ref_sp for sig in sigs), (
+        sigs[0][1], ref_sp)
+    # the tiled stage shows 3-length space splits + 1-length reduce
+    n3 = sum(1 for _, n in ref_sp if n == 3)
+    n1 = sum(1 for _, n in ref_sp if n == 1)
+    assert n3 == 2 and n1 == 1  # i, j space; k reduce
+
+
+def test_rfactor_placement_combo_reachable():
+    """The resnet-50-llvm softmax record's placement pattern (both
+    reduction stages computed_at their consumers AND both rf stages at
+    root: CA x2 + CR x2) is reachable by InitChangeComputeLocation on
+    the inner-rfactor sketch — the low-probability combination the
+    relaxation in test_reference_states_reachable_by_generator defers
+    to here."""
+    import random
+
+    from vae_extent_search_tpu.search.sketch import (
+        generate_sketches,
+        init_change_compute_location,
+        init_fill_tile_size,
+    )
+
+    recs = _reference_records("resnet-50-NHWC-B1-llvm.json")
+    softmax = [r for r in recs
+               if "d7b65649a4dd54becea0a52aabbc5af5"
+               in r.inp.task.workload_key]
+    assert softmax
+    ref_sig = structural_signature(softmax[0].inp.step_records)
+    ref_kinds = dict(ref_sig[0])
+    assert ref_kinds.get("RF") == 2 and ref_kinds.get("CA") == 2
+
+    task = SearchTask(softmax[0].inp.task.workload_key, "llvm")
+    sks = generate_sketches(task, seed=0)
+    inner = [s for s in sks
+             if [t.to_record()[0]
+                 for t in s.transform_steps].count("RE") == 2]
+    assert inner, "inner-rfactor sketch variant missing"
+
+    for seed in range(2000):
+        rng = random.Random(seed)
+        st = init_fill_tile_size(inner[0], rng, 64)
+        st = init_change_compute_location(st, task, rng)
+        sig = structural_signature(
+            [s.to_record() for s in st.transform_steps])
+        if sig[0] == ref_sig[0] and sig[1] == ref_sig[1]:
+            return  # reached the reference combination
+    raise AssertionError(
+        "CA x2 + CR x2 rfactor placement never produced in 2000 "
+        "init samples")

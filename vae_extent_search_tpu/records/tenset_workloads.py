@@ -35,8 +35,19 @@ from ..ir.tensor import (
 
 def _pad_nhwc(data, pt, pl, pb, pr, name="PaddedInput", pad_value=0.0,
               force=False):
-    if pt == 0 and pl == 0 and pb == 0 and pr == 0 and not force:
-        return data
+    if pt == 0 and pl == 0 and pb == 0 and pr == 0:
+        if not force:
+            return data
+        # topi's identity pad (pad=0 but the stage is kept for stage-
+        # count parity) has NO select branch — which makes it strictly
+        # inlineable, exactly like the reference's 1x1-conv PaddedInput
+        # (resnet-50 ci_log records CI it in the sketch;
+        # compute_dag.cc:350 has_branch would otherwise veto)
+        return compute(
+            data.shape,
+            lambda *axs: data[tuple(a.var for a in axs)],
+            name,
+        )
     N, H, W, C = data.shape
 
     def fcompute(n, h, w, c):
@@ -451,6 +462,10 @@ def conv3d_ndhwc_chain(data_shape, kernel_shape, out_shape,
     kernel = placeholder(kernel_shape, name="placeholder")
 
     def fpad(n, d, h, w, c):
+        if pd == 0 and p == 0:
+            # identity pad is branch-free (topi pad semantics; keeps
+            # the stage strictly inlineable like the reference)
+            return data[n.var, d.var, h.var, w.var, c.var]
         cond = E.And((
             d.var >= pd, d.var < D + pd,
             h.var >= p, h.var < H + p,

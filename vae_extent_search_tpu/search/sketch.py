@@ -61,11 +61,22 @@ class AccessAnalysis:
         # data_pack/inverse; here derived: a const tensor is a ComputeOp
         # whose body reads nothing)
         self.const_tensor_indices = {}
+        # producer uid -> consumer uids; (consumer, producer) -> number
+        # of common outer iterators (reference access analyzer,
+        # compute_dag.cc:277-306)
+        self.read_by_uids = {}
+        self.edge_common_outer = {}
+        self._rank = {
+            op.uid: (len(op.axes) if isinstance(op, ComputeOp)
+                     else len(op.shape))
+            for op in dag.ops
+        }
         for op in dag.ops:
             if not isinstance(op, ComputeOp):
                 continue
             self.is_simple_access[op.uid] = self._simple_access(op)
             self.needs_multi_level_tiling[op.uid] = self._needs_mlt(op)
+            self._build_common_outer(op)
             reads = E.collect_reads(op.body)
             self.const_tensor_indices[op.uid] = \
                 self._const_tensor_indices(op, reads)
@@ -171,18 +182,87 @@ class AccessAnalysis:
         return False
 
     def _needs_mlt(self, op: ComputeOp) -> bool:
-        """Has reduction and data reuse: some read misses a spatial axis
-        (reference AccessAnalyzer NeedsMultiLevelTiling semantics)."""
-        if not op.reduce_axes:
-            return False
-        axis_vars = {d.var for d in op.axes}
+        """Reference AccessAnalyzer needs_multi_level_tiling
+        (compute_dag.cc:360-390) verbatim: per READ TENSOR, a spatial
+        axis with extent > 1 absent from every access to it counts one
+        "missing"; the op needs multi-level tiling when two inputs each
+        miss an axis, or one does and the op reduces. Extent-1 axes
+        never count (adaptive_pool's collapsed spatial dims read as
+        pure-reduce accesses but carry no reuse)."""
+        reads_by_tensor: dict = {}
         for r in E.collect_reads(op.body):
+            reads_by_tensor.setdefault(r.tensor.op.uid, []).append(r)
+        n_missing = 0
+        for accesses in reads_by_tensor.values():
             used = set()
-            for idx in r.indices:
-                used |= E.collect_vars(idx)
-            if axis_vars - used:
+            for r in accesses:
+                for idx in r.indices:
+                    used |= E.collect_vars(idx)
+            for d in op.axes:
+                ext = d.extent if isinstance(d.extent, int) else 2
+                if ext > 1 and d.var not in used:
+                    n_missing += 1
+                    break
+            if n_missing >= 2 or (n_missing >= 1 and op.reduce_axes):
                 return True
         return False
+
+    @staticmethod
+    def _const_shift_equal(var, idx) -> bool:
+        """idx is `var` or `var +/- const` (reference IsConstShiftEqual,
+        utils.h — the injectivity test of the common-outer scan)."""
+        if idx is var:
+            return True
+        if isinstance(idx, (E.Add, E.Sub)):
+            a, b = idx.a, idx.b
+            return (a is var and isinstance(b, E.IntImm)) or (
+                isinstance(a, E.IntImm) and b is var)
+        return False
+
+    def _build_common_outer(self, op: ComputeOp):
+        """Per read edge: number of leading output dims where consumer
+        and producer shapes agree and every access index is the
+        consumer's own axis (const-shifted) — reference
+        compute_dag.cc:277-306."""
+        by_producer: dict = {}
+        for r in E.collect_reads(op.body):
+            by_producer.setdefault(r.tensor.op.uid, []).append(r)
+        out_shape = [d.extent if isinstance(d.extent, int) else -1
+                     for d in op.axes]
+        for puid, accesses in by_producer.items():
+            self.read_by_uids.setdefault(puid, set()).add(op.uid)
+            prod_shape = list(accesses[0].tensor.shape)
+            n_common = 0
+            for i in range(min(len(out_shape), len(prod_shape))):
+                if out_shape[i] < 0 or out_shape[i] != prod_shape[i]:
+                    break
+                if not all(
+                    len(r.indices) > i
+                    and self._const_shift_equal(op.axes[i].var,
+                                                r.indices[i])
+                    for r in accesses
+                ):
+                    break
+                n_common += 1
+            self.edge_common_outer[(op.uid, puid)] = n_common
+
+    def num_common_outer(self, op, target_uid) -> int:
+        """Chain-min of per-edge common-outer counts from ``op`` through
+        its consumers to ``target_uid`` (reference
+        GetNumCommonOuterIterator, compute_dag.cc:477-499)."""
+        best = None
+
+        def traverse(uid, cur):
+            nonlocal best
+            if uid == target_uid:
+                best = cur if best is None else min(best, cur)
+                return
+            for cons in self.read_by_uids.get(uid, ()):
+                edge = self.edge_common_outer.get((cons, uid), 0)
+                traverse(cons, min(cur, edge))
+
+        traverse(op.uid, self._rank.get(op.uid, 0))
+        return best if best is not None else 0
 
     def consumers(self, state: State, stage_id: int) -> List[int]:
         """Stage ids reading this stage's output, resolved THROUGH inlined
@@ -295,24 +375,77 @@ def _fuse_into_consumer(st: State, stage_id: int, target: int,
     st.compute_at(stage_id, target, attach_pos)
 
 
-def _needs_rfactor(op: ComputeOp, num_cores: int = 8) -> bool:
-    """AddRfactor applies when the reduction dominates a small spatial
-    domain (sketch_policy_rules.cc AddRfactor condition: the space domain
-    can't fill the cores)."""
+def _cum_space_reduce_len(op: ComputeOp):
     space = 1
     for d in op.axes:
-        space *= d.extent
+        space *= d.extent if isinstance(d.extent, int) else 1
     red = 1
     for d in op.reduce_axes:
         # symbolic (data-dependent) extents count as 1 — otherwise the
-        # product becomes an Expr and `red >= 16` a truthy Cmp object
+        # product becomes an Expr and comparisons a truthy Cmp object
         red *= d.extent if isinstance(d.extent, int) else 1
-    return space < num_cores and red >= 16
+    return space, red
+
+
+def _needs_rfactor(op: ComputeOp, analysis, hw) -> bool:
+    """Reference NeedsRfactor (utils.h:319-341): multi-level-tiling
+    stages rfactor when the space domain is smaller than both the
+    reduction and num_cores*16; plain reduction stages whenever the
+    reduction exceeds the core count."""
+    if not op.reduce_axes:
+        return False
+    space, red = _cum_space_reduce_len(op)
+    if analysis.needs_multi_level_tiling.get(op.uid):
+        return space <= red and space <= hw.num_cores * 16
+    return red > 1 and red > hw.num_cores
+
+
+def _single_consumer_id(st: State, cons) -> "int | None":
+    """Resolve multiple consumers to their common compute root
+    (reference GetSingleConsumerId, utils.h:193-230: consumers attached
+    under one root stage count as that single root)."""
+    if not cons:
+        return None
+    if len(cons) == 1:
+        return cons[0]
+    root = None
+    for c in cons:
+        stg = st.stages[c]
+        if stg.compute_at == AT_ROOT:
+            r = c
+        elif stg.compute_at == AT_ITER:
+            at = st.attach_map.stage_to_attach_iter.get(c)
+            if at is None:
+                return None
+            r = at[0]
+        else:
+            return None
+        if root is None:
+            root = r
+        elif root != r:
+            return None
+    return root
+
+
+def _needs_cross_thread(op: ComputeOp, analysis, hw) -> bool:
+    """Reference RuleCrossThreadReduction::MeetCondition
+    (sketch_policy_rules.cc:330-370): for multi-level-tiling stages,
+    cross-thread applies when the space domain fits one thread block
+    and the reduction dominates it; for plain reduction stages, when
+    the fused reduction exceeds a warp."""
+    if not op.reduce_axes:
+        return False
+    space, red = _cum_space_reduce_len(op)
+    if analysis.needs_multi_level_tiling.get(op.uid):
+        return space <= hw.max_threads_per_block and space < red
+    return red > 1 and red > hw.warp_size
 
 
 def _generate_main_sketch(task: SearchTask, use_rfactor: bool = False,
                           cross_thread: bool = False,
-                          fuse_level: int = None) -> State:
+                          fuse_level: int = None,
+                          fuse_consumer: bool = True,
+                          rfactor_inner: bool = True) -> State:
     """One sketch: AlwaysInline for strictly inlineable non-output stages;
     for tilable stages MultiLevelTilingWithFusion (or AddCacheWrite when
     no fusible consumer exists — the cache copy becomes the consumer), GPU
@@ -328,18 +461,33 @@ def _generate_main_sketch(task: SearchTask, use_rfactor: bool = False,
 
     st = dag.init_state.copy()
     st.tiled_stage_split_ids = {}  # op name -> spatial split step ids
+    # stages added by cache_read are never re-visited by the reference's
+    # enumeration (GenerateSketches walks stage ids strictly downward
+    # and cache stages insert above the producer position,
+    # sketch_policy.cc:314-382) — without this the GPU greedy-inline
+    # rule would swallow the shared caches it just created
+    cache_stage_uids = set()
     stage_id = len(st.stages) - 1
     while stage_id >= 0:
         stage = st.stages[stage_id]
         op = stage.op
-        if isinstance(op, PlaceholderOp) or stage.compute_at == AT_INLINED:
+        if isinstance(op, PlaceholderOp) or stage.compute_at == AT_INLINED \
+                or op.uid in cache_stage_uids:
             stage_id -= 1
             continue
         uid = op.uid
-        if (
-            analysis.is_strictly_inlineable.get(uid)
-            and not analysis.is_output.get(uid)
-        ):
+        # GPU greedily inlines EVERY reduce-free non-output compute op
+        # — including padding and transposed-access ops that CPU leaves
+        # for ChangeComputeLocation to tune (reference
+        # ShouldAlwaysBeInlined, sketch_policy_rules.cc:57-76: the
+        # IsStrictlyInlineable check applies only to CPU tasks).
+        # Golden: conv2d.json cuda records CI pad_temp after
+        # cache-reading it (CI x2 per record).
+        inlinable = (
+            (isinstance(op, ComputeOp) and not op.reduce_axes)
+            if is_gpu else analysis.is_strictly_inlineable.get(uid)
+        )
+        if inlinable and not analysis.is_output.get(uid):
             # RuleSpecialComputeLocationGPU (sketch_policy_rules.cc:425):
             # a to-be-inlined producer of a const-simplified consumer is
             # computed_at just before the consumer's unrolled region
@@ -391,15 +539,21 @@ def _generate_main_sketch(task: SearchTask, use_rfactor: bool = False,
             stage_id -= 1
             continue
         if not analysis.needs_multi_level_tiling.get(uid):
-            if op.reduce_axes and _needs_rfactor(
-                op, task.hardware_params.num_cores
+            if op.reduce_axes and (
+                _needs_cross_thread(op, analysis, task.hardware_params)
+                if is_gpu else
+                _needs_rfactor(op, analysis, task.hardware_params)
             ):
                 if use_rfactor and not is_gpu:
-                    # AddRfactor (sketch_policy_rules.cc:248-300): fuse all
-                    # reduce iters, split, rfactor the outer part. The
-                    # split factor is applied concretely then reset to
-                    # undefined so init-population samples it (the
-                    # reference's rfactor hack, sketch_policy.cc:355-378).
+                    # AddRfactor (sketch_policy_rules.cc:248-300): fuse
+                    # all reduce iters, split by {1}, rfactor either the
+                    # outer or the inner split part (rfactor_inner
+                    # selects the reference's second variant, which
+                    # also reorders the rf stage's space iter innermost
+                    # for vectorization). The split factor is reset to
+                    # undefined afterwards so init-population samples
+                    # it (the reference's rfactor hack,
+                    # sketch_policy.cc:355-378).
                     red_pos = [
                         i for i, it in enumerate(stage.iters)
                         if it.kind != KIND_SPATIAL
@@ -407,8 +561,11 @@ def _generate_main_sketch(task: SearchTask, use_rfactor: bool = False,
                     if len(red_pos) >= 1:
                         if len(red_pos) > 1:
                             st.fuse(stage_id, red_pos)
-                        st.split(stage_id, red_pos[0], [4])
-                        st.rfactor(stage_id, red_pos[0], 0)
+                        fused_pos = red_pos[0]
+                        n_space = fused_pos  # spatial iters precede
+                        st.split(stage_id, fused_pos, [1])
+                        rf_iter = fused_pos + (1 if rfactor_inner else 0)
+                        st.rfactor(stage_id, rf_iter, n_space)
                         from ..ir.steps import SplitStep as _SP
 
                         sp = st.transform_steps[-2]
@@ -416,25 +573,66 @@ def _generate_main_sketch(task: SearchTask, use_rfactor: bool = False,
                             sp.stage_id, sp.iter_id, sp.extent, [None],
                             sp.inner_to_outer,
                         )
-                        stage_id += 1  # rfactor inserted a stage before
+                        if rfactor_inner:
+                            # move the space iter at n_space innermost
+                            rst = st.stages[stage_id]
+                            order = [i for i in range(len(rst.iters))
+                                     if i != n_space] + [n_space]
+                            st.reorder(stage_id, order)
                 elif cross_thread and is_gpu:
                     # CrossThreadReduction (sketch_policy_rules.cc:372-420):
-                    # fuse reduce iters and bind them to threadIdx.x
+                    # fuse the reduce iters; when the (single, possibly
+                    # inline-resolved) consumer shares outer iterators
+                    # and needs no multi-level tiling, FOLLOW the
+                    # consumer's thread split and compute_at the
+                    # reduction inside it (the softmax pattern of
+                    # resnet-18-cuda records: SP on norm, FSP+CA on
+                    # expsum/maxelem); otherwise bind a plain
+                    # warp-sized split
                     red_pos = [
                         i for i, it in enumerate(stage.iters)
                         if it.kind != KIND_SPATIAL
                     ]
                     if red_pos:
-                        fused = (
+                        if len(red_pos) > 1:
                             st.fuse(stage_id, red_pos)
-                            if len(red_pos) > 1
-                            else stage.iters[red_pos[0]]
-                        )
-                        parts = st.split(
-                            stage_id, fused,
-                            [task.hardware_params.warp_size],
-                        )
-                        st.bind(stage_id, parts[1], "threadIdx.x")
+                        fused_pos = red_pos[0]
+                        stage = st.stages[stage_id]
+                        warp = task.hardware_params.warp_size
+                        cons = analysis.consumers(st, stage_id)
+                        fuse_target = None
+                        c = _single_consumer_id(st, cons)
+                        if c is not None:
+                            nco = analysis.num_common_outer(
+                                op, st.stages[c].op.uid)
+                            if nco > 0 and not \
+                                    analysis.needs_multi_level_tiling.get(
+                                        st.stages[c].op.uid):
+                                fuse_target = (c, nco)
+                        if fuse_target is not None:
+                            c, nco = fuse_target
+                            from ..ir.steps import SplitStep as _SPS
+
+                            split_ids = [
+                                si for si, s in
+                                enumerate(st.transform_steps)
+                                if isinstance(s, _SPS) and s.stage_id == c
+                            ]
+                            if not split_ids:
+                                # simple reduce-free consumer: give it
+                                # the thread split to follow
+                                last = len(st.stages[c].iters) - 1
+                                parts = st.split(c, last, [warp])
+                                st.bind(c, parts[1], "threadIdx.x")
+                                split_ids = [len(st.transform_steps) - 2]
+                            parts = st.follow_split(
+                                stage_id, fused_pos, split_ids[0], 1)
+                            st.bind(stage_id, parts[1], "threadIdx.x")
+                            st.compute_at(stage_id, c, nco - 1)
+                        else:
+                            parts = st.split(
+                                stage_id, fused_pos, [warp])
+                            st.bind(stage_id, parts[1], "threadIdx.x")
             stage_id -= 1
             continue
 
@@ -446,6 +644,7 @@ def _generate_main_sketch(task: SearchTask, use_rfactor: bool = False,
             and st.stages[c].compute_at == AT_ROOT
             and not st.stages[c].op.reduce_axes
         ]
+        had_fusible_consumer = bool(fusible)
         if not fusible:
             # AddCacheWrite: [cache compute at stage_id, copy at
             # stage_id + 1]; the copy becomes the fusion consumer
@@ -460,7 +659,12 @@ def _generate_main_sketch(task: SearchTask, use_rfactor: bool = False,
         # uids) but preserve names
         st.tiled_stage_split_ids[op.name] = split_ids
         n_axes = len(split_ids)
-        if fusible:
+        # CPU generates BOTH the fused and the plain tiling variant
+        # (RuleMultiLevelTilingWithFusion is kApply there, so the rule
+        # chain falls through to plain RuleMultiLevelTiling;
+        # sketch_policy_rules.cc MeetCondition). Cache-write stages
+        # always fuse into their copy stage.
+        if fusible and (fuse_consumer or not had_fusible_consumer):
             _fuse_into_consumer(st, stage_id, fusible[0], split_ids, n_split)
         if is_gpu:
             # AddCacheRead: shared caches for the tiled stage's inputs,
@@ -486,6 +690,7 @@ def _generate_main_sketch(task: SearchTask, use_rfactor: bool = False,
                 if src_sid is None:
                     continue
                 added = st.cache_read(src_sid, "shared", [stage_id])
+                cache_stage_uids.add(st.stages[added].op.uid)
                 # ids after insertion: our stage shifted if behind
                 tgt = stage_id + 1 if stage_id >= added else stage_id
                 st.compute_at(added, tgt, attach_pos)
@@ -514,22 +719,46 @@ def generate_sketches(task: SearchTask, seed: int = 0) -> List[State]:
         if key not in seen:
             seen.add(key)
             sketches.append(sk)
+    if not task.is_gpu:
+        # the plain (unfused) multi-level-tiling variant — CPU's
+        # RuleMultiLevelTilingWithFusion is kApply, so the reference's
+        # BFS also reaches plain RuleMultiLevelTiling
+        try:
+            sk = _generate_main_sketch(task, fuse_consumer=False)
+            if sk.to_str() not in seen:
+                seen.add(sk.to_str())
+                sketches.append(sk)
+        except Exception:
+            pass
     if not sketches:
         sketches = [_generate_main_sketch(task)]
     dag = task.compute_dag
     # rfactor / cross-thread-reduction alternatives when some stage
-    # qualifies
-    has_small_reduce = any(
-        isinstance(op, ComputeOp) and op.reduce_axes
-        and _needs_rfactor(op, task.hardware_params.num_cores)
-        for op in dag.ops
-    )
-    if has_small_reduce:
+    # qualifies (GPU gating is the reference CrossThreadReduction
+    # MeetCondition; CPU is the AddRfactor condition)
+    _an = AccessAnalysis(dag)
+    if task.is_gpu:
+        has_small_reduce = any(
+            isinstance(op, ComputeOp)
+            and _needs_cross_thread(op, _an, task.hardware_params)
+            for op in dag.ops
+        )
+        variants = [dict(cross_thread=True)] if has_small_reduce else []
+    else:
+        has_small_reduce = any(
+            isinstance(op, ComputeOp)
+            and _needs_rfactor(op, _an, task.hardware_params)
+            for op in dag.ops
+        )
+        # the reference's AddRfactor emits BOTH split-part variants
+        # (outer and inner-with-reorder, sketch_policy_rules.cc:248-300)
+        variants = [
+            dict(use_rfactor=True, rfactor_inner=False),
+            dict(use_rfactor=True, rfactor_inner=True),
+        ] if has_small_reduce else []
+    for kw in variants:
         try:
-            alt = _generate_main_sketch(
-                task, use_rfactor=not task.is_gpu,
-                cross_thread=task.is_gpu,
-            )
+            alt = _generate_main_sketch(task, **kw)
             if alt.to_str() not in {sk.to_str() for sk in sketches}:
                 sketches.append(alt)
         except Exception:
@@ -552,11 +781,52 @@ def init_thread_bind(state: State, task: SearchTask,
     split_ids_of = getattr(state, "tiled_stage_split_ids", {})
     warp = task.hardware_params.warp_size
 
+    def _has_cross_thread(sid):
+        """threadIdx-bound reduce iter in the stage or a stage attached
+        to it (reference HasCrossThreadReduction, utils.h:445-470)."""
+        def chk(stg):
+            return any(it.annotation == 6 and it.kind == KIND_REDUCTION
+                       for it in stg.iters)
+
+        if chk(state.stages[sid]):
+            return True
+        for iid in range(len(state.stages[sid].iters)):
+            for att in state.attach_map.iter_to_attached_stages.get(
+                    (sid, iid), ()):
+                if chk(state.stages[att]):
+                    return True
+        return False
+
     for sid in range(len(state.stages)):
         stage = state.stages[sid]
         if stage.op_type == "placeholder" or stage.compute_at == AT_INLINED:
             continue
         name = stage.op.name
+        if _has_cross_thread(sid):
+            # cross-thread-reduction stages: the reduction is already
+            # threadIdx-bound; a root stage just gets its outer space
+            # prefix (stopping at reduce/annotated/attach-carrying
+            # iters) bound to blockIdx (reference InitThreadBind
+            # cross-thread branch + FuseAllOuterSpaceIterators,
+            # utils.h:597-619). Attached stages are left alone.
+            if stage.compute_at != AT_ROOT:
+                continue
+            space = []
+            for i, it in enumerate(stage.iters):
+                if it.kind == KIND_REDUCTION or it.annotation != 0:
+                    break
+                if i > 0 and (sid, i - 1) in \
+                        state.attach_map.iter_to_attached_stages:
+                    break
+                space.append(i)
+            if not space:
+                continue
+            fused = state.fuse(sid, space) if len(space) > 1 else \
+                stage.iters[space[0]]
+            state.bind(sid, fused, "blockIdx.x")
+            continue
+        if any(it.annotation == 6 for it in stage.iters):
+            continue  # already threadIdx-annotated
         if stage.compute_at == AT_ROOT:
             # multi-level-tiled roots carry >= 3 space levels; two-level
             # stages (e.g. const-simplified winograd data_pack) take the
