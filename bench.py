@@ -42,6 +42,15 @@ per-chip figure. Scoring runs in bfloat16 (MXU-native; top-1/selection
 agreement with f32 is regression-tested in tests/test_models.py),
 selection logic and statistics stay f32.
 
+Before the timed windows, a shard_map parity pin runs on the real
+hardware: the same selection phase through
+search/select_sharded.py::select_programs_sharded over a Mesh of all
+visible devices (a mesh of 1 on the single-chip bench) with injected
+dropout mask bits must reproduce the unsharded phase's selection
+indices exactly. The sharded path was previously pinned only by
+CPU-interpret tests at small N (tests/test_pipeline.py); this closes
+the real-chip seam and prints a `shard_parity=` line on stderr.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -55,6 +64,62 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # measured on this host via tools/baseline_probe.py (see module
 # docstring): best-of-7 of the reference-faithful torch-CPU phase
 BASELINE_CANDS_PER_SEC = 7087.0
+
+
+def shard_parity_check(cfg_kw):
+    """Real-hardware pin: select_programs_sharded over a Mesh of every
+    visible device must reproduce the unsharded fused phase's selection
+    bit-for-bit when both consume the same injected dropout mask bits
+    (the PRNG-free seam also used by the CPU-interpret tests). Runs at
+    a smaller pool than the headline bench so the [T, N, H] bits
+    tensor stays a few hundred MB of HBM."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from vae_extent_search_tpu.models import init_predictor_params
+    from vae_extent_search_tpu.search import SelectionConfig
+    from vae_extent_search_tpu.search.select import _select_programs
+    from vae_extent_search_tpu.search.select_sharded import (
+        select_programs_sharded,
+    )
+
+    n_dev = len(jax.devices())
+    N, D, T, H = 32768 * n_dev, 24, 10, 256
+    cfg = SelectionConfig(T_mc=T, **cfg_kw)
+    key = jax.random.PRNGKey(42)
+    params = init_predictor_params(key, D, hidden_dim=H, latent_dim=64)
+    X = jax.random.normal(key, (N, D), jnp.float32)
+    used = jnp.zeros(N, bool).at[:128].set(True)
+    rem = ~used
+    bits = jax.jit(lambda k: jax.random.bits(k, (T, N, H), jnp.uint32))(
+        jax.random.fold_in(key, 7))
+    n_meas = 128
+    cidx = jnp.concatenate([
+        jnp.arange(n_meas, dtype=jnp.int32),
+        jnp.zeros(cfg.max_centers - n_meas, jnp.int32)])
+    cval = jnp.arange(cfg.max_centers) < n_meas
+
+    sel1, val1, rem1, aux1 = _select_programs(
+        params, X, used, rem, key, cfg, False, bits, cidx, cval)
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    sel2, val2, rem2, aux2 = select_programs_sharded(
+        params, X, used, rem, key, cfg, mesh, "data",
+        mask_bits=bits, center_idx=cidx, center_valid=cval)
+
+    v1, v2 = np.asarray(val1), np.asarray(val2)
+    ok = ((v1 == v2).all()
+          and (np.asarray(sel1)[v1] == np.asarray(sel2)[v2]).all()
+          and (np.asarray(rem1) == np.asarray(rem2)).all())
+    n_sel = int(v1.sum())
+    print(f"shard_parity={'OK' if ok else 'FAIL'} mesh={n_dev}dev "
+          f"N={N} selected={n_sel} "
+          f"backend={jax.default_backend()}", file=sys.stderr)
+    if not ok:
+        raise AssertionError(
+            "sharded fused selection diverged from the unsharded phase "
+            "on real hardware")
 
 
 def main():
@@ -71,6 +136,14 @@ def main():
     HIDDEN, LATENT = 256, 64
     cfg = SelectionConfig(num_select=64, T_mc=10, topk_factor=5, grad_num=2,
                           rand_num=0, compute_dtype="bfloat16")
+
+    # real-hardware parity pin for the pod-scale path (VERDICT r3 weak
+    # #6) before any timing: fail loudly rather than benchmark a
+    # kernel whose sharded twin diverges
+    shard_parity_check(dict(num_select=cfg.num_select,
+                            topk_factor=cfg.topk_factor,
+                            grad_num=cfg.grad_num, rand_num=cfg.rand_num,
+                            compute_dtype=cfg.compute_dtype))
 
     key = jax.random.PRNGKey(0)
     params = init_predictor_params(key, D, hidden_dim=HIDDEN,

@@ -221,6 +221,14 @@ def fused_head_stats(head_layers: List[Dict], z: jnp.ndarray, seed,
     in_itemsize = jnp.dtype(z.dtype).itemsize
     while block > _LANE and d_in * block * in_itemsize > 2_097_152:
         block = max(_LANE, (block // 2) // _LANE * _LANE)
+    # injected dropout bits add a [T, block, H] u32 input block to the
+    # scoped-VMEM footprint that the hardware-PRNG path never pays
+    # (10.5 MB at T=10, block=1024, H=256 — measured 4.1 MB over the
+    # 16 MB budget on v5e next to the activations). Shrink the
+    # candidate block until the bits block fits in ~5 MB.
+    if mask_bits is not None:
+        while block > _LANE and T * block * h * 4 > 5_242_880:
+            block = max(_LANE, (block // 2) // _LANE * _LANE)
     nb = -(-n // block)
     pad = nb * block - n
     if pad:

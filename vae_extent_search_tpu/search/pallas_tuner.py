@@ -24,6 +24,7 @@ measured-state dedup (sketch_policy.cc:626-631).
 
 from __future__ import annotations
 
+import sys
 import time
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
@@ -256,9 +257,16 @@ def _run_cached(runner, states: Sequence[State], *, to_raw, snap, valid,
             except TimeoutError:
                 res = MeasureResult([MAX_FLOAT], ERROR_BUILD_TIMEOUT,
                                     time.time() - t0, now)
-            except Exception as exc:  # compile/VMEM/validity errors
-                if runner.verbose:
-                    print(f"  config {cfg}: {exc}")
+            except Exception as exc:
+                # ERROR_COMPILE_DEVICE collapses several failure modes
+                # (Mosaic compile errors, scoped-VMEM exhaustion,
+                # numerics-verify AssertionError); always log the
+                # exception class so an all-failure tuning log is
+                # diagnosable from its stderr (advisor r3 finding)
+                first = str(exc).splitlines()[0] if str(exc) else ""
+                print(f"  config {cfg} FAILED "
+                      f"{type(exc).__name__}: {first[:200]}",
+                      file=sys.stderr)
                 res = MeasureResult([MAX_FLOAT], ERROR_COMPILE_DEVICE,
                                     time.time() - t0, now)
             runner.cache[key] = res
