@@ -15,6 +15,19 @@ weighted tuned latency is the estimate_network_latency analogue
 Suite entries, comma-free tokens, repeatable:
   matmul:MxNxK[:weight]
   conv2d:NxHxWxCOxCIxKHxKW[:weight]        (stride 1, same padding)
+  fusedhead:NxDxHxLxT[:weight]             (the framework's own fused
+                                            selection-head kernel:
+                                            block x mc_chunk schedule)
+  gbdthist:RxFxC2xC16xC64xC128[:weight]    (device-GBDT histogram tier
+                                            ladder for a rows x census
+                                            shape; C* = #features with
+                                            <=2/<=16/<=64/<=128 bins)
+
+The fusedhead/gbdthist families tune the framework's OWN kernels
+(VERDICT r3 item 4): tuned records dispatch through the process
+kernel library (VES_KERNEL_LIBRARY) into search/select.py and
+models/boost_tpu.py, and the suite summary prints tuned-vs-hand-default
+speedups for them.
 
 Usage (chip):
   python scripts/tune_kernel_suite.py \
@@ -85,6 +98,20 @@ def parse_suite_entry(token: str):
             raise SystemExit(
                 f"conv2d suite entries need square kernels (KH==KW); "
                 f"got KH={KH} KW={KW}")
+    elif family == "fusedhead":
+        if len(dims) != 5:
+            raise SystemExit(f"fusedhead wants NxDxHxLxT, got {parts[1]!r}")
+        if dims[2] % 128 or dims[3] % 8:
+            raise SystemExit(
+                f"fusedhead needs H%128==0 and L%8==0 (the kernel's "
+                f"layout contract), got H={dims[2]} L={dims[3]}")
+    elif family == "gbdthist":
+        if len(dims) != 6:
+            raise SystemExit(
+                f"gbdthist wants RxFxC2xC16xC64xC128, got {parts[1]!r}")
+        if sum(dims[2:]) > dims[1]:
+            raise SystemExit(
+                f"gbdthist census {dims[2:]} exceeds F={dims[1]}")
     else:
         raise SystemExit(f"unknown suite family {family!r}")
     return family, dims, weight
@@ -98,6 +125,10 @@ def conv_same_padding(KH, KW):
 def entry_workload_key(family, dims):
     if family == "matmul":
         return make_workload_key("matmul_auto_scheduler_test", dims)
+    if family == "fusedhead":
+        return make_workload_key("fused_head_layer", dims)
+    if family == "gbdthist":
+        return make_workload_key("gbdt_hist_layer", dims)
     N, H, W, CO, CI, KH, KW = dims
     pad_h, pad_w = conv_same_padding(KH, KW)
     return make_workload_key(
@@ -108,6 +139,14 @@ def entry_flops(family, dims):
     if family == "matmul":
         M, N, K = dims
         return 2.0 * M * N * K
+    if family == "fusedhead":
+        from vae_extent_search_tpu.search.pallas_tuner import (
+            PallasFusedHeadRunner,
+        )
+
+        return PallasFusedHeadRunner.flop_estimate(*dims)
+    if family == "gbdthist":
+        return 2.0 * dims[0] * dims[1] * 256 * 16
     N, H, W, CO, CI, KH, KW = dims
     pad_h, pad_w = conv_same_padding(KH, KW)
     OH = conv_out_size(H, KH, 1, pad_h)
@@ -156,10 +195,18 @@ def main():
         record_tasks.append(SearchTask(wk, f"tpu -model={args.dtype}"))
         weights.append(weight)
 
+    from vae_extent_search_tpu.search.pallas_tuner import (
+        predicted_fusedhead_seconds,
+        predicted_hist_seconds,
+    )
+
     runner = PallasKernelRunner(
         dtype=args.dtype, max_seconds=args.max_seconds,
         matmul_time_fn=predicted_seconds if args.fake_timer else None,
         conv_time_fn=predicted_conv_seconds if args.fake_timer else None,
+        fusedhead_time_fn=(predicted_fusedhead_seconds
+                           if args.fake_timer else None),
+        hist_time_fn=predicted_hist_seconds if args.fake_timer else None,
         verbose=not args.fake_timer,
     )
     tune_option = TuningOptions(
@@ -202,7 +249,29 @@ def main():
         line = (f"  {family} {'x'.join(map(str, dims))} w={weight:g}: "
                 f"tuned {sec*1e3:.3f} ms ({gf:.0f} GFLOP/s)")
         tuned_total += weight * sec
-        if have_xla:
+        if family in ("fusedhead", "gbdthist"):
+            # the baseline for the framework's own kernels is the
+            # hand-picked default schedule, measured through the SAME
+            # runner/timing path (tuned-vs-default is the claim the
+            # record log substantiates)
+            if family == "fusedhead":
+                from vae_extent_search_tpu.ops.fused_head_pallas import (
+                    snap_fused_config,
+                )
+
+                import jax.numpy as jnp
+
+                dcfg = snap_fused_config(*dims, 1024, dims[4],
+                                         dtype=jnp.dtype(args.dtype))
+                def_sec = runner.fusedhead._time_config(*dims, *dcfg)
+                dcfg_s = f"block={dcfg[0]} tc={dcfg[1]}"
+            else:
+                dladder = (2, 16, 64, 128)
+                def_sec = runner.hist._time_config(dims, dladder)
+                dcfg_s = "ladder=2,16,64,128"
+            line += (f" | default[{dcfg_s}] {def_sec*1e3:.3f} ms "
+                     f"({def_sec/sec:.2f}x)")
+        elif have_xla:
             if family == "matmul":
                 xla_sec = time_xla_matmul(*dims, dtype=args.dtype)
             else:

@@ -342,3 +342,225 @@ def test_kernel_suite_scheduler_tunes_mixed_families(tmp_path):
         rec = lib.query(t.workload_key, dtype="bfloat16")
         assert rec is not None
         assert rec.res.mean_cost < 1e9
+
+
+# ---------------------------------------------------------------------------
+# self-tuning families: the framework's own kernels (VERDICT r3 item 4)
+# ---------------------------------------------------------------------------
+
+def _fh_task(N=4096, D=24, H=256, L=64, T=10, target="llvm"):
+    return SearchTask(
+        make_workload_key("fused_head_layer", (N, D, H, L, T)), target)
+
+
+def _gh_task(R=120000, F=164, c=(98, 6, 8, 12), target="llvm"):
+    return SearchTask(
+        make_workload_key("gbdt_hist_layer", (R, F) + tuple(c)), target)
+
+
+def test_state_to_fusedhead_config_manual():
+    """Hand-tiled MC nest: candidate (i) tiles inside the outermost
+    reduction multiply into block, MC (t) tiles into mc_chunk; the A1
+    stage's identically-named k loop must not hijack the cut."""
+    from vae_extent_search_tpu.ir.schedule_api import (
+        state_reorder,
+        state_split,
+    )
+    from vae_extent_search_tpu.search.pallas_tuner import (
+        state_to_fusedhead_config,
+    )
+
+    task = _fh_task(4096, 24, 256, 64, 10)
+    st = task.compute_dag.init_state.copy()
+    sid = next(i for i, s in enumerate(st.stages) if s.op.name == "MC")
+    t_it, i_it, k_it = st.stages[sid].iters
+    t0, t1 = state_split(st, sid, t_it, [2])
+    i0, i1, i2 = state_split(st, sid, i_it, [4, 512])
+    k0, k1 = state_split(st, sid, k_it, [16])
+    state_reorder(st, sid, [t0, i0, k0, t1, i1, k1, i2])
+    cfg, why = state_to_fusedhead_config(st)
+    assert why is None
+    assert cfg == (4 * 512, 2)
+
+
+def test_state_to_fusedhead_config_ga_pool():
+    from vae_extent_search_tpu.search.pallas_tuner import (
+        state_to_fusedhead_config,
+    )
+
+    task = _fh_task()
+    states = make_states(task, 32, evo_population=64, min_population=16,
+                         seed=5)
+    cfgs = set()
+    for st in states:
+        cfg, why = state_to_fusedhead_config(st)
+        assert cfg is not None, (why, st.to_str())
+        cfgs.add(cfg)
+    assert len(cfgs) >= 4  # the GA explores distinct (block, tc) points
+
+
+def test_snap_fused_config_lattice():
+    from vae_extent_search_tpu.ops.fused_head_pallas import (
+        snap_fused_config,
+    )
+
+    # lane alignment + clamping
+    assert snap_fused_config(262144, 24, 256, 64, 10, 1000, 3) == (896, 3)
+    assert snap_fused_config(262144, 24, 256, 64, 10, 7, 99) == (128, 10)
+    # VMEM cols cap: tc*block bounded by the stacked-activation budget
+    blk, tc = snap_fused_config(262144, 24, 256, 64, 10, 4096, 10)
+    assert blk == 4096 and tc == 10240 // 4096
+    # small-N cap: block never exceeds the padded candidate count
+    assert snap_fused_config(300, 24, 256, 64, 10, 4096, 1)[0] == 384
+
+
+def test_state_to_hist_ladder_pool():
+    from vae_extent_search_tpu.search.pallas_tuner import (
+        state_to_hist_ladder,
+    )
+
+    task = _gh_task()
+    states = make_states(task, 32, evo_population=64, min_population=16,
+                         seed=5)
+    ladders = set()
+    for st in states:
+        cfg, why = state_to_hist_ladder(st)
+        assert cfg is not None, (why, st.to_str())
+        assert all(2 <= w <= 128 and (w & (w - 1)) == 0 for w in cfg), cfg
+        assert tuple(sorted(set(cfg))) == cfg
+        ladders.add(cfg)
+    assert len(ladders) >= 3  # flat + several window mixes
+
+
+def test_state_to_hist_ladder_unsplit_is_flat():
+    from vae_extent_search_tpu.search.pallas_tuner import (
+        state_to_hist_ladder,
+    )
+
+    task = _gh_task()
+    st = task.compute_dag.init_state.copy()
+    cfg, why = state_to_hist_ladder(st)
+    assert cfg == () and why is None
+
+
+def test_fusedhead_runner_fake_timer_caches():
+    from vae_extent_search_tpu.search.pallas_tuner import (
+        PallasFusedHeadRunner,
+        predicted_fusedhead_seconds,
+    )
+
+    r = PallasFusedHeadRunner(time_fn=predicted_fusedhead_seconds)
+    task = _fh_task(4096, 24, 256, 64, 10, target="tpu -model=bfloat16")
+    states = make_states(_fh_task(), 16, evo_population=64,
+                         min_population=16, seed=3)
+    res = r.run(task, states)
+    assert len(res) == len(states)
+    ok = [x for x in res if x.error_no == ERROR_NO_ERROR]
+    assert ok and r.n_timed == len(r.cache)
+    # distinct states collapsing onto one snapped config share a cost
+    res2 = r.run(task, states)
+    assert [x.costs for x in res2] == [x.costs for x in res]
+    assert r.n_timed == len(r.cache)  # all cache hits on replay
+
+
+def test_boosthist_runner_fake_timer_prefers_census_ladder():
+    """With the analytic surrogate, a census-covering ladder must beat
+    flat (fewer effective one-hot lanes) at 1M rows."""
+    from vae_extent_search_tpu.search.pallas_tuner import (
+        BoostHistRunner,
+        predicted_hist_seconds,
+    )
+
+    r = BoostHistRunner(time_fn=predicted_hist_seconds)
+    flat = r._time_config((1_000_000, 164, 98, 6, 8, 12), ())
+    ladd = r._time_config((1_000_000, 164, 98, 6, 8, 12), (2, 16, 64, 128))
+    assert ladd < flat
+
+
+def test_selftune_library_dispatch_roundtrip(tmp_path, monkeypatch):
+    """Tuned records for the framework's own kernels persist through the
+    standard record log and dispatch into their consumers: the fused
+    selection head reads (block, mc_chunk) from the library, the device
+    GBDT reads its tier ladder through _plan_tiers_env."""
+    from vae_extent_search_tpu.ops import kernel_library as kl
+    from vae_extent_search_tpu.ops.kernel_library import (
+        PallasKernelLibrary,
+        tuned_fused_head_config,
+        tuned_hist_ladder,
+    )
+    from vae_extent_search_tpu.search.measure import RecordToFile
+    from vae_extent_search_tpu.search.pallas_tuner import (
+        BoostHistRunner,
+        PallasFusedHeadRunner,
+        predicted_fusedhead_seconds,
+        predicted_hist_seconds,
+    )
+
+    log = str(tmp_path / "selftune.json")
+    fh_rec = _fh_task(4096, 24, 256, 64, 10, target="tpu -model=bfloat16")
+    gh_rec = _gh_task(target="tpu -model=bfloat16")
+    measurer = ProgramMeasurer(
+        EmptyBuilder(),
+        PallasFusedHeadRunner(time_fn=predicted_fusedhead_seconds),
+        callbacks=[RecordToFile(log)], max_continuous_error=10 ** 9)
+    measurer.measure(fh_rec, make_states(_fh_task(), 24, evo_population=64,
+                                         min_population=16, seed=3))
+    measurer = ProgramMeasurer(
+        EmptyBuilder(), BoostHistRunner(time_fn=predicted_hist_seconds),
+        callbacks=[RecordToFile(log)], max_continuous_error=10 ** 9)
+    measurer.measure(gh_rec, make_states(_gh_task(), 24, evo_population=64,
+                                         min_population=16, seed=3))
+
+    lib = PallasKernelLibrary.from_file(log)
+    fh_cfg = lib.fused_head_config(4096, 24, 256, 64, 10)
+    assert fh_cfg is not None and fh_cfg[0] % 128 == 0 and fh_cfg[1] >= 1
+    ladder = lib.hist_ladder(120000, 164, 98, 6, 8, 12)
+    assert ladder is not None
+
+    # process-default library -> boost_tpu tier planning
+    monkeypatch.setenv(kl.LIBRARY_ENV, log)
+    monkeypatch.delenv("VES_BOOST_TIER", raising=False)
+    assert tuned_fused_head_config(4096, 24, 256, 64, 10) == fh_cfg
+    assert tuned_hist_ladder(120000, 164, 98, 6, 8, 12) == ladder
+
+    import numpy as np
+
+    from vae_extent_search_tpu.models.boost_tpu import _plan_tiers_env
+
+    # n_edges convention: nbins = ne + 1 (plan_tiers_multi)
+    ne = np.array([1] * 98 + [11] * 6 + [49] * 8 + [99] * 12 + [255] * 40)
+    plan, idx_big = _plan_tiers_env(ne, 120000)
+    assert tuple(sw for sw, _ in plan) == tuple(
+        w for w in ladder if w in {sw for sw, _ in plan}) or ladder == ()
+    # an unmatched shape keeps the hand default ladder
+    plan_def, _ = _plan_tiers_env(ne, 120001)
+    assert [sw for sw, _ in plan_def] == [2, 16, 64, 128]
+
+
+def test_fused_head_mc_chunk_invariant_interpret():
+    """mc_chunk only re-chunks the stacked MC pass; with injected
+    dropout bits the outputs are bit-identical across (block, mc_chunk)
+    schedules — the tuner can explore them without changing search
+    results."""
+    import jax
+
+    from vae_extent_search_tpu.models import init_predictor_params
+    from vae_extent_search_tpu.ops.fused_head_pallas import fused_head_stats
+
+    key = jax.random.PRNGKey(0)
+    N, D, H, L, T = 512, 24, 256, 64, 4
+    params = init_predictor_params(key, D, hidden_dim=H, latent_dim=L)
+    X = jax.random.normal(key, (N, D), jnp.float32)
+    bits = jax.random.bits(jax.random.fold_in(key, 1), (T, N, H),
+                           jnp.uint32)
+    outs = []
+    for block, tc in ((1024, None), (256, 2), (128, 1)):
+        o = fused_head_stats(
+            params["cost_predictor"], X, jnp.int32(7), T=T, block=block,
+            interpret=True, mask_bits=bits,
+            encoder=(params["encoder"], params["fc_mu"]),
+            mu_layout="none", mc_chunk=tc)
+        outs.append([np.asarray(x) for x in o[1:]])
+    for other in outs[1:]:
+        for a, b in zip(outs[0], other):
+            np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)

@@ -91,11 +91,13 @@ def _level_histograms(binned, node, grad, hess, m: int, nb: int):
     return ghist, hhist
 
 
-def _plan_tiers_env(ne: np.ndarray):
+def _plan_tiers_env(ne: np.ndarray, n_rows: int = 0):
     """Tier plan for the histogram kernel, honoring VES_BOOST_TIER:
     "0" = flat full-width (A/B control), "2" = binary tier only (the
     round-2 configuration), a comma list like "2,16,64" = explicit
-    window widths, unset = the default ladder. min_features=4 per tier
+    window widths, unset = a self-tuned ladder for this (rows, census)
+    shape from the process kernel library (scripts/tune_kernel_suite.py
+    gbdthist family), else the default ladder. min_features=4 per tier
     (each tier is one extra kernel launch per level)."""
     import os
 
@@ -107,7 +109,22 @@ def _plan_tiers_env(ne: np.ndarray):
     if env:
         sws = tuple(int(x) for x in env.split(","))
     else:
-        sws = (2, 16, 64, 128)
+        sws = None
+        if n_rows:
+            from ..ops.kernel_library import tuned_hist_ladder
+
+            nbins = ne + 1  # plan_tiers_multi's window criterion
+            census = (int((nbins <= 2).sum()),
+                      int(((nbins > 2) & (nbins <= 16)).sum()),
+                      int(((nbins > 16) & (nbins <= 64)).sum()),
+                      int(((nbins > 64) & (nbins <= 128)).sum()))
+            tuned = tuned_hist_ladder(int(n_rows), len(ne), *census)
+            if tuned is not None:
+                if not tuned:
+                    return [], np.arange(len(ne))  # tuned: flat wins
+                sws = tuple(tuned)
+        if sws is None:
+            sws = (2, 16, 64, 128)
     mf = (16,) + (4,) * (len(sws) - 1)
     return plan_tiers_multi(ne, sws=sws, min_features=mf)
 
@@ -516,7 +533,7 @@ def train(params: dict, dtrain: DMatrix, num_boost_round: int = 300,
             # (flat full-width), "2" = binary tier only (round-2
             # behavior), default = multi-tier {2, 16, 64}; all for A/B
             # timing marginals.
-            tier_plan, idx_big = _plan_tiers_env(ne)
+            tier_plan, idx_big = _plan_tiers_env(ne, len(dtrain))
             if sum(len(i) for _, i in tier_plan) >= 16:
                 packed_big = (pack_bins_host(dtrain._binned[idx_big])
                               if len(idx_big)
@@ -793,7 +810,7 @@ def _make_sharded_chunk_runner(dtrain, mesh, data_axis, hist_engine,
         kron = hist_engine.endswith("+kron")
         nb = max(2, int(ne.max()) + 1)
         nb_pad = -(-nb // 128) * 128
-        tier_plan, idx_big = _plan_tiers_env(ne)
+        tier_plan, idx_big = _plan_tiers_env(ne, len(dtrain))
         if sum(len(i) for _, i in tier_plan) >= 16:
             # same tiering as single-device, packed shard-row-wise
             if len(idx_big):

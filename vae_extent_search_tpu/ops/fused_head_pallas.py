@@ -162,6 +162,27 @@ def _body(*refs, T: int, tc: int, rate: float, use_prng: bool, n_enc: int,
     var_ref[:] = (s2 - s * s / T) / (T - 1) if T > 1 else s2 * 0.0
 
 
+def snap_fused_config(N: int, D: int, H: int, L: int, T: int,
+                      block: int, mc_chunk: int,
+                      dtype=jnp.bfloat16) -> Tuple[int, int]:
+    """Snap a raw tuner config onto the lattice ``fused_head_stats``
+    actually executes: lane-aligned block within [128, 4096] (bounded
+    by the padded candidate count), then the kernel's own VMEM shrink
+    rules (wide-input block cap, stacked-MC cols cap) so distinct raw
+    configs that the kernel would coerce to the same (block, tc) share
+    one measurement — the same quotienting matmul configs get from
+    snap_config_to_hw."""
+    itemsize = jnp.dtype(dtype).itemsize
+    n_cap = max(_LANE, -(-N // _LANE) * _LANE)
+    block = max(_LANE, min(int(block), 4096, n_cap))
+    block = (block // _LANE) * _LANE
+    while block > _LANE and D * block * itemsize > 2_097_152:
+        block = max(_LANE, (block // 2) // _LANE * _LANE)
+    cols_cap = 5_242_880 // max(1, H * itemsize)
+    tc = max(1, min(int(mc_chunk), T, max(1, cols_cap // block)))
+    return block, tc
+
+
 def _wb(layer: Dict, dtype, transposed: bool, f32_bias: bool = False):
     w = layer["w"]
     w = (w.T if transposed else w).astype(dtype)
@@ -172,7 +193,7 @@ def _wb(layer: Dict, dtype, transposed: bool, f32_bias: bool = False):
 @functools.partial(
     jax.jit,
     static_argnames=("T", "rate", "block", "interpret", "mu_layout",
-                     "parallel_grid"),
+                     "parallel_grid", "mc_chunk"),
 )
 def fused_head_stats(head_layers: List[Dict], z: jnp.ndarray, seed,
                      T: int = 10, rate: float = 0.1, block: int = 1024,
@@ -180,7 +201,8 @@ def fused_head_stats(head_layers: List[Dict], z: jnp.ndarray, seed,
                      mask_bits: Optional[jnp.ndarray] = None,
                      encoder: Optional[Tuple] = None,
                      mu_layout: str = "nl",
-                     parallel_grid: bool = True):
+                     parallel_grid: bool = True,
+                     mc_chunk: Optional[int] = None):
     """cost, gnorm, mc_mean, mc_var — all [N] f32 — for a 2-hidden-layer
     ReLU cost head over latents ``z`` [N, L].
 
@@ -290,6 +312,11 @@ def fused_head_stats(head_layers: List[Dict], z: jnp.ndarray, seed,
     itemsize = jnp.dtype(z.dtype).itemsize
     cols_cap = 5_242_880 // max(1, h * itemsize)
     tc = max(1, min(T, cols_cap // block))
+    if mc_chunk is not None:
+        # tuner override (scripts/tune_kernel_suite.py fusedhead family):
+        # a smaller MC chunk trades stacked-activation VMEM for more
+        # sequential T passes; the VMEM cap above stays the hard bound
+        tc = max(1, min(tc, int(mc_chunk)))
     # candidate blocks are fully independent (each seeds its own PRNG
     # stream), so the grid axis is declared parallel — Mosaic may then
     # software-pipeline/reorder blocks instead of running them as a

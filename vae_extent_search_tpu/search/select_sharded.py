@@ -155,6 +155,17 @@ def _fused_scores_sharded(params, X, seed, cfg: SelectionConfig, mesh,
     encoder+cost-head+z-grad+MC-dropout on its local rows only. PRNG
     seeds fold in the shard index so dropout draws are independent."""
     from ..ops.fused_head_pallas import fused_head_stats
+    from ..ops.kernel_library import tuned_fused_head_config
+
+    # self-tuned schedule lookup at the LOCAL shard shape (trace-time;
+    # see select.py) — compatible-record re-snapping makes this agree
+    # with the unsharded path's lookup for any block <= shard rows
+    h_dim, l_dim = params["fc_mu"]["w"].shape
+    tuned = tuned_fused_head_config(
+        X.shape[0] // mesh.shape[axis], X.shape[1], h_dim, l_dim,
+        cfg.T_mc, dtype=cfg.compute_dtype)
+    tuned_kw = ({"block": tuned[0], "mc_chunk": tuned[1]}
+                if tuned is not None else {})
 
     def local(head, enc, fc_mu, x_loc, seed, bits_loc):
         s = seed + jax.lax.axis_index(axis) * jnp.int32(1 << 20)
@@ -164,7 +175,7 @@ def _fused_scores_sharded(params, X, seed, cfg: SelectionConfig, mesh,
         return fused_head_stats(
             head, x_loc, s, T=cfg.T_mc, rate=cfg.dropout_rate,
             interpret=cfg.fused_interpret, mask_bits=bits_loc,
-            encoder=(enc, fc_mu), mu_layout="none",
+            encoder=(enc, fc_mu), mu_layout="none", **tuned_kw,
         )[1:]
 
     bits_spec = P() if mask_bits is None else P(None, axis, None)
