@@ -227,6 +227,26 @@ def main():
     policies, cost_model = make_search_policies(
         args.policy, donor_tasks, seed=args.seed)
 
+    # seed the framework-kernel families' hand-default schedules into
+    # the log first (PreloadMeasuredStates role): the library's
+    # min-cost query then never regresses production below the hand
+    # defaults, and the GA gets the default as a measured anchor
+    from vae_extent_search_tpu.search.measure import ProgramMeasurer
+    from vae_extent_search_tpu.search.pallas_tuner import (
+        default_config_state,
+    )
+
+    seeder = ProgramMeasurer(EmptyBuilder(), runner,
+                             callbacks=[RecordToFile(args.log_file)],
+                             max_continuous_error=10 ** 9)
+    for task in record_tasks:
+        st = default_config_state(task)
+        if st is not None:
+            res = seeder.measure(task, [st])
+            print(f"  seeded hand-default config of "
+                  f"{task.workload_key.split(',')[0]}: "
+                  f"{res[0].costs[0] * 1e3:.3f} ms")
+
     t0 = time.time()
     scheduler.tune(tune_option, policies=policies, cost_model=cost_model)
     wall = time.time() - t0

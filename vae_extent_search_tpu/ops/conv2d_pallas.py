@@ -50,10 +50,11 @@ def conv_out_size(H: int, KH: int, stride: int, pad: int) -> int:
 
 
 def conv_vmem_bytes(boh: int, bco: int, bci: int, OW: int,
-                    itemsize: int) -> int:
-    """Pipeline VMEM footprint: double-buffered x/w blocks, the bias
-    block, double-buffered f32 out block + f32 acc scratch."""
-    return (2 * (boh * OW * bci + bci * bco) * itemsize
+                    itemsize: int, KW: int = 1) -> int:
+    """Pipeline VMEM footprint: double-buffered x window (OW+KW-1 cols
+    — the kw shift happens in-kernel) and w block (all KW taps), the
+    bias block, double-buffered f32 out block + f32 acc scratch."""
+    return (2 * (boh * (OW + KW - 1) * bci + KW * bci * bco) * itemsize
             + bco * 4
             + 3 * boh * OW * bco * 4)
 
@@ -77,7 +78,8 @@ def conv_config_is_valid(N: int, H: int, W: int, CO: int, CI: int,
     for v, d, nm in ((bco, CO, "bco"), (bci, CI, "bci")):
         if v != d and v % 128:
             return False, f"{nm}={v} not 128-aligned nor full dim {d}"
-    vmem = conv_vmem_bytes(boh, bco, bci, OW, jnp.dtype(dtype).itemsize)
+    vmem = conv_vmem_bytes(boh, bco, bci, OW, jnp.dtype(dtype).itemsize,
+                           KW)
     if vmem > VMEM_BUDGET_BYTES:
         return False, f"VMEM {vmem/2**20:.1f} MB exceeds budget"
     return True, None
@@ -101,7 +103,8 @@ def snap_conv_config_to_hw(N: int, H: int, W: int, CO: int, CI: int,
     return (snap(boh, OH, False), snap(bco, CO, True), snap(bci, CI, True))
 
 
-def _kernel(x_ref, w_ref, b_ref, o_ref, acc_ref, *, gs: int):
+def _kernel(x_ref, w_ref, b_ref, o_ref, acc_ref, *, gs: int, KW: int,
+            OW: int):
     from jax.experimental import pallas as pl
 
     s = pl.program_id(2)
@@ -110,11 +113,16 @@ def _kernel(x_ref, w_ref, b_ref, o_ref, acc_ref, *, gs: int):
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    a = x_ref[0]        # [boh, OW, bci]
-    w = w_ref[0, 0]     # [bci, bco]
-    acc_ref[:] += jax.lax.dot_general(
-        a, w, (((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    a = x_ref[0]        # [boh, OW + KW - 1, bci]
+    for kw in range(KW):
+        # static kw slice in VMEM replaces the old per-kw grid pass:
+        # the x window is read once per (kh, ci-block) instead of KW
+        # times, and every Element start stays tile-aligned (Mosaic
+        # rejects unaligned Element offsets on the tiled W dim)
+        acc_ref[:] += jax.lax.dot_general(
+            a[:, kw:kw + OW, :], w_ref[0, kw],
+            (((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
     @pl.when(s == gs - 1)
     def _():
@@ -142,17 +150,24 @@ def make_conv2d(N: int, H: int, W: int, CO: int, CI: int,
     OW = conv_out_size(W, KW, stride, pad)
     n_ci = CI // bci
     n_oh = OH // boh
-    gs = KH * KW * n_ci
+    gs = KH * n_ci
 
     def x_map(i, j, s):
-        kh = s // (KW * n_ci)
-        kw = (s // n_ci) % KW
+        kh = s // n_ci
         cib = s % n_ci
-        # (Blocked n, Element ih-start, Element iw-start, Blocked ci)
-        return (i // n_oh, (i % n_oh) * boh + kh, kw, cib)
+        # ALL dims Element (element-offset indexing): Mosaic's real
+        # lowering rejects mixed Blocked/Element specs ("All block
+        # dimensions must be Elements or none of them can be
+        # Elements"), and Element starts on the tiled W dim must be
+        # tile-aligned — so the kw shift lives inside the kernel (the
+        # window is OW+KW-1 cols from aligned start 0) and only the
+        # untiled H dim carries the +kh offset. Interpret mode
+        # accepted the old mixed spec, which is why this only
+        # surfaced on chip (advisor r3 finding).
+        return (i // n_oh, (i % n_oh) * boh + kh, 0, cib * bci)
 
     def w_map(i, j, s):
-        return (s // (KW * n_ci), (s // n_ci) % KW, s % n_ci, j)
+        return (s // n_ci, 0, s % n_ci, j)
 
     compiler_params = None
     if not interpret:
@@ -160,12 +175,12 @@ def make_conv2d(N: int, H: int, W: int, CO: int, CI: int,
             dimension_semantics=("parallel", "parallel", "arbitrary"))
 
     call = pl.pallas_call(
-        functools.partial(_kernel, gs=gs),
+        functools.partial(_kernel, gs=gs, KW=KW, OW=OW),
         grid=(N * n_oh, CO // bco, gs),
         in_specs=[
-            pl.BlockSpec((pl.Blocked(1), pl.Element(boh), pl.Element(OW),
-                          pl.Blocked(bci)), x_map),
-            pl.BlockSpec((1, 1, bci, bco), w_map),
+            pl.BlockSpec((pl.Element(1), pl.Element(boh),
+                          pl.Element(OW + KW - 1), pl.Element(bci)), x_map),
+            pl.BlockSpec((1, KW, bci, bco), w_map),
             pl.BlockSpec((1, bco), lambda i, j, s: (0, j)),
         ],
         out_specs=pl.BlockSpec(

@@ -994,6 +994,38 @@ class BoostHistRunner(Runner):
                 for k, r in self.cache.items()]
 
 
+def default_config_state(task: SearchTask) -> Optional[State]:
+    """The hand-default schedule of a framework-kernel family as an
+    explicit State (reference PreloadMeasuredStates role): the suite
+    measures it through the same runner and writes it to the same log,
+    so the library's min-cost query can never regress production below
+    the hand-picked defaults even when the GA misses them."""
+    from ..ir.schedule_api import state_reorder, state_split
+
+    name, args = decode_workload_key(task.workload_key)
+    st = task.compute_dag.init_state.copy()
+    if name == "fused_head_layer":
+        N, D, H, L, T = (int(a) for a in args[:5])
+        sid = next(i for i, s in enumerate(st.stages)
+                   if s.op.name == "MC")
+        t_it, i_it, k_it = st.stages[sid].iters
+        block = 1024 if N % 1024 == 0 else N
+        t0, t1 = state_split(st, sid, t_it, [T])
+        i0, i1 = state_split(st, sid, i_it, [block])
+        k0, k1 = state_split(st, sid, k_it, [L])
+        state_reorder(st, sid, [t0, i0, k0, t1, i1, k1])
+        return st
+    if name == "gbdt_hist_layer":
+        sid = next(i for i, s in enumerate(st.stages)
+                   if s.op.name == "hist")
+        b_it = st.stages[sid].iters[1]
+        # inner tiles [2, 4, 8, 2] -> cumulative windows (2, 16, 64,
+        # 128): the hand-default ladder of boost_tpu._plan_tiers_env
+        state_split(st, sid, b_it, [2, 4, 8, 2])
+        return st
+    return None
+
+
 def predicted_fusedhead_seconds(N, D, H, L, T, block, tc) -> float:
     """Analytic stand-in for PallasFusedHeadRunner on CPU smoke runs:
     MXU-roofline seconds plus penalties for small candidate blocks
