@@ -287,7 +287,13 @@ def _round_trip_floor(device=None) -> float:
     return float(np.median(samples))
 
 
-ITER_LADDER = (1, 4, 16, 64, 256, 1024)
+ITER_LADDER = (1, 4, 16, 64, 256, 1024, 4096, 16384)
+# the top rungs exist for microsecond-scale kernels: 1024 iters of a
+# ~5 us conv block is ~5 ms of signal against a 6-31 ms drifting
+# dispatch floor, which lands in the degenerate best*0.05 branch below
+# and reports impossible >peak GFLOP/s; 16384 iters puts the signal an
+# order of magnitude above the floor (scan compile cost is
+# length-independent)
 
 
 def _time_chained(make_timed: Callable[[int], Callable], args,
