@@ -10,7 +10,9 @@ bash scripts/build_native.sh
 CPU_ENV="env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu"
 MESH="XLA_FLAGS=--xla_force_host_platform_device_count=8"
 
-echo "=== pytest ==="
+echo "=== pytest (full battery; 'pytest -m fast' is the <2.5-min tier) ==="
+# expected wall: ~25 min uncontended on this 1-core host, up to ~50 min
+# under pipeline contention (the 66 slow-marked tests are ~93% of it)
 $CPU_ENV $MESH python -m pytest tests/ -q
 
 echo "=== SP-extent fidelity vs TVM oracles ==="
