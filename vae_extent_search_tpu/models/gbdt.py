@@ -165,9 +165,27 @@ class GBDTModelInternal:
         return X[:, mask]
 
     def _fit_sklearn(self, features_list, labels):
+        X = self._drop_constant_cols(self._aggregate(features_list), True)
+        if len(X) > 100_000:
+            # the exact-split GradientBoostingRegressor is O(n log n)
+            # per node PER FEATURE and ran >75 min on a 1.36M-program
+            # multi-platform corpus (found the hard way); sklearn's
+            # histogram estimator is the same model family at
+            # corpus-scale speed (minutes). Same predict API, same
+            # pickle path.
+            from sklearn.ensemble import HistGradientBoostingRegressor
+
+            self.model = HistGradientBoostingRegressor(
+                max_depth=self.max_depth,
+                learning_rate=self.learning_rate,
+                max_iter=self.n_estimators, random_state=self.seed,
+            )
+            self.model.fit(X, labels,
+                           sample_weight=getattr(self, "_row_weights",
+                                                 None))
+            return
         from sklearn.ensemble import GradientBoostingRegressor
 
-        X = self._drop_constant_cols(self._aggregate(features_list), True)
         self.model = GradientBoostingRegressor(
             max_depth=self.max_depth, learning_rate=self.learning_rate,
             n_estimators=self.n_estimators, random_state=self.seed,
