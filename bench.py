@@ -145,6 +145,20 @@ def main():
                             grad_num=cfg.grad_num, rand_num=cfg.rand_num,
                             compute_dtype=cfg.compute_dtype))
 
+    # The bench runs under kernel-library dispatch: with
+    # VES_KERNEL_LIBRARY unset, default_library() loads the committed
+    # chip-tuned logs (result/selftune/) and the fused-head kernel
+    # inside _select_programs picks up any (block, mc_chunk) record for
+    # this shape — the reference's implicit ApplyHistoryBest role.
+    from vae_extent_search_tpu.ops.kernel_library import default_library
+    lib = default_library()
+    tuned_cfg = lib.fused_head_config(N, D, HIDDEN, LATENT, 10,
+                                      dtype="bfloat16")
+    print(f"kernel_library: {len(lib)} tuned records loaded, "
+          f"fused_head(N={N}) -> "
+          f"{tuned_cfg if tuned_cfg is not None else 'hand default'}",
+          file=sys.stderr)
+
     key = jax.random.PRNGKey(0)
     params = init_predictor_params(key, D, hidden_dim=HIDDEN,
                                    latent_dim=LATENT)

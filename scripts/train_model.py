@@ -140,8 +140,15 @@ def train_zero_shot(dataset: Dataset, models: str, split_scheme: str,
             model.fit_base(feats, labels, verbose=verbose)
         eval_res = evaluate_model(model, test_set)
         print(f"===== {name} =====")
+        # rank-loss scores are uncalibrated: absolute-error metrics on
+        # them are garbage (R^2 ~ -1e5 on a healthy lambdaRank model),
+        # so print n/a instead of polluting every scale-run log
+        rank_scored = M.model_is_rank_scored(model)
         for k, v in eval_res.items():
-            print(f"{k}: {v:.4f}")
+            if rank_scored and k in M.CALIBRATION_METRIC_NAMES:
+                print(f"{k}: n/a (rank loss {model.loss_type})")
+            else:
+                print(f"{k}: {v:.4f}")
         out = f"{name.replace('@', '_')}.pkl"
         model.save(out)
         print(f"saved -> {out}")

@@ -64,13 +64,17 @@ def tune_and_evaluate(network, batch_size, image_size, target, log_file,
     if eval_only:
         pass  # skip tuning; estimate from the existing log below
     elif use_transfer:
-        # transfer-tune: tune half, refit the shared model, tune the rest
-        # (reference task_scheduler.py:498-583)
+        # transfer-tune: tune half with the (pretrained) model, refit as
+        # frozen-base + plus_mix delta on the first half's measurements,
+        # tune the rest with the combined model (reference
+        # task_scheduler.py:498-583)
         from vae_extent_search_tpu.search.task_scheduler import (
             transfer_tune,
         )
 
-        transfer_tune(scheduler, tune_option)
+        transfer_tune(scheduler, tune_option,
+                      search_policy=search_policy,
+                      load_model_file=load_model)
     else:
         scheduler.tune(tune_option, search_policy=search_policy,
                        load_model_file=load_model)

@@ -14,6 +14,12 @@ import sys
 # initialized yet, which is guaranteed this early in the pytest run.
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)  # skip the axon TPU plugin
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The kernel library now loads the committed chip-tuned logs by default
+# (ops/kernel_library.py::default_library). Tests pin dispatch OFF so the
+# CPU suite exercises the hand-default code paths deterministically;
+# library behavior itself is covered by test_kernel_library.py, which
+# sets the env var explicitly per test.
+os.environ.setdefault("VES_KERNEL_LIBRARY", "none")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -107,6 +113,7 @@ SLOW_TESTS = {
     "test_pipeline.py::test_sharded_topk_and_gathers_match_reference",
     "test_pipeline.py::test_shared_vae_pretrain_matches_in_loop_training",
     "test_pipeline.py::test_task_scheduler_round_robin_and_gradient",
+    "test_pipeline.py::test_transfer_tune_plus_mix_refit",
     "test_platforms.py::test_measure_programs_cli_per_platform_folders",
     "test_sketch_goldens.py::test_reference_states_reachable_by_generator[resnet-18-NHWC-B1-cuda.json]",
     "test_sketch_goldens.py::test_reference_states_reachable_by_generator[resnet-50-NHWC-B1-llvm.json]",

@@ -131,7 +131,15 @@ def test_best_record_wins_on_update(matmul_log):
 
 def test_default_library_env_reload(matmul_log, monkeypatch):
     log, _ = matmul_log
+    # unset/empty -> the committed tuned logs load implicitly (the
+    # reference's ApplyHistoryBest-in-every-build role); this repo
+    # checkout ships result/selftune/*.json with real chip records
     monkeypatch.delenv(kl.LIBRARY_ENV, raising=False)
+    committed = kl.committed_log_paths()
+    assert committed, "repo ships default tuning logs"
+    assert len(default_library()) > 0
+    # explicit off switch -> empty library, XLA fallback everywhere
+    monkeypatch.setenv(kl.LIBRARY_ENV, "none")
     assert len(default_library()) == 0
     fn, prov = tuned_matmul(64, 64, 64, "bfloat16")
     assert prov == ("xla",)

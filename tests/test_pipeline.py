@@ -625,3 +625,71 @@ def test_gpu_cache_read_attach_outermost_reduce_tile():
                    for r in [st.to_record()] if r[0] == "CA")
     shared_attach = sorted({r[3] for r in cas if r[3] > 11})
     assert shared_attach == [14], cas
+
+
+def test_transfer_tune_plus_mix_refit(tmp_path):
+    """transfer_tune's second stage runs a frozen-base + delta
+    (plus_mix_task) model: the pretrained base is reloaded pristine,
+    a calibrated delta fits on the first half's measurement residuals,
+    and predictions sum (reference task_scheduler.py:498-583 +
+    mlp_model.py:446-474)."""
+    from vae_extent_search_tpu.search.cost_model import (
+        LearnedCostModel,
+        PlusMixCostModel,
+    )
+    from vae_extent_search_tpu.search.task_scheduler import transfer_tune
+
+    tasks = [
+        SearchTask(
+            make_workload_key("matmul_auto_scheduler_test", (n, n, n)),
+            "llvm",
+        )
+        for n in (32, 48, 64, 96)
+    ]
+
+    # pretrain a small gbdt base on analytic measurements of task 0
+    pre_log = str(tmp_path / "pretrain.json")
+    states = make_states(tasks[0], 32, evo_population=64,
+                         min_population=20, seed=3)
+    measurer = ProgramMeasurer(
+        EmptyBuilder(), AnalyticRunner(noise=0.1),
+        callbacks=[RecordToFile(pre_log)])
+    measurer.measure(tasks[0], states)
+    base = LearnedCostModel(kind="gbdt")
+    base.update_from_file(pre_log)
+    model_pkl = str(tmp_path / "base_gbdt.pkl")
+    base.save(model_pkl)
+
+    log = str(tmp_path / "transfer.json")
+    opts = TuningOptions(
+        num_measure_trials=32, num_measures_per_round=8,
+        builder=EmptyBuilder(), runner=AnalyticRunner(noise=0.1),
+        measure_callbacks=[RecordToFile(log)],
+    )
+    sched = TaskScheduler(tasks, strategy="round-robin", callbacks=[])
+    transfer_tune(sched, opts, search_policy="sketch.gbdt",
+                  load_model_file=model_pkl)
+
+    assert sched.ct >= 32
+    assert all(c < 1e9 for c in sched.best_costs)
+    mixed = sched.transfer_model
+    assert isinstance(mixed, PlusMixCostModel)
+    assert mixed._is_fit()  # delta trained on stage-1 residuals
+
+    # frozen base: the combined model's base predicts exactly like a
+    # pristine reload of the pretrained pickle
+    probe = make_states(tasks[2], 8, evo_population=64,
+                        min_population=20, seed=5)
+    feats = get_per_store_features_from_states(probe, tasks[2])
+    keys = [tasks[2].workload_key] * len(feats)
+    fresh = LearnedCostModel.load(model_pkl, "gbdt")
+    np.testing.assert_allclose(
+        mixed.base.internal.predict_on_features(
+            mixed.base._embed(feats, keys)),
+        fresh.internal.predict_on_features(fresh._embed(feats, keys)),
+        rtol=1e-6)
+
+    # the delta moves the combined prediction off the base
+    combined = mixed.predict_on_feature_list(tasks[2], feats)
+    base_only = mixed._base_predict(feats, keys)
+    assert np.any(np.abs(combined - base_only) > 1e-9)

@@ -9,6 +9,19 @@ from __future__ import annotations
 
 import numpy as np
 
+# Losses whose raw scores carry ranking information only: they are not
+# calibrated to the throughput scale, so RMSE/R^2/MAPE computed on them
+# are meaningless (e.g. R^2 of -1e5 on a healthy lambdaRank model).
+# Evaluation sites print "n/a (rank loss)" for these metrics instead.
+RANK_LOSSES = frozenset({"rankNet", "lambdaRank", "listNet"})
+CALIBRATION_METRIC_NAMES = frozenset({"RMSE", "R^2", "mape"})
+
+
+def model_is_rank_scored(model) -> bool:
+    """True when the model's predictions are uncalibrated rank scores
+    (trained with one of RANK_LOSSES)."""
+    return getattr(model, "loss_type", None) in RANK_LOSSES
+
 
 def metric_rmse(preds, labels) -> float:
     preds, labels = np.asarray(preds), np.asarray(labels)

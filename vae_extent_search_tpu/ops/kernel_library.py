@@ -264,22 +264,49 @@ class PallasKernelLibrary:
 #    DispatchContext.current that relay.build consults implicitly) ----------
 
 LIBRARY_ENV = "VES_KERNEL_LIBRARY"
+# `VES_KERNEL_LIBRARY=none|off|0` disables dispatch entirely (every call
+# falls back to the hand defaults / XLA)
+LIBRARY_OFF_VALUES = frozenset({"none", "off", "0"})
 _default_lock = threading.Lock()
 _default: Optional[PallasKernelLibrary] = None
 _default_env: Optional[str] = None
 
 
+def committed_log_paths() -> list:
+    """The tuning logs shipped with the repo (``result/selftune/*.json``
+    at the repo root): chip-measured schedules for the framework's own
+    fused-head, GBDT-histogram, matmul and conv2d kernels
+    (docs/SELF_TUNING.md). Empty when the package runs detached from
+    the repo checkout."""
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    d = os.path.join(root, "result", "selftune")
+    if not os.path.isdir(d):
+        return []
+    return sorted(os.path.join(d, f) for f in os.listdir(d)
+                  if f.endswith(".json"))
+
+
 def default_library() -> PallasKernelLibrary:
-    """The process-wide library, loaded from ``VES_KERNEL_LIBRARY`` (an
-    ``os.pathsep``-separated list of tuning logs; missing/empty -> empty
-    library, every dispatch falls back to XLA). Reloads when the env var
-    changes."""
+    """The process-wide library. Like the reference, where every
+    ``relay.build`` implicitly consults ApplyHistoryBest
+    (dispatcher.py:149-261), tuned records apply by default: with
+    ``VES_KERNEL_LIBRARY`` unset (or empty) the committed tuning logs
+    (``result/selftune/``) load. Set it to an ``os.pathsep``-separated
+    list of tuning logs to use those instead, or to ``none``/``off``/``0``
+    to disable dispatch (hand defaults / XLA everywhere). Reloads when
+    the env var changes."""
     global _default, _default_env
     env = os.environ.get(LIBRARY_ENV, "")
     with _default_lock:
         if _default is None or env != _default_env:
-            paths = [p for p in env.split(os.pathsep)
-                     if p and os.path.exists(p)]
+            if env.strip().lower() in LIBRARY_OFF_VALUES:
+                paths = []
+            elif env == "":
+                paths = committed_log_paths()
+            else:
+                paths = [p for p in env.split(os.pathsep)
+                         if p and os.path.exists(p)]
             _default = PallasKernelLibrary.from_files(paths)
             _default_env = env
         return _default

@@ -174,6 +174,78 @@ class LearnedCostModel(PythonCostModel):
         return cls(SequenceModelInternal.load(path), kind)
 
 
+class PlusMixCostModel(LearnedCostModel):
+    """Frozen pretrained base + delta model refit on local measurements
+    (the reference's ``plus_mix_task`` few-shot mode driving its
+    transfer_tune second stage: mlp_model.py:446-474 trains ONE delta
+    model — calibrated rmse loss, hidden 128, sigmoid head — on
+    ``throughput - base_pred`` residuals of everything measured so far,
+    and predicts ``base + delta`` for every task;
+    task_scheduler.py:562-574 rebuilds the policies with it).
+
+    ``update()`` refits only the delta; the base never moves."""
+
+    def __init__(self, base: LearnedCostModel, kind: str = "mlp"):
+        if kind in ("mlp", "vae", "lstm", "mha", "tabnet"):
+            from ..models.segment import MLPModelInternal
+
+            extra = base._embed_total if base.use_workload_embedding else 0
+            delta = MLPModelInternal(in_dim=164 + extra, hidden_dim=128,
+                                     loss_type="rmse")
+            delta.use_workload_embedding = base.use_workload_embedding
+            delta.workload_embed_total_dim = base._embed_total
+            super().__init__(internal=delta, kind="mlp")
+        else:
+            # tree-model delta of the same family (reference XGB plus_mix
+            # follows the identical residual protocol, xgb_model.py)
+            super().__init__(kind=kind)
+            self.use_workload_embedding = base.use_workload_embedding
+            self._embed_total = base._embed_total
+            self.internal.use_workload_embedding = base.use_workload_embedding
+            self.internal.workload_embed_total_dim = base._embed_total
+        self.base = base
+
+    def _base_predict(self, feats, workload_keys) -> np.ndarray:
+        preds = self.base.internal.predict_on_features(
+            self.base._embed(feats, workload_keys))
+        return np.where(np.isfinite(preds), preds, 0.0)
+
+    def update(self, inputs, results):
+        if inputs:
+            self._inputs.extend(inputs)
+            self._results.extend(results)
+        if not self._inputs:
+            return
+        from ..features.per_store import (
+            get_per_store_features_from_measure_pairs,
+        )
+
+        feats, throughputs, _, _ = (
+            get_per_store_features_from_measure_pairs(
+                self._inputs, self._results))
+        keep = [i for i, f in enumerate(feats) if len(f) and np.any(f)]
+        if len(keep) < 8:
+            return
+        kept = [feats[i] for i in keep]
+        keys = [self._inputs[i].task.workload_key for i in keep]
+        residual = throughputs[keep] - self._base_predict(kept, keys)
+        self.internal.fit_base(self._embed(kept, keys),
+                               residual.astype(np.float32))
+
+    def predict(self, task: SearchTask, states: Sequence) -> np.ndarray:
+        feats = get_per_store_features_from_states(states, task)
+        return self.predict_on_feature_list(task, feats)
+
+    def predict_on_feature_list(self, task, feats) -> np.ndarray:
+        base = self._base_predict(feats, [task.workload_key] * len(feats))
+        if not self._is_fit():
+            return base.astype(np.float32)
+        delta = self.internal.predict_on_features(
+            self._embed(feats, [task.workload_key] * len(feats)))
+        delta = np.where(np.isfinite(delta), delta, 0.0)
+        return (base + delta).astype(np.float32)
+
+
 def make_search_policies(search_policy: str, tasks, seed: int = 0,
                          load_model_file: Optional[str] = None,
                          load_log_file: Optional[str] = None):

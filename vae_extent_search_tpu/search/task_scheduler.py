@@ -310,11 +310,16 @@ def restore_status_from_log(scheduler: TaskScheduler, log_file: str):
 
 
 def transfer_tune(scheduler: TaskScheduler, tune_option,
-                  cost_model=None, **tune_kwargs):
-    """Two-stage tuning: tune half the tasks, update the shared cost model
-    on the collected measurements, then tune the rest with the refit model
-    (reference task_scheduler.py:498-583 transfer_tune with the
-    plus_mix_task delta refit)."""
+                  search_policy="sketch", load_model_file=None,
+                  **tune_kwargs):
+    """Two-stage tuning (reference task_scheduler.py:498-583): tune the
+    first half of the tasks with the (optionally pretrained) model, then
+    rebuild the cost model as BASE + DELTA — the pretrained base stays
+    frozen and a fresh calibrated delta model trains on the residuals of
+    the first half's measurements (``plus_mix_task``,
+    mlp_model.py:446-474) — and tune the second half with the combined
+    model. The delta keeps refitting as second-half measurements arrive;
+    the base never moves."""
     import copy
 
     n = len(scheduler.tasks)
@@ -325,11 +330,53 @@ def transfer_tune(scheduler: TaskScheduler, tune_option,
     )
     opts1 = copy.copy(tune_option)
     opts1.num_measure_trials = tune_option.num_measure_trials // 2
-    first.tune(opts1, **tune_kwargs)
+    first.tune(opts1, search_policy=search_policy,
+               load_model_file=load_model_file, **tune_kwargs)
 
-    if cost_model is not None and hasattr(cost_model, "update"):
-        # refit from everything measured so far
-        cost_model.update(None, None)
+    # -- plus_mix refit: frozen base + delta on the stage-1 residuals --
+    policies = None
+    stage1_model = getattr(first, "cost_model", None)
+    if stage1_model is not None and hasattr(stage1_model, "internal"):
+        from .cost_model import LearnedCostModel, PlusMixCostModel
+        from .sketch import SketchPolicy
+
+        kind = "mlp"
+        if isinstance(search_policy, str) and "." in search_policy:
+            kind = search_policy.split(".", 1)[1]
+            if kind.endswith("-no-update"):
+                kind = kind[: -len("-no-update")]
+        if load_model_file:
+            # reference: reload the PRISTINE pretrained base for stage 2
+            # (make_search_policies loads load_model_file afresh,
+            # task_scheduler.py:569-574) — stage-1 online updates to the
+            # shared model do not leak into the frozen base
+            base = LearnedCostModel.load(load_model_file, kind)
+        else:
+            base = stage1_model
+        mixed = PlusMixCostModel(base, kind=kind)
+        # seed the delta with everything stage 1 measured; a frozen
+        # ('-no-update') stage-1 model accumulated nothing, so fall back
+        # to the measurement log (the reference fits local from
+        # load_log_file, task_scheduler.py:570-574)
+        mixed._inputs = list(stage1_model._inputs)
+        mixed._results = list(stage1_model._results)
+        if not mixed._inputs:
+            import os
+
+            for cb in tune_option.measure_callbacks or []:
+                log = getattr(cb, "filename", None)
+                if log and os.path.exists(log):
+                    from ..records.serde import load_records
+
+                    for rec in load_records(log):
+                        mixed._inputs.append(rec.inp)
+                        mixed._results.append(rec.res)
+                    break
+        mixed.update(None, None)
+        policies = [
+            SketchPolicy(t, mixed, seed=1000 + i)
+            for i, t in enumerate(scheduler.tasks[half:])
+        ]
 
     second = TaskScheduler(
         scheduler.tasks[half:], scheduler.task_weights[half:],
@@ -339,11 +386,18 @@ def transfer_tune(scheduler: TaskScheduler, tune_option,
     opts2.num_measure_trials = (
         tune_option.num_measure_trials - opts1.num_measure_trials
     )
-    second.tune(opts2, **tune_kwargs)
+    if policies is not None:
+        second.tune(opts2, policies=policies, cost_model=mixed,
+                    **tune_kwargs)
+    else:
+        second.tune(opts2, search_policy=search_policy,
+                    load_model_file=load_model_file, **tune_kwargs)
 
     # merge results back
     scheduler.best_costs[:half] = first.best_costs
     scheduler.best_costs[half:] = second.best_costs
     scheduler.ct = first.ct + second.ct
     scheduler.cur_score = scheduler._compute_score(scheduler.best_costs)
+    # expose the stage-2 combined model for inspection / reuse
+    scheduler.transfer_model = mixed if policies is not None else None
     return scheduler
