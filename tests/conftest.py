@@ -117,6 +117,10 @@ SLOW_TESTS = {
     "test_platforms.py::test_measure_programs_cli_per_platform_folders",
     "test_sketch_goldens.py::test_reference_states_reachable_by_generator[resnet-18-NHWC-B1-cuda.json]",
     "test_sketch_goldens.py::test_reference_states_reachable_by_generator[resnet-50-NHWC-B1-llvm.json]",
+    # all parametrizations: population self-goldens, ~5-20s each —
+    # tools/sketch_fingerprints.py regenerates on intentional generator
+    # changes
+    "test_sketch_goldens.py::test_population_fingerprint_golden",
 }
 
 

@@ -207,3 +207,51 @@ def test_rfactor_placement_combo_reachable():
     raise AssertionError(
         "CA x2 + CR x2 rfactor placement never produced in 2000 "
         "init samples")
+
+
+# ---------------------------------------------------------------------------
+# Distribution-level self-goldens (VERDICT r4 ask 6): the reachability
+# tests above cannot see a regression that keeps every reference state
+# producible but skews WHICH states the generator emits (a rule whose
+# application rate drops, a sketch variant that vanishes, a tile-shape
+# distribution shift). tools/sketch_fingerprints.py pins a seeded
+# population per workload class x platform (8 classes incl. the
+# batch-8 conv of the full network grid, CPU + GPU rule sets) on three
+# axes: total rule-application counts, sketch-variant mix, and
+# tile-structure histograms. Exact comparison — the run is seeded.
+# Intentional generator changes: `python tools/sketch_fingerprints.py`.
+# ---------------------------------------------------------------------------
+
+import json
+
+from vae_extent_search_tpu.records import make_workload_key
+
+
+def _fingerprint_cases():
+    from tools.sketch_fingerprints import CLASSES, TARGETS
+
+    return [f"{c}:{t}" for c, _, _ in CLASSES for t, _ in TARGETS]
+
+
+@pytest.mark.parametrize("case", _fingerprint_cases())
+def test_population_fingerprint_golden(case):
+    from tools.sketch_fingerprints import (
+        CLASSES,
+        FINGERPRINT_JSON,
+        TARGETS,
+        population_fingerprint,
+    )
+
+    cls_name, tgt_name = case.split(":")
+    with open(FINGERPRINT_JSON) as f:
+        golden = json.load(f)[f"{cls_name}/{tgt_name}"]
+    fn_name, args = next((fn, a) for c, fn, a in CLASSES if c == cls_name)
+    target = dict(TARGETS)[tgt_name]
+    task = SearchTask(make_workload_key(fn_name, args), target)
+    fresh = population_fingerprint(task)
+    for axis in ("n_states", "rule_counts", "variant_mix",
+                 "tile_structures"):
+        assert fresh[axis] == golden[axis], (
+            f"{case}: population fingerprint drifted on {axis} — the "
+            f"generator's emitted distribution changed. If intentional, "
+            f"regenerate with `python tools/sketch_fingerprints.py`.")
