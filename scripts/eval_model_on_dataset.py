@@ -61,14 +61,26 @@ def _network_task_datasets(network, target, cache_dir, min_sample_size=48):
 
     cache = os.path.join(cache_dir, f"{clean_name((network_key, target))}.pkl")
     if not os.path.exists(cache):
+        from vae_extent_search_tpu.search.platforms import (
+            platform_for_target,
+        )
+
+        # records live either at the folder root (single-platform
+        # pipelines) or under the per-platform subfolder that
+        # measure_programs --target writes (reference per-platform
+        # record folders); the EVAL target's platform decides which
+        platform_folder = os.path.join(
+            MEASURE_RECORD_FOLDER, platform_for_target(target).name)
         files = []
         for rec in task_records:
             wkl_key, tgt = rec[0], rec[1]
             kind = tgt.split(" ")[0].split("-")[0]
-            f = os.path.join(MEASURE_RECORD_FOLDER,
-                             f"{clean_name((wkl_key, kind))}.json")
-            if os.path.exists(f):
-                files.append(f)
+            name = f"{clean_name((wkl_key, kind))}.json"
+            for folder in (platform_folder, MEASURE_RECORD_FOLDER):
+                f = os.path.join(folder, name)
+                if os.path.exists(f):
+                    files.append(f)
+                    break
             else:
                 print(f"  missing record file for {wkl_key}; skipped")
         os.makedirs(cache_dir, exist_ok=True)
