@@ -127,7 +127,8 @@ def main():
     p.add_argument("--max-tasks", type=int, default=64,
                    help="stratified task subsample (0 = all)")
     p.add_argument("--min-task-records", type=int, default=None,
-                   help="default: max(k) + 64")
+                   help="default: max(k) + 20 (each K only uses tasks "
+                        "with >= K + 20 records)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--fine-tune-epochs", type=int, default=30)
     p.add_argument("--out-csv", type=str, default=None)
@@ -137,7 +138,7 @@ def main():
     with open(args.dataset, "rb") as f:
         ds: Dataset = pickle.load(f)
 
-    min_recs = args.min_task_records or (max(args.k) + 64)
+    min_recs = args.min_task_records or (max(args.k) + 20)
     tasks = [t for t in ds.tasks()
              if len(ds.throughputs[t]) >= min_recs]
     rng = np.random.default_rng(args.seed)
@@ -172,22 +173,28 @@ def main():
             per_task = []
             weights = []
             task_rng = np.random.default_rng(args.seed + 1)
+            kk = k or args.k[0]
             for t in tasks:
+                labels = np.asarray(ds.throughputs[t])
+                if len(labels) < kk + 20:
+                    continue  # this K needs more records than the task has
                 feats = [np.asarray(f, np.float32)
                          for f in ds.features[t]]
-                labels = np.asarray(ds.throughputs[t])
                 r = adapt_and_eval(base, t, feats, labels,
-                                   k or args.k[0], mode, task_rng,
+                                   kk, mode, task_rng,
                                    args.fine_tune_epochs)
                 per_task.append(r)
                 weights.append(r["n_eval"])
+            if not per_task:
+                print(f"mode={mode} k={k}: no eligible tasks, skipped")
+                continue
             w = np.asarray(weights, np.float64)
             w /= w.sum()
             agg = {m: float(sum(r[m] * wi for r, wi in zip(per_task, w)))
                    for m in ("pairwise", "peak@1", "peak@5")}
             row = {"mode": mode, "k": k, **{m: round(agg[m], 4)
                                             for m in agg},
-                   "n_tasks": len(tasks),
+                   "n_tasks": len(per_task),
                    "wall_s": round(time.time() - t0, 1)}
             rows.append(row)
             print(row, flush=True)
