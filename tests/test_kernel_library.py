@@ -193,3 +193,21 @@ def test_conv2d_library_roundtrip(tmp_path):
     got = fn(x, w, bias)
     rel = float(jnp.max(jnp.abs(got - want)) / jnp.max(jnp.abs(want)))
     assert rel < 1e-4
+
+
+def test_nearest_shape_matching_for_self_kernel_families(monkeypatch):
+    """gbdt_hist_layer / fused_head_layer records dispatch by nearest
+    log-shape distance, not divisibility: a ladder tuned at 120k rows
+    must still serve an 800k-row corpus (row counts are not tile-
+    divisible quantities), while wildly distant shapes return None."""
+    monkeypatch.delenv(kl.LIBRARY_ENV, raising=False)
+    lib = default_library()
+    # the committed self-tuning log holds gbdt_hist_layer @
+    # (120000, 164, 98, 6, 8, 12) and fused_head_layer @
+    # (262144, 24, 256, 64, 10)
+    assert lib.hist_ladder(800000, 173, 100, 8, 10, 14) is not None
+    assert lib.hist_ladder(120000, 164, 98, 6, 8, 12) == (4, 8, 16)
+    # far outside the log-ratio cap -> hand defaults
+    assert lib.hist_ladder(5000, 20, 4, 1, 1, 2) is None
+    # fused head re-snaps onto nearby pool sizes
+    assert lib.fused_head_config(131072, 24, 256, 64, 10) is not None

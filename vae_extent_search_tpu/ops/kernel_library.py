@@ -105,6 +105,50 @@ class PallasKernelLibrary:
                 best_score, best_rec = score, rec
         return best_rec
 
+    def query_nearest(self, workload_key: str, dtype: str = "bfloat16",
+                      max_log_ratio: float = None,
+                      ) -> Optional[MeasureRecord]:
+        """Nearest tuned record by log-shape distance (sum of
+        |log(query_arg / record_arg)| over numeric args).
+
+        The reference's divisibility-based dis-factor is the right
+        compatibility rule for conv/matmul schedules (a tile plan for N
+        divides onto N/2), but it is meaningless for the framework's own
+        kernel families whose args are row counts and feature censuses
+        (gbdt_hist_layer) or pool sizes (fused_head_layer) — 800k rows
+        is not "incompatible" with a ladder tuned at 120k rows just
+        because 800000 % 120000 != 0. Those configs re-plan/re-snap onto
+        the query shape anyway (plan_tiers_multi / snap_fused_config),
+        so the tuned record is a transferable prior and the nearest
+        shape is the best one."""
+        import math
+
+        if max_log_ratio is None:
+            max_log_ratio = math.log(MAX_DIS_FACTOR)
+        name, args = decode_workload_key_flat(workload_key)
+        exact = self._best.get((name, args, dtype))
+        if exact is not None:
+            return exact[1]
+        if args is None:
+            return None
+        best_d, best_rec = float("inf"), None
+        for (r_name, r_args, r_dtype), (cost, rec) in self._best.items():
+            if r_name != name or r_dtype != dtype or r_args is None \
+                    or len(r_args) != len(args):
+                continue
+            d, ok = 0.0, True
+            for ta, a in zip(args, r_args):
+                num = (isinstance(ta, (int, float))
+                       and isinstance(a, (int, float)))
+                if num and ta > 0 and a > 0:
+                    d += abs(math.log(ta / a))
+                elif ta != a:
+                    ok = False
+                    break
+            if ok and d <= max_log_ratio and d < best_d:
+                best_d, best_rec = d, rec
+        return best_rec
+
     # -- workload-specific config lookups ---------------------------------
 
     def matmul_config(self, M: int, N: int, K: int,
@@ -185,7 +229,7 @@ class PallasKernelLibrary:
             return self._config_cache[cache_key]
         wk = make_workload_key("fused_head_layer", (N, D, H, L, T))
         cfg: Optional[Tuple[int, int]] = None
-        rec = self.query(wk, dtype)
+        rec = self.query_nearest(wk, dtype)
         if rec is not None:
             raw, _why = state_to_fusedhead_config(rec.inp.recover_state())
             if raw is not None:
@@ -209,7 +253,7 @@ class PallasKernelLibrary:
         cfg: Optional[Tuple[int, ...]] = None
         # ladder records carry no dtype role; they are written with the
         # runner's default bfloat16 target model
-        rec = self.query(wk, "bfloat16")
+        rec = self.query_nearest(wk, "bfloat16")
         if rec is not None:
             raw, _why = state_to_hist_ladder(rec.inp.recover_state())
             if raw is not None:
