@@ -18,6 +18,7 @@ the designated native (C++) port targets.
 
 from __future__ import annotations
 
+import functools
 import heapq
 import random
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
@@ -887,13 +888,35 @@ def init_thread_bind(state: State, task: SearchTask,
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=65536)
+def _divisors(n: int) -> tuple:
+    """All divisors of n ascending, via sqrt-bounded trial division.
+
+    Extents reach 10^7 when GPU sketches fuse batch x spatial axes
+    (e.g. max_pool batch 8 @ 112x112x64 = 6.4M after the thread-bind
+    fuse); the former ``range(1, n+1)`` scan made every tile-size
+    sample/mutation O(extent) — minutes per batch-8 pooling task.
+    Ascending order is load-bearing: rng.choice over the same list
+    keeps pools bit-identical to the old enumeration."""
+    small, large = [], []
+    d = 1
+    while d * d <= n:
+        if n % d == 0:
+            small.append(d)
+            if d != n // d:
+                large.append(n // d)
+        d += 1
+    large.reverse()
+    return tuple(small + large)
+
+
 def _random_factorization(extent: int, n: int, rng: random.Random,
                           max_innermost: int = 64) -> List[int]:
     """Sample lengths [l1..ln] with prod | extent and ln <= max_innermost."""
     lengths = []
     rem = max(1, extent)
     for i in range(n):
-        divisors = [d for d in range(1, rem + 1) if rem % d == 0]
+        divisors = _divisors(rem)
         if i == n - 1:
             divisors = [d for d in divisors if d <= max_innermost]
         l = rng.choice(divisors)
@@ -1256,7 +1279,7 @@ def _mutate_tile_size_recs(recs: List[list], rng: random.Random,
         if length <= 1:
             continue
         dst_idx = perm[(i + 1) % len(perm)]
-        factors = [d for d in range(2, length + 1) if length % d == 0]
+        factors = [d for d in _divisors(length) if d >= 2]
         if dst_idx == len(lengths) - 1:
             factors = [
                 f for f in factors if f * lengths[dst_idx] <= max_innermost
