@@ -25,7 +25,8 @@ class LearnedCostModel(PythonCostModel):
 
     def __init__(self, internal=None, kind: str = "mlp",
                  few_shot_learning: str = "base_only",
-                 use_workload_embedding: bool = True):
+                 use_workload_embedding: bool = True,
+                 num_warmup_sample: int = 0):
         # reference default: MLP/XGB/LGB append a workload embedding to
         # every feature row (mlp_model.py use_workload_embedding=True,
         # xgb_model.py:108); the MLP pads it to 10 dims, the tree models
@@ -74,6 +75,13 @@ class LearnedCostModel(PythonCostModel):
         self.use_workload_embedding = use_workload_embedding
         self.internal = internal
         self.few_shot_learning = few_shot_learning
+        # reference XGBModel num_warmup_sample semantics
+        # (task_scheduler.py:100-102, xgb_model.py): update() does not
+        # refit until this many measured samples accumulated. For a
+        # PRETRAINED model this is what keeps early online updates from
+        # wiping the pretrained fit with a 16-sample refit — the
+        # pretrained predictions serve until enough local data exists.
+        self.num_warmup_sample = num_warmup_sample
         self._inputs: List = []
         self._results: List = []
 
@@ -95,6 +103,8 @@ class LearnedCostModel(PythonCostModel):
             self._results.extend(results)
         if not self._inputs:
             return
+        if len(self._inputs) < self.num_warmup_sample:
+            return  # keep predicting with the current (pretrained) fit
         from ..features.per_store import (
             get_per_store_features_from_measure_pairs,
         )
@@ -248,10 +258,14 @@ class PlusMixCostModel(LearnedCostModel):
 
 def make_search_policies(search_policy: str, tasks, seed: int = 0,
                          load_model_file: Optional[str] = None,
-                         load_log_file: Optional[str] = None):
+                         load_log_file: Optional[str] = None,
+                         num_measures_per_round: int = 16):
     """Per-task policies for 'sketch.<model>' specs (reference
     task_scheduler.py:44-172 make_search_policies; '-no-update' suffix
-    freezes a pretrained model)."""
+    freezes a pretrained model). A pretrained model updating online
+    gets the reference's warm-up gate (num_warmup_sample =
+    len(tasks) * num_measures_per_round, task_scheduler.py:100-102) so
+    its first refit waits for a meaningful local sample."""
     from .sketch import SketchPolicy
 
     kind = "random"
@@ -267,6 +281,7 @@ def make_search_policies(search_policy: str, tasks, seed: int = 0,
     else:
         if load_model_file:
             model = LearnedCostModel.load(load_model_file, kind)
+            model.num_warmup_sample = len(tasks) * num_measures_per_round
         else:
             model = LearnedCostModel(kind=kind)
         if load_log_file:

@@ -153,6 +153,7 @@ class TaskScheduler:
             self.search_policies, self.cost_model = make_search_policies(
                 search_policy, self.tasks,
                 load_model_file=load_model_file,
+                num_measures_per_round=self.num_measures_per_round,
             )
         else:
             self.search_policies = [
