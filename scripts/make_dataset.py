@@ -102,7 +102,14 @@ def main():
 
     files = []
     for pat in args.logs:
-        files.extend(sorted(glob.glob(pat)))
+        if os.path.exists(pat):
+            # literal path: record-file names carry glob metacharacters
+            # ("('[conv2d_layer,...]','cuda').json" — the [..] reads as
+            # a character class), so a shell-expanded argument must NOT
+            # be re-globbed or every bracketed file silently vanishes
+            files.append(pat)
+        else:
+            files.extend(sorted(glob.glob(pat)))
 
     if args.preset == "batch-size-1":
         keep = preset_batch_size_1(args.target)
