@@ -532,9 +532,16 @@ def test_selftune_library_dispatch_roundtrip(tmp_path, monkeypatch):
     plan, idx_big = _plan_tiers_env(ne, 120000)
     assert tuple(sw for sw, _ in plan) == tuple(
         w for w in ladder if w in {sw for sw, _ in plan}) or ladder == ()
-    # an unmatched shape keeps the hand default ladder
-    plan_def, _ = _plan_tiers_env(ne, 120001)
-    assert [sw for sw, _ in plan_def] == [2, 16, 64, 128]
+    # nearest-shape dispatch (round 5): a nearby row count still
+    # matches the tuned record (row counts are not divisibility-
+    # compatible quantities — ops/kernel_library.py::query_nearest)...
+    plan_near, _ = _plan_tiers_env(ne, 120001)
+    assert [sw for sw, _ in plan_near] == [sw for sw, _ in plan]
+    # ...while a shape beyond the log-ratio cap keeps the hand default
+    ne_far = np.array([1] * 2 + [255] * 3)
+    plan_def, _ = _plan_tiers_env(ne_far, 50)
+    assert [sw for sw, _ in plan_def] == [
+        sw for sw, _ in _plan_tiers_env(ne_far, 0)[0]]
 
 
 def test_fused_head_mc_chunk_invariant_interpret():
