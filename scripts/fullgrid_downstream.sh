@@ -41,16 +41,24 @@ for hw in platinum-8272 e5-2673 epyc-7452 graviton2 k80 t4; do
 done
 
 echo "[$(stamp)] === B: 6-platform merged by_target (chip) ==="
+# the raw 5.7M-record 6-way merge peaks >130 GB inside train_model
+# (loaded pickles + flatten + embedding + pack copies) and OOM-killed
+# the host; tools/merge_downsample.py streams one platform at a time
+# into a 200-records/task merge sized for training
 if [ -s result/fullgrid/xgb_by_target_5plat.pkl ]; then
   echo "exists, skip by_target"
 else
-  python scripts/train_model.py \
-    --dataset dataset/dataset_platinum-8272_full_s500.pkl \
-              dataset/dataset_e5-2673_full_s500.pkl \
-              dataset/dataset_epyc-7452_full_s500.pkl \
-              dataset/dataset_k80_full_s500.pkl \
-              dataset/dataset_t4_full_s500.pkl \
-              dataset/dataset_graviton2_full_s500.pkl \
+  if [ ! -s dataset/dataset_merged6_s200.pkl ]; then
+    JAX_PLATFORMS=cpu python tools/merge_downsample.py \
+      dataset/dataset_merged6_s200.pkl 200 \
+      dataset/dataset_platinum-8272_full_s500.pkl \
+      dataset/dataset_e5-2673_full_s500.pkl \
+      dataset/dataset_epyc-7452_full_s500.pkl \
+      dataset/dataset_k80_full_s500.pkl \
+      dataset/dataset_t4_full_s500.pkl \
+      dataset/dataset_graviton2_full_s500.pkl
+  fi
+  python scripts/train_model.py --dataset dataset/dataset_merged6_s200.pkl \
     --split-scheme by_target --models xgb@mlp \
     2>&1 | tee result/fullgrid/by_target_train.log
   mv xgb.pkl result/fullgrid/xgb_by_target_5plat.pkl
@@ -94,13 +102,18 @@ echo "[$(stamp)] === D3: merged-ho pretrain + eval (chip) ==="
 if [ -s result/fullgrid/xgb_merged_ho.pkl ]; then
   echo "exists, skip merged-ho"
 else
+  if [ ! -s dataset/dataset_merged6_s200_ho.pkl ]; then
+    JAX_PLATFORMS=cpu python tools/merge_downsample.py \
+      dataset/dataset_merged6_s200_ho.pkl 200 \
+      dataset/dataset_platinum-8272_full_s500_ho.pkl \
+      dataset/dataset_e5-2673_full_s500_ho.pkl \
+      dataset/dataset_epyc-7452_full_s500_ho.pkl \
+      dataset/dataset_k80_full_s500_ho.pkl \
+      dataset/dataset_t4_full_s500_ho.pkl \
+      dataset/dataset_graviton2_full_s500_ho.pkl
+  fi
   python scripts/train_model.py \
-    --dataset dataset/dataset_platinum-8272_full_s500_ho.pkl \
-              dataset/dataset_e5-2673_full_s500_ho.pkl \
-              dataset/dataset_epyc-7452_full_s500_ho.pkl \
-              dataset/dataset_k80_full_s500_ho.pkl \
-              dataset/dataset_t4_full_s500_ho.pkl \
-              dataset/dataset_graviton2_full_s500_ho.pkl \
+    --dataset dataset/dataset_merged6_s200_ho.pkl \
     --split-scheme within_task --models xgb@mlp \
     2>&1 | tee result/fullgrid/merged_ho_train.log
   mv xgb.pkl result/fullgrid/xgb_merged_ho.pkl
